@@ -1,0 +1,302 @@
+"""Minimal HTML DOM built on the stdlib ``html.parser.HTMLParser``.
+
+This replicates the tree-building semantics of BeautifulSoup's
+``html.parser`` tree builder (the parser the reference engine pins for its
+extraction semantics, cf. ``/root/reference/docling/backend/html_backend.py:482``)
+without depending on bs4:
+
+- no HTML5 implied-end-tag rules: an unclosed ``<p>`` nests the following
+  content (the reference repairs this itself in a later pass);
+- void elements (``br``, ``img``, ...) never take children;
+- an end tag pops the open-element stack up to the nearest matching start
+  tag and is ignored when nothing matches;
+- character references are decoded in normal content but left verbatim
+  inside ``script``/``style`` (CDATA content model);
+- comments/doctypes are kept as distinct node types that text extraction
+  skips.
+
+The node API is intentionally tiny - just what the extractor needs.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Callable, Iterable, Iterator, Optional, Union
+
+# bs4.builder.HTMLTreeBuilder.empty_element_tags (public bs4 behavior)
+VOID_ELEMENTS = {
+    "area", "base", "br", "basefont", "bgsound", "col", "command", "embed",
+    "frame", "hr", "image", "img", "input", "isindex", "keygen", "link",
+    "menuitem", "meta", "nextid", "param", "source", "spacer", "track", "wbr",
+}
+
+NodeLike = Union["Element", "TextNode"]
+
+
+class TextNode:
+    """A text (or comment) node."""
+
+    __slots__ = ("data", "parent", "is_comment")
+
+    def __init__(self, data: str, is_comment: bool = False):
+        self.data = data
+        self.parent: Optional[Element] = None
+        self.is_comment = is_comment
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"TextNode({self.data!r})"
+
+    def extract(self) -> "TextNode":
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+        return self
+
+
+class Element:
+    """An element node with lowercase tag name and last-wins attributes."""
+
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: Optional[dict] = None):
+        self.name = name
+        self.attrs: dict = attrs or {}
+        self.children: list[NodeLike] = []
+        self.parent: Optional[Element] = None
+
+    # -- construction ------------------------------------------------------
+    def append(self, node: NodeLike) -> None:
+        node.parent = self
+        self.children.append(node)
+
+    def insert(self, index: int, node: NodeLike) -> None:
+        node.parent = self
+        self.children.insert(index, node)
+
+    # -- bs4-ish accessors ---------------------------------------------------
+    def get(self, name: str, default=None):
+        return self.attrs.get(name, default)
+
+    def has_attr(self, name: str) -> bool:
+        return name in self.attrs
+
+    def get_classes(self) -> set[str]:
+        raw = self.attrs.get("class")
+        if not raw:
+            return set()
+        return set(raw.split())
+
+    @property
+    def contents(self) -> list[NodeLike]:
+        return self.children
+
+    def descendants(self) -> Iterator[NodeLike]:
+        for child in list(self.children):
+            yield child
+            if isinstance(child, Element):
+                yield from child.descendants()
+
+    def iter_elements(self) -> Iterator["Element"]:
+        for node in self.descendants():
+            if isinstance(node, Element):
+                yield node
+
+    def find_all(
+        self,
+        names: Union[str, Iterable[str], None] = None,
+        recursive: bool = True,
+        pred: Optional[Callable[["Element"], bool]] = None,
+    ) -> list["Element"]:
+        if isinstance(names, str):
+            names = {names}
+        elif names is not None:
+            names = set(names)
+        out: list[Element] = []
+        pool: Iterable[NodeLike]
+        pool = self.descendants() if recursive else list(self.children)
+        for node in pool:
+            if not isinstance(node, Element):
+                continue
+            if names is not None and node.name not in names:
+                continue
+            if pred is not None and not pred(node):
+                continue
+            out.append(node)
+        return out
+
+    def find(
+        self,
+        names: Union[str, Iterable[str], None] = None,
+        recursive: bool = True,
+        pred: Optional[Callable[["Element"], bool]] = None,
+    ) -> Optional["Element"]:
+        found = self.find_all(names, recursive=recursive, pred=pred)
+        return found[0] if found else None
+
+    def find_parent(self, name: str) -> Optional["Element"]:
+        cur = self.parent
+        while cur is not None:
+            if cur.name == name:
+                return cur
+            cur = cur.parent
+        return None
+
+    def parents(self) -> Iterator["Element"]:
+        cur = self.parent
+        while cur is not None:
+            yield cur
+            cur = cur.parent
+
+    def text_nodes(self) -> Iterator[TextNode]:
+        for node in self.descendants():
+            if isinstance(node, TextNode) and not node.is_comment:
+                yield node
+
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        parts = []
+        for tn in self.text_nodes():
+            s = tn.data.strip() if strip else tn.data
+            if s or not strip:
+                parts.append(s)
+        return separator.join(parts)
+
+    # -- mutation ------------------------------------------------------------
+    def extract(self) -> "Element":
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+        return self
+
+    def decompose(self) -> None:
+        self.extract()
+        self.children = []
+
+    def unwrap(self) -> None:
+        """Replace this element with its children (bs4 ``unwrap``)."""
+        parent = self.parent
+        if parent is None:
+            return
+        idx = parent.children.index(self)
+        kids = list(self.children)
+        parent.children[idx:idx + 1] = kids
+        for kid in kids:
+            kid.parent = parent
+        self.parent = None
+        self.children = []
+
+    def replace_with(self, node: NodeLike) -> None:
+        parent = self.parent
+        if parent is None:
+            return
+        idx = parent.children.index(self)
+        parent.children[idx] = node
+        node.parent = parent
+        self.parent = None
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<{self.name} attrs={self.attrs} kids={len(self.children)}>"
+
+
+class Document(Element):
+    """Root node; may hold multiple top-level children."""
+
+    def __init__(self) -> None:
+        super().__init__("[document]")
+
+    @property
+    def body(self) -> Optional[Element]:
+        return self.find("body")
+
+    @property
+    def title_tag(self) -> Optional[Element]:
+        return self.find("title")
+
+
+# Whitespace inside these tags is significant and never collapsed
+# (bs4 ``preserve_whitespace_tags``).
+PRESERVE_WHITESPACE_TAGS = {"pre", "textarea"}
+
+
+class _TreeParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Document()
+        self.stack: list[Element] = [self.root]
+        self._data_parts: list[str] = []
+        self._preserve_depth = 0
+
+    def _end_data(self) -> None:
+        """Flush buffered character data, collapsing whitespace-only runs to
+        a single '\\n' (if one is present) or ' ' - the same normalization
+        BeautifulSoup applies in ``endData`` outside pre/textarea."""
+        if not self._data_parts:
+            return
+        data = "".join(self._data_parts)
+        self._data_parts.clear()
+        if not data:
+            return
+        if self._preserve_depth == 0 and not data.strip():
+            data = "\n" if "\n" in data else " "
+        self.stack[-1].append(TextNode(data))
+
+    # html.parser lowercases tag and attribute names already.
+    def handle_starttag(self, tag: str, attrs: list) -> None:
+        self._end_data()
+        el = Element(tag, dict(attrs))
+        self.stack[-1].append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+            if tag in PRESERVE_WHITESPACE_TAGS:
+                self._preserve_depth += 1
+
+    def handle_startendtag(self, tag: str, attrs: list) -> None:
+        self._end_data()
+        self.stack[-1].append(Element(tag, dict(attrs)))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        self._end_data()
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].name == tag:
+                for popped in self.stack[i:]:
+                    if popped.name in PRESERVE_WHITESPACE_TAGS:
+                        self._preserve_depth -= 1
+                del self.stack[i:]
+                return
+        # no matching start tag: ignore
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._data_parts.append(data)
+
+    def handle_comment(self, data: str) -> None:
+        self._end_data()
+        self.stack[-1].append(TextNode(data, is_comment=True))
+
+    # Doctype declarations, processing instructions: dropped.
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def handle_pi(self, data: str) -> None:
+        pass
+
+    def unknown_decl(self, data: str) -> None:
+        pass
+
+
+def parse_html(raw: Union[bytes, str]) -> Document:
+    """Parse HTML bytes/text into a :class:`Document`.
+
+    Bytes are decoded as UTF-8 with replacement, matching how the synthetic
+    pages table stores payloads (UTF-8 ``binary`` column).
+    """
+    if isinstance(raw, bytes):
+        text = raw.decode("utf-8", errors="replace")
+    else:
+        text = raw
+    parser = _TreeParser()
+    parser.feed(text)
+    parser.close()
+    parser._end_data()
+    return parser.root

@@ -1,0 +1,338 @@
+"""Exports: markdown (compact tables), indented text, canonical JSON.
+
+Reverse-engineered from the reference's groundtruth exports
+(``/root/reference/tests/data/html/groundtruth/*.{md,itxt,json}``) - the
+behavior contract is byte identity against those files for the fixture
+corpus (driver checked via tests/test_html_goldens.py).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+from .model import (
+    CodeItem,
+    Doc,
+    GroupItem,
+    ListItemItem,
+    PictureItem,
+    SectionHeaderItem,
+    TableItem,
+    TextItem,
+)
+
+# ---------------------------------------------------------------- markdown
+
+
+def _escape_md(text: str) -> str:
+    return text.replace("&", "&amp;")
+
+
+def _fmt_inline(item: TextItem) -> str:
+    """Serialize one text run with formatting + hyperlink marks."""
+    text = _escape_md(item.text)
+    if isinstance(item, CodeItem):
+        out = f"`{item.text}`" if item.text else ""
+    else:
+        f = item.formatting
+        if f is not None and text:
+            if f.bold and f.italic:
+                text = f"***{text}***"
+            elif f.bold:
+                text = f"**{text}**"
+            elif f.italic:
+                text = f"*{text}*"
+            if f.strikethrough:
+                text = f"~~{text}~~"
+        out = text
+    if item.hyperlink and out:
+        out = f"[{out}]({item.hyperlink})"
+    return out
+
+
+class MarkdownSerializer:
+    def __init__(self, doc: Doc):
+        self.doc = doc
+        self._in_cell = False
+
+    def serialize(self) -> str:
+        blocks = self._serialize_children(self.doc.body, list_depth=0)
+        return "\n\n".join(b for b in blocks if b != "")
+
+    # -- helpers -------------------------------------------------------------
+    def _serialize_children(self, node, list_depth: int) -> list[str]:
+        blocks: list[str] = []
+        for ref in node.children:
+            child = self.doc.resolve(ref)
+            blocks.extend(self._serialize_item(child, list_depth))
+        return blocks
+
+    def _inline_text(self, node) -> str:
+        """Serialize a subtree as a single inline flow (inline groups and
+        list-item bodies)."""
+        if isinstance(node, GroupItem):
+            parts = []
+            for ref in node.children:
+                child = self.doc.resolve(ref)
+                s = self._inline_text(child)
+                if s:
+                    parts.append(s)
+            return " ".join(parts)
+        if isinstance(node, CodeItem):
+            # inline code: newlines collapse to spaces
+            text = " ".join(node.text.split())
+            out = f"`{text}`" if text else ""
+            if node.hyperlink and out:
+                out = f"[{out}]({node.hyperlink})"
+            return out
+        if isinstance(node, TextItem):
+            return _fmt_inline(node)
+        return ""
+
+    def _serialize_item(self, item, list_depth: int) -> list[str]:
+        doc = self.doc
+        blocks: list[str] = []
+
+        if isinstance(item, GroupItem):
+            if item.label == "inline":
+                s = self._inline_text(item)
+                if s:
+                    blocks.append(s)
+            elif item.label == "list":
+                lines = self._serialize_list(item, depth=list_depth)
+                if lines:
+                    blocks.append("\n".join(lines))
+            else:
+                # section / unspecified groups are transparent containers
+                if item.content_layer == "furniture":
+                    return []
+                blocks.extend(self._serialize_children(item, list_depth))
+            return blocks
+
+        if item.content_layer == "furniture":
+            return []
+
+        if isinstance(item, PictureItem):
+            for cref in item.captions:
+                cap = doc.resolve(cref)
+                if cap.text:
+                    blocks.append(cap.text)
+            blocks.append("<!-- image -->")
+            blocks.extend(self._serialize_children(item, list_depth))
+            return blocks
+
+        if isinstance(item, TableItem):
+            for cref in item.captions:
+                cap = doc.resolve(cref)
+                s = _fmt_inline(cap)
+                if s:
+                    blocks.append(s)
+            tbl = self._serialize_table(item)
+            if tbl:
+                blocks.append(tbl)
+            return blocks
+
+        if isinstance(item, SectionHeaderItem):
+            prefix = "#" * (item.level + 1)
+            if item.text:
+                blocks.append(f"{prefix} {_fmt_inline(item)}")
+            blocks.extend(self._serialize_children(item, list_depth))
+            return blocks
+
+        if isinstance(item, TextItem):
+            if item.label == "title":
+                if item.text:
+                    blocks.append(f"# {_fmt_inline(item)}")
+                blocks.extend(self._serialize_children(item, list_depth))
+                return blocks
+            if item.label == "caption":
+                # captions render with their picture/table, not standalone
+                return []
+            if item.label in ("checkbox_unselected", "checkbox_selected"):
+                mark = "x" if item.label == "checkbox_selected" else " "
+                if item.text:
+                    blocks.append(f"- [{mark}] {_escape_md(item.text)}")
+                return blocks
+            if isinstance(item, CodeItem):
+                blocks.append(f"```\n{item.text}\n```")
+                blocks.extend(self._serialize_children(item, list_depth))
+                return blocks
+            s = _fmt_inline(item)
+            if s:
+                blocks.append(s)
+            blocks.extend(self._serialize_children(item, list_depth))
+            return blocks
+
+        return blocks
+
+    def _serialize_list(self, group: GroupItem, depth: int) -> list[str]:
+        doc = self.doc
+        lines: list[str] = []
+        indent = "    " * depth
+        enum_counter = 0
+        for ref in group.children:
+            child = doc.resolve(ref)
+            if isinstance(child, ListItemItem):
+                if child.enumerated:
+                    enum_counter += 1
+                    marker = child.marker or f"{enum_counter}."
+                else:
+                    marker = "-"
+                body = _fmt_inline(child)
+                # nested children: inline groups join the marker line;
+                # nested lists/pictures/tables become their own lines
+                inline_parts: list[str] = []
+                tail_lines: list[str] = []
+                for sref in child.children:
+                    sub = doc.resolve(sref)
+                    if isinstance(sub, GroupItem) and sub.label == "inline":
+                        s = self._inline_text(sub)
+                        if s:
+                            inline_parts.append(s)
+                    elif isinstance(sub, GroupItem) and sub.label == "list":
+                        tail_lines.extend(
+                            self._serialize_list(sub, depth=depth + 1))
+                    elif isinstance(sub, PictureItem):
+                        for cref in sub.captions:
+                            cap = doc.resolve(cref)
+                            if cap.text:
+                                tail_lines.append(cap.text)
+                        tail_lines.append("<!-- image -->")
+                    elif isinstance(sub, TableItem):
+                        t = self._serialize_table(sub)
+                        if t:
+                            tail_lines.append(t)
+                    else:
+                        s = self._inline_text(sub)
+                        if s:
+                            inline_parts.append(s)
+                text = " ".join(p for p in [body] + inline_parts if p)
+                lines.append(f"{indent}{marker} {text}".rstrip())
+                lines.extend(tail_lines)
+            elif isinstance(child, GroupItem) and child.label == "list":
+                lines.extend(self._serialize_list(child, depth=depth + 1))
+            elif isinstance(child, PictureItem):
+                for cref in child.captions:
+                    cap = doc.resolve(cref)
+                    if cap.text:
+                        lines.append(cap.text)
+                lines.append("<!-- image -->")
+            elif isinstance(child, TableItem):
+                t = self._serialize_table(child)
+                if t:
+                    lines.append(t)
+            else:
+                s = self._inline_text(child)
+                if s:
+                    lines.append(f"{indent}{s}")
+        return lines
+
+    def _cell_markdown(self, cell, seen_rich: set | None = None) -> str:
+        """Cell content for the pipe table: plain cells use the stored text;
+        rich cells serialize their ref subtree as markdown with newlines
+        flattened to spaces (matches the reference groundtruth, e.g.
+        table_04: 'Some text before list  - First item - ...')."""
+        if cell is None:
+            return ""
+        if cell.ref is not None:
+            if seen_rich is not None:
+                if id(cell) in seen_rich:
+                    return ""
+                seen_rich.add(id(cell))
+            group = self.doc.resolve(cell.ref)
+            prev = self._in_cell
+            self._in_cell = True
+            try:
+                blocks = self._serialize_children(group, list_depth=0)
+            finally:
+                self._in_cell = prev
+            txt = "\n\n".join(b for b in blocks if b != "")
+        else:
+            txt = cell.text
+        return txt.replace("\n", " ").replace("|", "\\|")
+
+    def _serialize_table(self, item: TableItem) -> str:
+        data = item.data
+        if data.num_rows == 0 or data.num_cols == 0:
+            return ""
+        if self._in_cell:
+            # nested table inside a rich cell: plain rows of cell texts
+            grid = data.grid()
+            rows = []
+            for r in range(data.num_rows):
+                rows.append(" ".join(
+                    (grid[r][c].text if grid[r][c] is not None else "")
+                    for c in range(data.num_cols)))
+            return "\n".join(rows)
+        grid = data.grid()
+        seen_rich: set = set()
+        rows: list[list[str]] = []
+        for r in range(data.num_rows):
+            rows.append([self._cell_markdown(grid[r][c], seen_rich)
+                         for c in range(data.num_cols)])
+        lines = []
+        header = rows[0]
+        lines.append("| " + " | ".join(header) + " |")
+        lines.append("|" + "|".join(" - " for _ in header) + "|")
+        for row in rows[1:]:
+            lines.append("| " + " | ".join(row) + " |")
+        return "\n".join(lines)
+
+
+def to_markdown(doc: Doc) -> str:
+    return MarkdownSerializer(doc).serialize()
+
+
+# ------------------------------------------------------------ indented text
+
+def _truncate(text: str, max_len: int = 70) -> str:
+    # split points per the groundtruth itxt exports: 32 head / 39 tail chars
+    # around " ... " for max_len=70
+    if len(text) <= max_len:
+        return text
+    head = max_len // 2 - 3
+    tail = max_len - head
+    return text[:head] + " ... " + text[len(text) - tail:]
+
+
+def to_indented_text(doc: Doc, max_text_len: int = 70) -> str:
+    lines: list[str] = []
+    counter = 0
+    for item, level in doc.iterate_items():
+        indent = "  " * level
+        if isinstance(item, GroupItem):
+            if item.self_ref == "#/body":
+                lines.append(f"{indent}item-{counter} at level {level}: "
+                             f"{item.label}: group {item.name}")
+            else:
+                lines.append(f"{indent}item-{counter} at level {level}: "
+                             f"{item.label}: group {item.name}")
+        elif isinstance(item, PictureItem):
+            lines.append(f"{indent}item-{counter} at level {level}: picture")
+            for cref in item.captions:
+                cap = doc.resolve(cref)
+                lines.append(
+                    f"{indent}  item-{counter} at level {level + 1}: "
+                    f"caption: {_truncate(cap.text, max_text_len)}")
+        elif isinstance(item, TableItem):
+            lines.append(
+                f"{indent}item-{counter} at level {level}: table with "
+                f"[{item.data.num_rows}x{item.data.num_cols}]")
+            for cref in item.captions:
+                cap = doc.resolve(cref)
+                lines.append(
+                    f"{indent}  item-{counter} at level {level + 1}: "
+                    f"caption: {_truncate(cap.text, max_text_len)}")
+        elif isinstance(item, TextItem):
+            lines.append(
+                f"{indent}item-{counter} at level {level}: {item.label}: "
+                f"{_truncate(item.text, max_text_len)}")
+        counter += 1
+    return "\n".join(lines)
+
+
+# -------------------------------------------------------------------- JSON
+
+def to_json(doc: Doc, indent: Optional[int] = None) -> str:
+    return json.dumps(doc.to_dict(), ensure_ascii=False, indent=indent)
