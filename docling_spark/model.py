@@ -423,15 +423,21 @@ class Doc:
         return item
 
     # -- traversal ---------------------------------------------------------
-    def iterate_items(self, root: Optional[NodeItem] = None, level: int = 0):
+    def iterate_items(self, root: Optional[NodeItem] = None, level: int = 0,
+                      layers: tuple = (BODY,)):
         """DFS over the body tree yielding ``(item, level)`` pairs, matching
-        docling-core's ``iterate_items`` as observed in the itxt goldens."""
+        docling-core's ``iterate_items``: subtrees whose content_layer is not
+        in ``layers`` (default: body only) are skipped entirely."""
         if root is None:
             root = self.body
-        yield root, level
+            yield root, level
+        elif root.content_layer in layers:
+            yield root, level
+        else:
+            return
         for child_ref in root.children:
             child = self.resolve(child_ref)
-            yield from self.iterate_items(child, level + 1)
+            yield from self.iterate_items(child, level + 1, layers)
 
     def to_dict(self) -> dict:
         return {

@@ -26,7 +26,7 @@ from .model import (
 
 
 def _escape_md(text: str) -> str:
-    return text.replace("&", "&amp;")
+    return text.replace("&", "&amp;").replace("_", "\\_")
 
 
 def _fmt_inline(item: TextItem) -> str:
@@ -289,7 +289,9 @@ def to_markdown(doc: Doc) -> str:
 def _truncate(text: str, max_len: int = 70) -> str:
     # split points per the groundtruth itxt exports: 32 head / 39 tail chars
     # around " ... " for max_len=70
-    if len(text) <= max_len:
+    # empirical thresholds from the groundtruth corpus: texts up to 72 chars
+    # stay whole; longer ones become 32 head + " ... " + 38 tail
+    if len(text) <= max_len + 2:
         return text
     head = max_len // 2 - 3
     tail = max_len - head
