@@ -1,38 +1,409 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction job over a deterministic
+pages table built from the reference HTML corpus. ``queries()`` exposes
+one callable per implemented operator family (SURVEY.md §2); each
+SQL-expressible one has a DuckDB twin in ``oracle_sql()``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from docling_spark import dedup, engine, multimodal, pages as pages_mod
+from docling_spark import similarity, streaming, textfns
+
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the docling_spark package to executors (the local-mode analog
+    of ``spark-submit --py-files engine.zip``). Without this, Python
+    workers spawned from a different CWD cannot unpickle our UDFs."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+    pkg_dir = Path(__file__).resolve().parent / "docling_spark"
+    zpath = Path(tempfile.gettempdir()) / "docling_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for py in sorted(pkg_dir.glob("*.py")):
+            zf.write(py, f"docling_spark/{py.name}")
+    sc.addPyFile(str(zpath))
+    _SHIPPED.add(key)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fixture_pages(spark: SparkSession, n_rows: int = 64) -> DataFrame:
+    _ensure_shipped(spark)
+    path = pages_mod.ensure_pages(n_rows)
+    return spark.read.parquet(path)
+
+
+# --------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract every page of the synthetic pages table, return
+    structured results (driver checks rows>0 + stable schema)."""
+    pages = _fixture_pages(spark, 64)
+    results = engine.extract_pages(pages, repartition=True)
+    return results.select(
+        "url", "status", "n_texts", "n_tables", "n_pictures",
+        F.length("md").alias("md_len"), "error")
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders(spark, sf_dir):
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+              orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_region_revenue(spark, sf_dir):
+    region = _load(spark, sf_dir, "region")
+    nation = _load(spark, sf_dir, "nation")
+    supplier = _load(spark, sf_dir, "supplier")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def _q_part_type_stats(spark, sf_dir):
+    part = _load(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+             F.max("p_size").alias("max_size"))
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    return streaming.hourly_event_counts(events)
+
+
+def _q_sessions(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    return streaming.batch_sessionize(events)
+
+
+def _q_top_users(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    per_user = events.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 4).alias("total_value"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id"))
+    return (per_user.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5))
+
+
+def _q_doc_stats(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.doc_stats(docs)
+
+
+def _q_doc_exact_dups(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+def _q_doc_lang_agg(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg(textfns.token_count("text")), 4).alias("avg_tokens"),
+             F.round(F.avg(F.length("text")), 4).alias("avg_chars"))
+    )
+
+
+def _q_emb_knn(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return (similarity.cosine_topk_bruteforce(emb, queries_df, k=3)
+            .select("query_id", "nbr_id", "rank"))
+
+
+# ---- non-SQL-expressible (rows-only check) --------------------------------
+
+def _q_extract_fixtures(spark, sf_dir):
+    pages = _fixture_pages(spark, 48)
+    res = engine.extract_pages(pages, repartition=False)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.length("md").alias("md_len"))
+
+
+def _q_extract_spans(spark, sf_dir):
+    pages = _fixture_pages(spark, 40)
+    res = engine.extract_pages(pages, repartition=False)
+    return (engine.spans_view(res).groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_spans")))
+
+
+def _q_minhash_near_dups(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").limit(500)
+    # plant near-duplicates: append a tail to a copy of each 25th doc
+    clones = (docs.where(F.col("doc_id") % 25 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+              .withColumn("text", F.concat("text", F.lit(" trailing tail"))))
+    return (dedup.near_duplicates(docs.unionByName(clones),
+                                  k=5, num_hashes=32, bands=8, threshold=0.5)
+            .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def _q_simhash_dups(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").limit(300)
+    clones = (docs.where(F.col("doc_id") % 50 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return dedup.simhash_near_duplicates(docs.unionByName(clones),
+                                         max_hamming=3)
+
+
+def _q_lang_quality(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        textfns.lang_guess("text").alias("lang_guess"),
+        F.round(textfns.quality_score("text"), 4).alias("quality"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("quality"), 4).alias("avg_quality")))
+
+
+def _q_emb_knn_lsh(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return similarity.cosine_topk_lsh(emb, queries_df, dim=dim, k=3,
+                                      n_planes=6)
+
+
+def _q_media_features(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents").limit(200)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    return multimodal.extract_media_features(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "tpch_q3_top_orders": _q_top_orders,
+        "region_revenue": _q_region_revenue,
+        "part_type_stats": _q_part_type_stats,
+        "events_hourly": _q_events_hourly,
+        "event_sessions": _q_sessions,
+        "top_users_per_event_type": _q_top_users,
+        "doc_stats": _q_doc_stats,
+        "doc_exact_dups": _q_doc_exact_dups,
+        "doc_lang_agg": _q_doc_lang_agg,
+        "emb_knn_bruteforce": _q_emb_knn,
+        # rows-only (no SQL twin):
+        "extract_fixture_pages": _q_extract_fixtures,
+        "extract_span_histogram": _q_extract_spans,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_dups,
+        "doc_lang_quality": _q_lang_quality,
+        "emb_knn_lsh": _q_emb_knn_lsh,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_top_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "part_type_stats": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM gaps
+            ), numbered AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM numbered GROUP BY user_id, session_seq
+        """,
+        "top_users_per_event_type": """
+            WITH per_user AS (
+                SELECT user_id, event_type,
+                       round(sum(value), 4) AS total_value
+                FROM events GROUP BY user_id, event_type
+            )
+            SELECT * FROM (
+                SELECT user_id, event_type, total_value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY total_value DESC, user_id ASC) AS rank
+                FROM per_user
+            ) WHERE rank <= 5
+        """,
+        "doc_stats": r"""
+            SELECT doc_id, lang,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_tokens,
+                   length(text) AS n_chars2,
+                   round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                       (length(text) - length(regexp_replace(text,
+                           '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / length(text)
+                   END, 6) AS punct_ratio,
+                   round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                       (length(text) - length(regexp_replace(text,
+                           '[0-9]', '', 'g'))) * 1.0 / length(text)
+                   END, 6) AS digit_ratio,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        """,
+        "doc_exact_dups": r"""
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                           AS fingerprint
+                FROM documents
+            )
+            SELECT fingerprint,
+                   count(*) AS dup_count,
+                   min(doc_id) AS keeper_id,
+                   list_sort(list(doc_id)) AS doc_ids
+            FROM fp GROUP BY fingerprint HAVING count(*) > 1
+        """,
+        "doc_lang_agg": r"""
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END), 4) AS avg_tokens,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "emb_knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS q_emb
+                FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS nbr_id,
+                       list_cosine_similarity(q.q_emb, e.embedding) AS cosine
+                FROM q, embeddings e
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, nbr_id, rank FROM (
+                SELECT query_id, nbr_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, nbr_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+    }

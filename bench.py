@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline extraction throughput + query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+  BENCH_PAGES_ROWS    pages-table rows for the extraction leg (default scaled)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def sf_of(path: str) -> float:
+    name = pathlib.Path(path).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from docling_spark import engine, pages as pages_mod
+
+    sf = sf_of(SF_DIR)
+    # extraction corpus scaled with sf: sf0.1 -> 4000 pages (~35 MB html)
+    default_rows = max(256, int(40_000 * sf))
+    n_pages = int(os.environ.get("BENCH_PAGES_ROWS", default_rows))
+
+    pages_path = pages_mod.ensure_pages(n_pages)
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.ui.enabled", "false")
+        .appName("docling_spark_bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- headline: extraction throughput --------------------------------
+    pages = spark.read.parquet(pages_path)
+    html_bytes = pages.selectExpr("sum(length(html)) b").collect()[0]["b"]
+    t0 = time.perf_counter()
+    res = engine.extract_pages(pages, num_partitions=CPUS)
+    agg = res.selectExpr(
+        "count(*) docs",
+        "sum(case when status='success' then 1 else 0 end) ok",
+        "sum(length(md)) md_bytes").collect()[0]
+    t_extract = time.perf_counter() - t0
+    timings["extract_pages"] = round(t_extract, 3)
+    extras["extract_docs"] = agg["docs"]
+    extras["extract_ok"] = agg["ok"]
+    extras["docs_per_sec"] = round(agg["docs"] / t_extract, 2)
+    extras["html_mb_per_sec"] = round(html_bytes / 1e6 / t_extract, 2)
+
+    # ---- operator queries over the sf tables -----------------------------
+    qs = entrymod.queries()
+    bench_queries = [
+        "tpch_q1_pricing_summary", "tpch_q3_top_orders", "region_revenue",
+        "events_hourly", "event_sessions", "top_users_per_event_type",
+        "doc_stats", "doc_exact_dups", "doc_lang_agg",
+        "emb_knn_bruteforce", "minhash_near_dups", "simhash_near_dups",
+        "emb_knn_lsh",
+    ]
+    for name in bench_queries:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        try:
+            n = fn(spark, SF_DIR).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            extras[f"rows_{name}"] = n
+        except Exception as e:  # keep the bench line parseable
+            timings[name] = -1.0
+            extras[f"error_{name}"] = f"{type(e).__name__}"
+
+    total = round(sum(t for t in timings.values() if t > 0), 3)
+    out = {
+        "metric": "extraction+operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,286 @@
+"""Spark execution layer: the scaled extraction job.
+
+North-rule machinery (SURVEY.md §3.4, §4):
+
+- **Salted repartition** by ``xxhash64(url)`` so hot hosts spread evenly
+  across tasks at any cluster size.
+- **Explicit skew split**: rows with ``length(html) > skew_threshold``
+  are routed to their own fine-grained partitions (oversized blobs never
+  share an Arrow batch with the bulk), then unioned back.  AQE only fixes
+  join/shuffle skew, not map-side payload skew, so this is done explicitly.
+- **Arrow-batched extraction** via ``mapInPandas`` - one Python invocation
+  per record batch, never per row; heavy state (none today, model caches
+  later) would live in per-executor module globals.
+- **Per-partition lineage/metrics**: each task emits (partition_id,
+  doc_count, byte_count, failure list) rows to a metrics table.
+- **Checkpoint manifest + resume**: output is written per url-hash bucket;
+  a manifest records committed buckets; resume anti-joins pending buckets
+  against the manifest.
+
+Reference lifecycle being mirrored: ``DocumentConverter.convert_all``
+(``/root/reference/docling/document_converter.py:505-590``) with structured
+per-doc error envelopes (``base_models.py:85-91,311-327``) - a failing
+document NEVER fails the task; it yields status='failure' + error message.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Iterable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ------------------------------------------------------------------ schema
+
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("status", StringType(), False),
+    StructField("doc_json", StringType(), True),
+    StructField("md", StringType(), True),
+    StructField("itxt", StringType(), True),
+    StructField("n_texts", IntegerType(), True),
+    StructField("n_tables", IntegerType(), True),
+    StructField("n_pictures", IntegerType(), True),
+    StructField("html_bytes", LongType(), True),
+    StructField("parse_ms", DoubleType(), True),
+    StructField("serialize_ms", DoubleType(), True),
+    StructField("error", StringType(), True),
+    StructField("partition_id", IntegerType(), True),
+])
+
+METRICS_SCHEMA = StructType([
+    StructField("partition_id", IntegerType(), False),
+    StructField("doc_count", LongType(), False),
+    StructField("byte_count", LongType(), False),
+    StructField("failure_count", LongType(), False),
+    StructField("failures", ArrayType(StringType()), True),
+])
+
+
+def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one call per Arrow batch; per-doc error envelope."""
+    # Imports inside the function so the closure ships cleanly to executors.
+    from pyspark import TaskContext
+
+    from .extractor import HtmlExtractor
+    from .serialize import to_indented_text, to_json, to_markdown
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+    extractor = HtmlExtractor()
+
+    for pdf in batches:
+        out = {k.name: [] for k in EXTRACT_SCHEMA.fields}
+        for url, html in zip(pdf["url"].values, pdf["html"].values):
+            raw = bytes(html) if html is not None else b""
+            name = url.rsplit("/", 1)[-1].split("#")[0] or "page"
+            if name.endswith(".html"):
+                name = name[:-5]
+            t0 = time.perf_counter()
+            try:
+                doc = extractor.convert(raw, name=name, filename=name + ".html")
+                t1 = time.perf_counter()
+                md = to_markdown(doc)
+                itxt = to_indented_text(doc)
+                doc_json = to_json(doc)
+                t2 = time.perf_counter()
+                out["url"].append(url)
+                out["status"].append("success")
+                out["doc_json"].append(doc_json)
+                out["md"].append(md)
+                out["itxt"].append(itxt)
+                out["n_texts"].append(len(doc.texts))
+                out["n_tables"].append(len(doc.tables))
+                out["n_pictures"].append(len(doc.pictures))
+                out["html_bytes"].append(len(raw))
+                out["parse_ms"].append((t1 - t0) * 1e3)
+                out["serialize_ms"].append((t2 - t1) * 1e3)
+                out["error"].append(None)
+            except Exception as exc:  # never fail the task for one doc
+                out["url"].append(url)
+                out["status"].append("failure")
+                out["doc_json"].append(None)
+                out["md"].append(None)
+                out["itxt"].append(None)
+                out["n_texts"].append(0)
+                out["n_tables"].append(0)
+                out["n_pictures"].append(0)
+                out["html_bytes"].append(len(raw))
+                out["parse_ms"].append((time.perf_counter() - t0) * 1e3)
+                out["serialize_ms"].append(0.0)
+                out["error"].append(f"{type(exc).__name__}: {exc}")
+            out["partition_id"].append(pid)
+        yield pd.DataFrame(out)
+
+
+def partition_pages(
+    pages: DataFrame,
+    num_partitions: Optional[int] = None,
+    skew_threshold: int = 1 << 20,
+    salt: int = 8,
+) -> DataFrame:
+    """Salted repartition with explicit skew split for oversized blobs.
+
+    Normal rows shuffle on ``xxhash64(url) % (num_partitions * salt)``;
+    oversized rows (html longer than ``skew_threshold`` bytes) get
+    round-robin singleton distribution so one multi-MB page never skews a
+    task. Output column set is unchanged.
+    """
+    spark = pages.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    big = pages.where(F.length("html") > skew_threshold)
+    normal = pages.where(
+        (F.length("html") <= skew_threshold) | F.col("html").isNull())
+    normal = normal.repartition(
+        num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions * salt)))
+    # Oversized blobs: spread uniformly; at 100 TB this is the long tail of
+    # multi-MB pages, each of which should own (a fraction of) a task.
+    big = big.repartition(num_partitions)
+    return normal.unionByName(big)
+
+
+def extract_pages(
+    pages: DataFrame,
+    num_partitions: Optional[int] = None,
+    skew_threshold: int = 1 << 20,
+    repartition: bool = True,
+) -> DataFrame:
+    """The main job: pages(url, html, ...) -> extraction results.
+
+    Column pruning: only (url, html) are shipped into the Python workers -
+    Catalyst prunes the parquet scan down to those two columns.
+    """
+    cols = pages.select("url", "html")
+    if repartition:
+        cols = partition_pages(cols, num_partitions, skew_threshold)
+    return cols.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+
+
+def partition_metrics(results: DataFrame) -> DataFrame:
+    """Per-partition lineage rows (north rule): doc/byte counts + failures."""
+    return (
+        results.groupBy("partition_id")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("html_bytes").alias("byte_count"),
+            F.sum(F.when(F.col("status") != "success", 1).otherwise(0))
+            .alias("failure_count"),
+            F.collect_list(
+                F.when(F.col("status") != "success",
+                       F.concat_ws(": ", "url", "error"))
+            ).alias("failures"),
+        )
+    )
+
+
+# ----------------------------------------------------- checkpointed runs
+
+class CheckpointedExtraction:
+    """Bucket-wise extraction with a commit manifest enabling resume.
+
+    The input is split into ``num_buckets`` disjoint buckets by
+    ``pmod(xxhash64(url), num_buckets)``. Buckets are processed in groups;
+    after each group's output lands, the manifest gains one row per bucket
+    (atomic-enough for parquet-on-posix; an Iceberg snapshot commit in
+    production). ``run()`` anti-joins pending buckets against the manifest,
+    so a re-run after a crash resumes from the last committed group.
+    """
+
+    def __init__(self, spark: SparkSession, out_dir: str,
+                 num_buckets: int = 16, group_size: int = 4):
+        self.spark = spark
+        self.out_dir = out_dir.rstrip("/")
+        self.num_buckets = num_buckets
+        self.group_size = group_size
+        self.results_path = f"{self.out_dir}/results"
+        self.metrics_path = f"{self.out_dir}/metrics"
+        self.manifest_path = f"{self.out_dir}/manifest"
+
+    def committed_buckets(self) -> set[int]:
+        import pathlib
+        if not pathlib.Path(self.manifest_path).exists():
+            return set()
+        try:
+            rows = self.spark.read.parquet(self.manifest_path).collect()
+            return {r["bucket"] for r in rows}
+        except Exception:
+            return set()
+
+    def run(self, pages: DataFrame, skew_threshold: int = 1 << 20) -> dict:
+        done = self.committed_buckets()
+        pending = [b for b in range(self.num_buckets) if b not in done]
+        bucketed = pages.withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(self.num_buckets)))
+        processed = []
+        for i in range(0, len(pending), self.group_size):
+            group = pending[i:i + self.group_size]
+            part = bucketed.where(F.col("bucket").isin(group)).drop("bucket")
+            results = extract_pages(part, skew_threshold=skew_threshold)
+            results.write.mode("append").parquet(self.results_path)
+            metrics = partition_metrics(
+                self.spark.read.parquet(self.results_path)
+                .join(bucketed.where(F.col("bucket").isin(group))
+                      .select("url"), "url", "leftsemi"))
+            metrics.write.mode("append").parquet(self.metrics_path)
+            manifest = self.spark.createDataFrame(
+                [(b, time.time()) for b in group], "bucket int, committed_at double")
+            manifest.write.mode("append").parquet(self.manifest_path)
+            processed.extend(group)
+        return {
+            "resumed_from": sorted(done),
+            "processed": processed,
+            "total_buckets": self.num_buckets,
+        }
+
+
+# ------------------------------------------------------------- utilities
+
+def extraction_summary(results: DataFrame) -> dict:
+    row = results.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("html_bytes").alias("bytes"),
+        F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias("ok"),
+        F.avg("parse_ms").alias("avg_parse_ms"),
+        F.avg("serialize_ms").alias("avg_serialize_ms"),
+    ).collect()[0]
+    return {k: row[k] for k in
+            ("docs", "bytes", "ok", "avg_parse_ms", "avg_serialize_ms")}
+
+
+def spans_view(results: DataFrame) -> DataFrame:
+    """Queryable side-view: explode the doc's text items out of doc_json.
+
+    Uses from_json on the flat texts array - ad-hoc queries over spans
+    without re-walking HTML (SURVEY.md §1.3 'exploded side-columns').
+    """
+    span_schema = ("array<struct<self_ref:string,label:string,text:string,"
+                   "content_layer:string>>")
+    return (
+        results
+        .where(F.col("status") == "success")
+        .withColumn(
+            "span",
+            F.explode(F.from_json(
+                F.get_json_object("doc_json", "$.texts"), span_schema)))
+        .select(
+            "url",
+            F.col("span.self_ref").alias("self_ref"),
+            F.col("span.label").alias("label"),
+            F.col("span.text").alias("text"),
+            F.col("span.content_layer").alias("content_layer"),
+        )
+    )
