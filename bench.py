@@ -51,7 +51,6 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
         .config("spark.ui.enabled", "false")
         .appName("docling_spark_bench")
         .getOrCreate()

@@ -91,10 +91,19 @@ class Element:
         return self.children
 
     def descendants(self) -> Iterator[NodeLike]:
-        for child in list(self.children):
-            yield child
-            if isinstance(child, Element):
-                yield from child.descendants()
+        # iterative DFS - this is the hottest path in extraction
+        stack = [iter(self.children)]
+        while stack:
+            it = stack[-1]
+            advanced = False
+            for child in it:
+                yield child
+                if isinstance(child, Element) and child.children:
+                    stack.append(iter(child.children))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
 
     def iter_elements(self) -> Iterator["Element"]:
         for node in self.descendants():

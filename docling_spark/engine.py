@@ -129,27 +129,29 @@ def partition_pages(
     pages: DataFrame,
     num_partitions: Optional[int] = None,
     skew_threshold: int = 1 << 20,
-    salt: int = 8,
 ) -> DataFrame:
-    """Salted repartition with explicit skew split for oversized blobs.
+    """Explicit skew-split repartition for the extraction map.
 
-    Normal rows shuffle on ``xxhash64(url) % (num_partitions * salt)``;
-    oversized rows (html longer than ``skew_threshold`` bytes) get
-    round-robin singleton distribution so one multi-MB page never skews a
-    task. Output column set is unchanged.
+    Oversized rows (html longer than ``skew_threshold`` bytes) are split
+    from the bulk and distributed at 2x granularity so one multi-MB page
+    never skews a task. Output column set is unchanged.
     """
     spark = pages.sparkSession
     if num_partitions is None:
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Two branches, both round-robin (exact count balance):
+    # - normal rows spread over num_partitions tasks;
+    # - oversized blobs get 2x granularity so a multi-MB page (the 100-TB
+    #   long tail) owns its task slice and never serializes a wave.
+    # Round-robin beats salt-hashing here because extraction is
+    # row-independent - deterministic url-hash bucketing is only needed on
+    # the checkpoint/manifest path, which buckets separately.
     big = pages.where(F.length("html") > skew_threshold)
     normal = pages.where(
         (F.length("html") <= skew_threshold) | F.col("html").isNull())
-    normal = normal.repartition(
-        num_partitions, F.pmod(F.xxhash64("url"), F.lit(num_partitions * salt)))
-    # Oversized blobs: spread uniformly; at 100 TB this is the long tail of
-    # multi-MB pages, each of which should own (a fraction of) a task.
-    big = big.repartition(num_partitions)
+    normal = normal.repartition(num_partitions)
+    big = big.repartition(2 * num_partitions)
     return normal.unionByName(big)
 
 

@@ -711,6 +711,21 @@ class HtmlExtractor:
         else:
             yield
 
+    def _has_block_descendants(self, node: Element) -> bool:
+        """Single early-exit subtree scan for block tags / inputs / custom
+        checkboxes (replaces three separate find() passes in the hot path)."""
+        stack = [node.children]
+        while stack:
+            for child in stack.pop():
+                if isinstance(child, Element):
+                    if (child.name in BLOCK_TAGS or child.name == "input"
+                            or (child.attrs.get("class")
+                                and self._is_custom_checkbox_tag(child))):
+                        return True
+                    if child.children:
+                        stack.append(child.children)
+        return False
+
     # --------------------------------------------------------------- walk
     def _walk(self, element: Element) -> list[str]:
         doc = self.doc
@@ -761,11 +776,7 @@ class HtmlExtractor:
                 name = node.name
                 if self._is_suppressed_tag(node):
                     continue
-                has_block_descendants = bool(
-                    node.find(BLOCK_TAGS)
-                    or node.find("input")
-                    or node.find(pred=self._is_custom_checkbox_tag)
-                )
+                has_block_descendants = self._has_block_descendants(node)
                 if self._is_custom_checkbox_tag(node):
                     _flush_buffer()
                     ref = self._emit_custom_checkbox(node)

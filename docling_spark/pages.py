@@ -138,13 +138,27 @@ def pages_schema() -> pa.schema:
 
 
 def write_pages_parquet(path, n_rows: int, seed: int = 42,
-                        skew_every: int = 1000, skew_repeat: int = 400) -> str:
+                        skew_every: int = 1000, skew_repeat: int = 400,
+                        n_files: int | None = None) -> str:
+    """Write the pages table as a DIRECTORY of part files.
+
+    A single parquet file caps the scan (and any following shuffle write)
+    at one task; real Common-Crawl-style tables are thousands of files, so
+    the synthetic corpus mirrors that - one part per ~2k rows."""
     path = pathlib.Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
     rows = generate_pages(n_rows, seed=seed, skew_every=skew_every,
                           skew_repeat=skew_repeat)
-    table = pa.Table.from_pylist(rows, schema=pages_schema())
-    pq.write_table(table, path, row_group_size=max(256, n_rows // 16))
+    if n_files is None:
+        n_files = max(1, min(64, n_rows // 2048))
+    path.mkdir(parents=True, exist_ok=True)
+    chunk = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = rows[i * chunk:(i + 1) * chunk]
+        if not part:
+            break
+        table = pa.Table.from_pylist(part, schema=pages_schema())
+        pq.write_table(table, path / f"part-{i:04d}.parquet",
+                       row_group_size=max(256, len(part) // 4))
     return str(path)
 
 
@@ -153,9 +167,10 @@ def ensure_pages(n_rows: int, seed: int = 42, cache_dir=None,
     """Idempotent cached generation keyed by the parameters."""
     cache_dir = pathlib.Path(cache_dir or DEFAULT_CACHE)
     key = hashlib.sha256(
-        f"{n_rows}|{seed}|{skew_every}|{skew_repeat}|v2".encode()).hexdigest()[:12]
+        f"{n_rows}|{seed}|{skew_every}|{skew_repeat}|v3".encode()).hexdigest()[:12]
     out = cache_dir / f"pages_{n_rows}_{key}.parquet"
-    if not out.exists():
+    if not (out / "_DONE").exists():
         write_pages_parquet(out, n_rows, seed=seed, skew_every=skew_every,
                             skew_repeat=skew_repeat)
+        (out / "_DONE").touch()
     return str(out)
