@@ -92,6 +92,12 @@ _NL_SPACE_RE = re.compile(r" *\n *")
 
 _URL_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$")
 
+FORM_CONTAINER_CLASS = "form_region"
+_FORM_KEY_ID_RE = re.compile(r"^key(?P<key_id>[A-Za-z0-9]+)$")
+_FORM_MARKER_ID_RE = re.compile(r"^key(?P<key_id>[A-Za-z0-9]+)_marker$")
+_FORM_VALUE_ID_RE = re.compile(
+    r"^key(?P<key_id>[A-Za-z0-9]+)_value(?P<value_id>[A-Za-z0-9]+)$")
+
 
 def normalize_hyperlink(href: str) -> str:
     """Mimic pydantic ``AnyUrl`` / ``Path`` normalization used by the
@@ -777,6 +783,10 @@ class HtmlExtractor:
                 if self._is_suppressed_tag(node):
                     continue
                 has_block_descendants = self._has_block_descendants(node)
+                if self._is_form_container(node):
+                    _flush_buffer()
+                    added_refs.extend(self._handle_form_container(node))
+                    continue
                 if self._is_custom_checkbox_tag(node):
                     _flush_buffer()
                     ref = self._emit_custom_checkbox(node)
@@ -841,6 +851,113 @@ class HtmlExtractor:
 
         _flush_buffer()
         return added_refs
+
+    # ---------------------------------------------------------- form KV
+    @staticmethod
+    def _is_form_container(tag: Element) -> bool:
+        return FORM_CONTAINER_CLASS in tag.get_classes()
+
+    @staticmethod
+    def _normalize_form_text(text: str) -> tuple:
+        raw = re.sub(r"\s+", " ", text).strip()
+        return raw, clean_unicode(raw)
+
+    def _extract_form_value_text(self, value_tag: Element) -> str:
+        if value_tag.name == "input":
+            for attr in ("value", "placeholder", "name"):
+                val = value_tag.get(attr)
+                if isinstance(val, str) and val.strip():
+                    return val.strip()
+            return ""
+        if value_tag.name == "textarea":
+            return self.get_text(value_tag).strip()
+        if value_tag.name == "select":
+            selected = None
+            for option in value_tag.find_all("option"):
+                if option.has_attr("selected"):
+                    selected = option
+                    break
+            if selected is None:
+                selected = value_tag.find("option")
+            if selected is not None:
+                t = self.get_text(selected).strip()
+                if t:
+                    return t
+                v = selected.get("value")
+                if isinstance(v, str) and v.strip():
+                    return v.strip()
+            return ""
+        return self.get_text(value_tag)
+
+    def _handle_form_container(self, container: Element) -> list[str]:
+        """Key/value form regions: ``form_region`` class + ``keyN`` /
+        ``keyN_marker`` / ``keyN_valueM`` id conventions
+        (html_backend.py:3827+, FIXTURES.md kvp family)."""
+        doc = self.doc
+        fields: dict = {}
+        order = 0
+        for el in container.iter_elements():
+            el_id = el.get("id")
+            if not isinstance(el_id, str) or not el_id:
+                continue
+            order += 1
+            m = _FORM_MARKER_ID_RE.match(el_id)
+            if m:
+                f = fields.setdefault(m.group("key_id"),
+                                      {"order": order, "marker": None,
+                                       "key": None, "values": []})
+                f["marker"] = el
+                f["order"] = min(f["order"], order)
+                continue
+            m = _FORM_VALUE_ID_RE.match(el_id)
+            if m:
+                f = fields.setdefault(m.group("key_id"),
+                                      {"order": order, "marker": None,
+                                       "key": None, "values": []})
+                f["values"].append((order, el))
+                continue
+            m = _FORM_KEY_ID_RE.match(el_id)
+            if m:
+                f = fields.setdefault(m.group("key_id"),
+                                      {"order": order, "marker": None,
+                                       "key": None, "values": []})
+                f["key"] = el
+                f["order"] = min(f["order"], order)
+        if not fields:
+            # no key/value ids: table-form containers parse as tables,
+            # anything else falls back to a plain walk
+            if container.name == "table":
+                return self._handle_block(container)
+            return self._walk(container)
+
+        region = doc.add_field_region(parent=self.parents[self.level],
+                                      content_layer=self.content_layer)
+        for key_id in sorted(fields, key=lambda k: fields[k]["order"]):
+            f = fields[key_id]
+            item = doc.add_field_item(parent=region,
+                                      content_layer=self.content_layer)
+            if f["marker"] is not None:
+                raw, clean = self._normalize_form_text(
+                    self.get_text(f["marker"]))
+                if clean:
+                    doc.add_text(label="marker", text=clean, orig=raw,
+                                 parent=item,
+                                 content_layer=self.content_layer)
+            if f["key"] is not None:
+                raw, clean = self._normalize_form_text(
+                    self.get_text(f["key"]))
+                if clean:
+                    doc.add_text(label="field_key", text=clean, orig=raw,
+                                 parent=item,
+                                 content_layer=self.content_layer)
+            for _, vtag in sorted(f["values"], key=lambda t: t[0]):
+                raw, clean = self._normalize_form_text(
+                    self._extract_form_value_text(vtag))
+                if clean:
+                    doc.add_text(label="field_value", text=clean, orig=raw,
+                                 parent=item,
+                                 content_layer=self.content_layer)
+        return [region.self_ref]
 
     # ------------------------------------------------------------- blocks
     def _handle_block(self, tag: Element) -> list[str]:

@@ -287,7 +287,28 @@ class TableItem(NodeItem):
         return d
 
 
-AnyItem = Union[GroupItem, TextItem, PictureItem, TableItem]
+class FieldRegionItem(NodeItem):
+    __slots__ = ()
+
+    def to_dict(self) -> dict:
+        d = self.base_dict()
+        d["label"] = "field_region"
+        d["prov"] = []
+        return d
+
+
+class FieldItemItem(NodeItem):
+    __slots__ = ()
+
+    def to_dict(self) -> dict:
+        d = self.base_dict()
+        d["label"] = "field_item"
+        d["prov"] = []
+        return d
+
+
+AnyItem = Union[GroupItem, TextItem, PictureItem, TableItem,
+                FieldRegionItem, FieldItemItem]
 
 
 class Doc:
@@ -309,6 +330,8 @@ class Doc:
         self.groups: list[GroupItem] = []
         self.tables: list[TableItem] = []
         self.pictures: list[PictureItem] = []
+        self.field_regions: list[FieldRegionItem] = []
+        self.field_items: list[FieldItemItem] = []
 
     # -- ref helpers ---------------------------------------------------------
     def resolve(self, ref: str) -> AnyItem:
@@ -412,6 +435,22 @@ class Doc:
     def add_table_cell(self, table_item: TableItem, cell: TableCell) -> None:
         table_item.data.table_cells.append(cell)
 
+    def add_field_region(self, parent=None, content_layer=BODY):
+        ref = f"#/field_regions/{len(self.field_regions)}"
+        pref = self._parent_ref(parent, content_layer)
+        item = FieldRegionItem(ref, pref, content_layer=content_layer)
+        self.field_regions.append(item)
+        self._attach(item, pref)
+        return item
+
+    def add_field_item(self, parent=None, content_layer=BODY):
+        ref = f"#/field_items/{len(self.field_items)}"
+        pref = self._parent_ref(parent, content_layer)
+        item = FieldItemItem(ref, pref, content_layer=content_layer)
+        self.field_items.append(item)
+        self._attach(item, pref)
+        return item
+
     def add_picture(self, caption=None, parent=None, content_layer=BODY):
         ref = f"#/pictures/{len(self.pictures)}"
         pref = self._parent_ref(parent, content_layer)
@@ -469,5 +508,9 @@ class Doc:
             "tables": [t.to_dict() for t in self.tables],
             "key_value_items": [],
             "form_items": [],
+            # reference exports include these keys only when populated
+            **({"field_regions": [f.to_dict() for f in self.field_regions],
+                "field_items": [f.to_dict() for f in self.field_items]}
+               if self.field_regions else {}),
             "pages": {},
         }

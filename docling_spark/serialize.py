@@ -14,6 +14,8 @@ from typing import Optional
 from .model import (
     CodeItem,
     Doc,
+    FieldItemItem,
+    FieldRegionItem,
     GroupItem,
     ListItemItem,
     PictureItem,
@@ -112,6 +114,13 @@ class MarkdownSerializer:
 
         if item.content_layer == "furniture":
             return []
+
+        if isinstance(item, (FieldRegionItem, FieldItemItem)):
+            # form nodes have no text of their own; the reference's md
+            # serializer emits a missing-text comment, then the children
+            blocks.append("<!-- missing-text -->")
+            blocks.extend(self._serialize_children(item, list_depth))
+            return blocks
 
         if isinstance(item, PictureItem):
             for cref in item.captions:
@@ -317,6 +326,13 @@ def to_indented_text(doc: Doc, max_text_len: int = 70) -> str:
                 lines.append(
                     f"{indent}  item-{counter} at level {level + 1}: "
                     f"caption: {_truncate(cap.text, max_text_len)}")
+        elif isinstance(item, (FieldRegionItem, FieldItemItem)):
+            # groundtruth quirk: these lines print one extra indent level
+            # while keeping the true level number, and the text 'ignored'
+            label = ("field_region" if isinstance(item, FieldRegionItem)
+                     else "field_item")
+            lines.append(f"{indent}  item-{counter} at level {level}: "
+                         f"{label}: ignored")
         elif isinstance(item, TableItem):
             lines.append(
                 f"{indent}item-{counter} at level {level}: table with "

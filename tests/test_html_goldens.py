@@ -15,8 +15,7 @@ from docling_spark.serialize import to_indented_text, to_json, to_markdown
 SRC = pathlib.Path("/root/reference/tests/data/html/sources")
 GT = pathlib.Path("/root/reference/tests/data/html/groundtruth")
 
-# forms/KV-region subsystem not yet implemented
-KNOWN_GAPS = {"kvp_data_example"}
+KNOWN_GAPS: set = set()
 
 FIXTURES = sorted(p.stem for p in SRC.glob("*.html")) if SRC.exists() else []
 
