@@ -72,6 +72,8 @@ METRICS_SCHEMA = StructType([
 def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one call per Arrow batch; per-doc error envelope."""
     # Imports inside the function so the closure ships cleanly to executors.
+    import hashlib
+
     from pyspark import TaskContext
 
     from .extractor import HtmlExtractor
@@ -90,7 +92,12 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 name = name[:-5]
             t0 = time.perf_counter()
             try:
-                doc = extractor.convert(raw, name=name, filename=name + ".html")
+                # reference-compatible document hash: sha256(bytes) mod 2^64
+                bh = int.from_bytes(
+                    hashlib.sha256(raw).digest()[-8:], "big")
+                doc = extractor.convert(raw, name=name,
+                                        filename=name + ".html",
+                                        binary_hash=bh)
                 t1 = time.perf_counter()
                 md = to_markdown(doc)
                 itxt = to_indented_text(doc)

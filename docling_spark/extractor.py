@@ -954,8 +954,11 @@ class HtmlExtractor:
                 raw, clean = self._normalize_form_text(
                     self._extract_form_value_text(vtag))
                 if clean:
+                    kind = ("fillable"
+                            if vtag.name in {"input", "textarea", "select"}
+                            else "read_only")
                     doc.add_text(label="field_value", text=clean, orig=raw,
-                                 parent=item,
+                                 parent=item, kind=kind,
                                  content_layer=self.content_layer)
         return [region.self_ref]
 

@@ -130,7 +130,11 @@ class TableData:
                         start_col_offset_idx=0, end_col_offset_idx=1,
                     ).to_dict())
                 else:
-                    row_out.append(cell.to_dict())
+                    # the grid view drops the rich-cell ref (kept only in
+                    # table_cells, per the groundtruth exports)
+                    cd = cell.to_dict()
+                    cd.pop("ref", None)
+                    row_out.append(cd)
             grid_out.append(row_out)
         return {
             "table_cells": [c.to_dict() for c in self.table_cells],
@@ -177,16 +181,18 @@ class GroupItem(NodeItem):
 
 
 class TextItem(NodeItem):
-    __slots__ = ("label", "text", "orig", "formatting", "hyperlink")
+    __slots__ = ("label", "text", "orig", "formatting", "hyperlink", "kind")
 
     def __init__(self, self_ref, parent_ref, label, text, orig=None,
-                 formatting=None, hyperlink=None, content_layer=BODY):
+                 formatting=None, hyperlink=None, content_layer=BODY,
+                 kind=None):
         super().__init__(self_ref, parent_ref, content_layer)
         self.label = label
         self.text = text
         self.orig = orig if orig is not None else text
         self.formatting: Optional[Formatting] = formatting
         self.hyperlink: Optional[str] = hyperlink
+        self.kind = kind  # field_value texts: read_only | fillable
 
     def to_dict(self) -> dict:
         d = self.base_dict()
@@ -198,6 +204,8 @@ class TextItem(NodeItem):
             d["formatting"] = self.formatting.to_dict()
         if self.hyperlink is not None:
             d["hyperlink"] = self.hyperlink
+        if self.kind is not None:
+            d["kind"] = self.kind
         return d
 
 
@@ -284,6 +292,7 @@ class TableItem(NodeItem):
         d["references"] = []
         d["footnotes"] = []
         d["data"] = self.data.to_dict()
+        d["annotations"] = []
         return d
 
 
@@ -343,8 +352,11 @@ class Doc:
         return getattr(self, kind)[int(idx)]
 
     def _parent_ref(self, parent, content_layer: str) -> str:
+        # items default to the body tree regardless of content layer -
+        # the layer is an attribute, not a tree choice (docling-core
+        # behavior visible in every groundtruth JSON)
         if parent is None:
-            return "#/body" if content_layer == BODY else "#/furniture"
+            return "#/body"
         if isinstance(parent, str):
             return parent
         return parent.self_ref
@@ -354,12 +366,13 @@ class Doc:
 
     # -- add API ---------------------------------------------------------
     def add_text(self, label="text", text="", orig=None, parent=None,
-                 content_layer=BODY, formatting=None, hyperlink=None):
+                 content_layer=BODY, formatting=None, hyperlink=None,
+                 kind=None):
         ref = f"#/texts/{len(self.texts)}"
         pref = self._parent_ref(parent, content_layer)
         item = TextItem(ref, pref, label, text, orig=orig,
                         formatting=formatting, hyperlink=hyperlink,
-                        content_layer=content_layer)
+                        content_layer=content_layer, kind=kind)
         self.texts.append(item)
         self._attach(item, pref)
         return item

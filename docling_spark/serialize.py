@@ -96,6 +96,9 @@ class MarkdownSerializer:
         doc = self.doc
         blocks: list[str] = []
 
+        if item.content_layer == "furniture":
+            return []
+
         if isinstance(item, GroupItem):
             if item.label == "inline":
                 s = self._inline_text(item)
@@ -107,13 +110,8 @@ class MarkdownSerializer:
                     blocks.append("\n".join(lines))
             else:
                 # section / unspecified groups are transparent containers
-                if item.content_layer == "furniture":
-                    return []
                 blocks.extend(self._serialize_children(item, list_depth))
             return blocks
-
-        if item.content_layer == "furniture":
-            return []
 
         if isinstance(item, (FieldRegionItem, FieldItemItem)):
             # form nodes have no text of their own; the reference's md

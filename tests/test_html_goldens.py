@@ -40,18 +40,16 @@ def test_itxt_byte_identical(name):
 
 
 @pytest.mark.parametrize("name", [n for n in FIXTURES if n not in KNOWN_GAPS])
-def test_json_structure(name):
-    """Structural checks on the JSON export (full structural equality vs
-    goldens is tracked separately; refs must at least resolve)."""
+def test_json_byte_identical(name):
+    """Full DoclingDocument JSON byte-identity, including the
+    reference-compatible binary_hash (sha256(bytes) mod 2^64)."""
+    import hashlib
     import json
-    doc = extract((SRC / f"{name}.html").read_bytes(), name=name)
-    d = json.loads(to_json(doc))
-    assert d["schema_name"] == "DoclingDocument"
-    for arr in ("texts", "groups", "tables", "pictures"):
-        for item in d[arr]:
-            ref = item["self_ref"]
-            kind, idx = ref.rsplit("/", 2)[-2:]
-            assert d[kind][int(idx)]["self_ref"] == ref
+    raw = (SRC / f"{name}.html").read_bytes()
+    bh = int.from_bytes(hashlib.sha256(raw).digest()[-8:], "big")
+    doc = extract(raw, name=name, filename=f"{name}.html", binary_hash=bh)
+    ours = json.dumps(json.loads(to_json(doc)), indent=2, ensure_ascii=False)
+    assert ours == (GT / f"{name}.html.json").read_text()
 
 
 def test_extractor_never_raises_on_garbage():
