@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from docling_spark import dedup, engine, multimodal, pages as pages_mod
-from docling_spark import similarity, streaming, textfns
+from docling_spark import relational, similarity, streaming, textfns
 
 _SHIPPED: set[int] = set()
 
@@ -122,6 +122,50 @@ def _q_part_type_stats(spark, sf_dir):
              F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
              F.max("p_size").alias("max_size"))
     )
+
+
+def _q_rollup_revenue(spark, sf_dir):
+    region = _load(spark, sf_dir, "region")
+    nation = _load(spark, sf_dir, "nation")
+    supplier = _load(spark, sf_dir, "supplier")
+    li = _load(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    return relational.rollup_agg(
+        joined, ["r_name", "n_name"],
+        [F.round(F.sum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))), 2).alias("revenue"),
+         F.count(F.lit(1)).alias("n_items")])
+
+
+def _q_cube_event_hour(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    with_hour = events.withColumn("hour_of_day", F.hour("ts"))
+    return relational.cube_agg(
+        with_hour, ["event_type", "hour_of_day"],
+        [F.count(F.lit(1)).alias("n_events"),
+         F.round(F.sum("value"), 4).alias("total_value")])
+
+
+def _q_asof_purchase_view(spark, sf_dir):
+    """As-of join: each purchase event paired with the same user's most
+    recent prior-or-equal view event."""
+    events = _load(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"))
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event"))
+    out = relational.asof_join(
+        purchases, views, on="user_id",
+        left_ts="purchase_ts", right_ts="view_ts",
+        value_cols=["view_event"])
+    return out.select("user_id", "purchase_id",
+                      F.col("view_event_asof").alias("last_view_event"))
 
 
 def _q_events_hourly(spark, sf_dir):
@@ -245,6 +289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top_orders": _q_top_orders,
         "region_revenue": _q_region_revenue,
         "part_type_stats": _q_part_type_stats,
+        "rollup_revenue": _q_rollup_revenue,
+        "cube_event_hour": _q_cube_event_hour,
+        "asof_purchase_view": _q_asof_purchase_view,
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_sessions,
         "top_users_per_event_type": _q_top_users,
@@ -303,6 +350,32 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(p_retailprice), 4) AS avg_price,
                    max(p_size) AS max_size
             FROM part GROUP BY p_brand
+        """,
+        "rollup_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "cube_event_hour": """
+            SELECT event_type, date_part('hour', ts)::int AS hour_of_day,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events
+            GROUP BY CUBE (event_type, date_part('hour', ts)::int)
+        """,
+        "asof_purchase_view": """
+            SELECT p.user_id, p.purchase_id, v.view_event AS last_view_event
+            FROM (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+                  FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts AS view_ts, event_id AS view_event
+                  FROM events WHERE event_type = 'view') v
+            ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

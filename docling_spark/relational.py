@@ -1,0 +1,63 @@
+"""Relational operators Spark lacks as single calls: as-of join, plus
+rollup/cube convenience wrappers used by the entry-point queries.
+
+The as-of join uses the union+window pattern - O(n log n) per key via one
+shuffle/sort, no range-condition cross product - which is the strategy
+that survives 100 TB (a theta-join on ``r.ts <= l.ts`` would explode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right.ts <= left.ts`` sharing the key ``on``.
+
+    Implementation: tag and union both sides, sort within key by
+    (ts, side) with right rows first on ties, then carry the last seen
+    right values forward with ``last(..., ignorenulls=True)`` and keep
+    only left rows. One shuffle on the key, one sort - no join explosion.
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = right.withColumn("_side", F.lit(0)).withColumn("_ts", F.col(right_ts))
+
+    # project the union schema explicitly: key, _ts, _side, left cols,
+    # right value cols (renamed with suffix)
+    lt_proj = lt.select(
+        F.col(on), "_ts", "_side",
+        *[F.col(c) for c in left.columns if c != on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_cols],
+    )
+    rt_proj = rt.select(
+        F.col(on), "_ts", "_side",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c != on],
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    unioned = lt_proj.unionByName(rt_proj)
+    w = (Window.partitionBy(on).orderBy("_ts", "_side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    for c in value_cols:
+        unioned = unioned.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    return (unioned.where(F.col("_side") == 1)
+            .drop("_side", "_ts"))
+
+
+def rollup_agg(df: DataFrame, dims: list[str], aggs: list) -> DataFrame:
+    return df.rollup(*dims).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, dims: list[str], aggs: list) -> DataFrame:
+    return df.cube(*dims).agg(*aggs)

@@ -1,0 +1,51 @@
+"""Physical-plan audits: the optimizations we rely on at 100 TB must
+actually appear in the executed plan (broadcasts, column pruning)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q3_customer_broadcast(spark):
+    plan = _plan(spark, "tpch_q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_doc_stats_column_pruning(spark):
+    plan = _plan(spark, "doc_stats")
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines, plan[:1000]
+    # documents has 5 columns; n_chars isn't used -> must not be read
+    assert "n_chars#" not in scan_lines[0].split("ReadSchema")[0]
+
+
+def test_tpch_q1_filter_pushdown(spark):
+    plan = _plan(spark, "tpch_q1_pricing_summary")
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed
+
+
+def test_extraction_whole_stage_codegen_shell(spark):
+    """The relational shell around the extraction UDF stays in codegen."""
+    pages = entrymod._fixture_pages(spark, 40)
+    from docling_spark import engine
+    plan = (engine.extract_pages(pages, repartition=False)
+            ._jdf.queryExecution().executedPlan().toString())
+    # '*(n)' prefixes mark whole-stage-codegen stages in toString output
+    assert "*(1)" in plan
+    # and the scan is pruned to exactly (url, html)
+    assert "ReadSchema: struct<url:string,html:binary>" in plan
