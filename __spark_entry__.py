@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from docling_spark import dedup, engine, multimodal, pages as pages_mod
+from docling_spark import dedup, engine, layout, multimodal
+from docling_spark import pages as pages_mod
 from docling_spark import relational, similarity, streaming, textfns
 
 _SHIPPED: set[int] = set()
@@ -270,6 +271,36 @@ def _q_emb_knn_lsh(spark, sf_dir):
                                       n_planes=6)
 
 
+def _q_pdf_layout_stages(spark, sf_dir):
+    """Deterministic PDF stages over synthesized page fixtures: layout
+    postprocess -> reading order -> assemble (SURVEY §2.B)."""
+    import json as _j
+    import random
+    rng = random.Random(7)
+    rows = []
+    for page in range(40):
+        cells, clusters = [], []
+        y = 5.0
+        for i in range(rng.randint(3, 8)):
+            h = rng.uniform(6, 14)
+            cells.append({"index": i, "text": f"line {i} of page {page}",
+                          "l": 10.0, "t": y, "r": 90.0, "b": y + h})
+            clusters.append({"id": i, "label": rng.choice(
+                ["text", "text", "section_header", "list_item"]),
+                "l": 9.0, "t": y - 1, "r": 91.0, "b": y + h + 1,
+                "confidence": rng.uniform(0.5, 1.0)})
+            y += h + rng.uniform(2, 6)
+        rows.append((f"https://synth.test/pdf/{page}", page, 100.0, 200.0,
+                     _j.dumps(cells), _j.dumps(clusters)))
+    df = spark.createDataFrame(
+        rows, "url string, page_no int, page_width double, "
+              "page_height double, cells string, clusters string")
+    out = layout.process_page_layout(df)
+    return out.select(
+        "url", "page_no", F.round("parse_score", 4).alias("parse_score"),
+        F.size("elements").alias("n_elements"))
+
+
 def _q_media_features(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").limit(200)
     media = docs.select(
@@ -306,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_dups,
         "doc_lang_quality": _q_lang_quality,
         "emb_knn_lsh": _q_emb_knn_lsh,
+        "pdf_layout_stages": _q_pdf_layout_stages,
         "media_features": _q_media_features,
     }
 
