@@ -77,6 +77,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     from .extractor import HtmlExtractor
+    from .formats import convert_csv, convert_markdown
     from .serialize import to_indented_text, to_json, to_markdown
 
     tc = TaskContext.get()
@@ -87,17 +88,26 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out = {k.name: [] for k in EXTRACT_SCHEMA.fields}
         for url, html in zip(pdf["url"].values, pdf["html"].values):
             raw = bytes(html) if html is not None else b""
-            name = url.rsplit("/", 1)[-1].split("#")[0] or "page"
-            if name.endswith(".html"):
-                name = name[:-5]
+            tail = url.rsplit("/", 1)[-1].split("#")[0] or "page"
+            ext = tail.rsplit(".", 1)[-1].lower() if "." in tail else "html"
+            name = tail.rsplit(".", 1)[0] if "." in tail else tail
             t0 = time.perf_counter()
             try:
                 # reference-compatible document hash: sha256(bytes) mod 2^64
                 bh = int.from_bytes(
                     hashlib.sha256(raw).digest()[-8:], "big")
-                doc = extractor.convert(raw, name=name,
-                                        filename=name + ".html",
-                                        binary_hash=bh)
+                # format dispatch by extension (html default, the
+                # Common-Crawl case); md/csv share the model/serializers
+                if ext == "md":
+                    doc = convert_markdown(raw, name=name,
+                                           filename=tail, binary_hash=bh)
+                elif ext == "csv":
+                    doc = convert_csv(raw, name=name,
+                                      filename=tail, binary_hash=bh)
+                else:
+                    doc = extractor.convert(raw, name=name,
+                                            filename=name + ".html",
+                                            binary_hash=bh)
                 t1 = time.perf_counter()
                 md = to_markdown(doc)
                 itxt = to_indented_text(doc)

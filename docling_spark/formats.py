@@ -1,0 +1,550 @@
+"""Secondary declarative format backends (SURVEY §2.A v5).
+
+Each is a pure function bytes -> Doc sharing the HTML path's document
+model/serializers, so format dispatch inside the Spark UDF is one branch.
+
+- CSV: dialect-sniffed table (reference ``backend/csv_backend.py``
+  semantics: sniff among ",;\\t|:", fall back to comma; first row is the
+  column header; non-uniform rows padded by grid width).
+- Markdown: CommonMark-subset parser (headings, paragraphs, ul/ol with
+  nesting, fenced code, GFM pipe tables, inline bold/italic/code/links,
+  images) -> same Doc model (reference ``backend/md_backend.py``
+  semantics for the core constructs).
+"""
+
+from __future__ import annotations
+
+import csv
+import html as _html
+import io
+import re
+from typing import Optional, Union
+
+from .clean import clean_unicode
+from .model import BODY, Doc, Formatting, TableCell, TableData
+
+
+def _decode(raw: Union[bytes, str]) -> str:
+    if isinstance(raw, bytes):
+        return raw.decode("utf-8", errors="replace")
+    return raw
+
+
+# -------------------------------------------------------------------- CSV
+
+def convert_csv(raw: Union[bytes, str], name: str = "file",
+                filename: str = "", binary_hash: int = 0) -> Doc:
+    text = _decode(raw)
+    doc = Doc(name=name, filename=filename or f"{name}.csv",
+              binary_hash=binary_hash, mimetype="text/csv")
+    content = io.StringIO(text)
+    head = content.readline()
+    try:
+        dialect = csv.Sniffer().sniff(head, ",;\t|:")
+        if dialect.delimiter not in {",", ";", "\t", "|", ":"}:
+            raise csv.Error(f"unknown delimiter {dialect.delimiter}")
+    except csv.Error:
+        dialect = csv.excel
+    content.seek(0)
+    try:
+        rows = list(csv.reader(content, dialect=dialect, strict=True))
+    except csv.Error:
+        content.seek(0)
+        rows = list(csv.reader(content))
+    if not rows:
+        return doc
+    num_rows = len(rows)
+    num_cols = max(len(r) for r in rows)
+    data = TableData(num_rows=num_rows, num_cols=num_cols)
+    for row_idx, row in enumerate(rows):
+        for col_idx, value in enumerate(row):
+            data.table_cells.append(TableCell(
+                text=str(value), row_span=1, col_span=1,
+                start_row_offset_idx=row_idx, end_row_offset_idx=row_idx + 1,
+                start_col_offset_idx=col_idx, end_col_offset_idx=col_idx + 1,
+                column_header=row_idx == 0, row_header=False,
+            ))
+    doc.add_table(data=data)
+    return doc
+
+
+# --------------------------------------------------------------- markdown
+
+_FENCE_RE = re.compile(r"^(```+|~~~+)\s*(\S+)?\s*$")
+_SETEXT1_RE = re.compile(r"^\s{0,3}=+\s*$")
+_SETEXT2_RE = re.compile(r"^\s{0,3}-+\s*$")
+_EMPTY_LI_RE = re.compile(r"^\s*(?:[-*+]|\d{1,9}[.)])\s*$")
+_EMPTY_HEADING_RE = re.compile(r"^(#{1,6})\s*$")
+_INDENT_CODE_RE = re.compile(r"^(?:    |\t)(.*)$")
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_OL_RE = re.compile(r"^(\s*)(\d{1,9})[.)]\s+(.*)$")
+_UL_RE = re.compile(r"^(\s*)([-*+])\s+(.*)$")
+_HR_RE = re.compile(r"^\s{0,3}([-*_])\s*(?:\1\s*){2,}$")
+_TABLE_SEP_RE = re.compile(r"^\s*\|?\s*:?-+:?\s*(\|\s*:?-+:?\s*)+\|?\s*$")
+_IMG_RE = re.compile(r"!\[([^\]]*)\]\(([^)\s]*)(?:\s+\"[^\"]*\")?\)")
+
+# inline tokens: code span, bold, italic, link
+_INLINE_TOKEN_RE = re.compile(
+    r"(`+)(.+?)\1"              # code
+    r"|\*\*\*(.+?)\*\*\*"       # bold+italic
+    r"|\*\*(.+?)\*\*"            # bold (**)
+    r"|(?<![\w_])__(?!\s)(.+?)(?<!\s)__(?![\w_])"   # bold (__)
+    r"|\*(.+?)\*"                # italic (*) - intraword allowed
+    r"|(?<![\w_])_(?!\s)(.+?)(?<!\s)_(?![\w_])"     # italic (_)
+    r"|\[([^\]]*)\]\(([^)\s]*)(?:\s+\"[^\"]*\")?\)"  # link
+)
+
+
+class _Run:
+    __slots__ = ("text", "bold", "italic", "code", "href")
+
+    def __init__(self, text, bold=False, italic=False, code=False, href=None):
+        self.text = text
+        self.bold = bold
+        self.italic = italic
+        self.code = code
+        self.href = href
+
+
+def _parse_inline(text: str, bold=False, italic=False,
+                  href=None) -> list[_Run]:
+    runs: list[_Run] = []
+    pos = 0
+
+    def nested(content, **kw):
+        merged = dict(bold=bold, italic=italic, href=href)
+        merged.update(kw)
+        runs.extend(_parse_inline(content, **merged))
+
+    for m in _INLINE_TOKEN_RE.finditer(text):
+        if m.start() > pos:
+            runs.append(_Run(text[pos:m.start()], bold=bold, italic=italic,
+                             href=href))
+        if m.group(2) is not None:
+            runs.append(_Run(m.group(2), bold=bold, italic=italic,
+                             code=True, href=href))
+        elif m.group(3) is not None:
+            nested(m.group(3), bold=True, italic=True)
+        elif m.group(4) is not None:
+            nested(m.group(4), bold=True)
+        elif m.group(5) is not None:
+            nested(m.group(5), bold=True)
+        elif m.group(6) is not None:
+            nested(m.group(6), italic=True)
+        elif m.group(7) is not None:
+            nested(m.group(7), italic=True)
+        elif m.group(8) is not None:
+            nested(m.group(8), href=m.group(9) or None)
+        pos = m.end()
+    if pos < len(text):
+        runs.append(_Run(text[pos:], bold=bold, italic=italic, href=href))
+    return [r for r in runs if r.text]
+
+
+_ESCAPABLE = "\\`*_{}[]()#+.!|<>~-"
+# map each escapable char to a private-use sentinel so backslash-escaped
+# markers never participate in inline tokenization
+_PROTECT = {c: chr(0xE100 + i) for i, c in enumerate(_ESCAPABLE)}
+_RESTORE = {v: k for k, v in _PROTECT.items()}
+_PROTECT_RE = re.compile(
+    r"\\([" + re.escape(_ESCAPABLE) + r"])")
+_RESTORE_RE = re.compile("[" + "".join(_RESTORE) + "]")
+
+
+def _protect(text: str) -> str:
+    return _PROTECT_RE.sub(lambda m: _PROTECT[m.group(1)], text)
+
+
+def _unescape(text: str) -> str:
+    text = _RESTORE_RE.sub(lambda m: _RESTORE[m.group(0)], text)
+    return _html.unescape(text)
+
+
+class MarkdownConverter:
+    """Line-oriented CommonMark-subset parser -> Doc."""
+
+    def convert(self, raw: Union[bytes, str], name: str = "file",
+                filename: str = "", binary_hash: int = 0) -> Doc:
+        text = _decode(raw).replace("\r\n", "\n").replace("\r", "\n")
+        text = _protect(text)
+        doc = Doc(name=name, filename=filename or f"{name}.md",
+                  binary_hash=binary_hash, mimetype="text/markdown")
+        self.doc = doc
+        self.parents: list = [None] * 10   # heading hierarchy stack
+        self.level = 0
+        lines = text.split("\n")
+        i = 0
+        para: list[str] = []
+
+        def flush_para():
+            nonlocal para
+            if para:
+                self._emit_paragraph(" ".join(para))
+                para = []
+
+        while i < len(lines):
+            line = lines[i]
+            stripped = line.strip()
+
+            # setext heading closing a pending paragraph
+            if para and _SETEXT1_RE.match(line):
+                text = " ".join(para); para = []
+                self._emit_heading(1, _unescape(text))
+                i += 1
+                continue
+            if para and _SETEXT2_RE.match(line):
+                text = " ".join(para); para = []
+                self._emit_heading(2, _unescape(text))
+                i += 1
+                continue
+
+            # HTML comment block: consume and drop
+            if not para and stripped.startswith("<!--"):
+                while i < len(lines) and "-->" not in lines[i]:
+                    i += 1
+                i += 1
+                continue
+
+            # HTML block: consume until blank line, delegate to the HTML
+            # walk so embedded lists/tables become real items (the
+            # reference's md backend does the same via its HTML backend)
+            if not para and stripped.startswith("<") and re.match(
+                    r"^<[A-Za-z]", stripped):
+                block = []
+                while i < len(lines) and lines[i].strip():
+                    block.append(lines[i])
+                    i += 1
+                self._walk_html_fragment("\n".join(block))
+                continue
+
+            # indented code block (4 spaces / tab), only outside a
+            # paragraph and not a list item (tab-indented sublists!)
+            if (not para and _INDENT_CODE_RE.match(line) and stripped
+                    and not _UL_RE.match(line) and not _OL_RE.match(line)
+                    and not _EMPTY_LI_RE.match(line)):
+                body = []
+                while i < len(lines):
+                    m = _INDENT_CODE_RE.match(lines[i])
+                    if m:
+                        body.append(m.group(1))
+                    elif not lines[i].strip():
+                        body.append("")
+                    else:
+                        break
+                    i += 1
+                while body and not body[-1]:
+                    body.pop()
+                doc.add_code(text=_unescape("\n".join(body)).strip(),
+                             parent=self.parents[self.level])
+                continue
+
+            fence = _FENCE_RE.match(stripped)
+            if fence:
+                flush_para()
+                marker = fence.group(1)
+                lang = fence.group(2) or "unknown"
+                body = []
+                i += 1
+                while i < len(lines) and not lines[i].strip().startswith(
+                        marker[:3]):
+                    body.append(lines[i])
+                    i += 1
+                i += 1  # skip closing fence
+                code_text = _unescape("\n".join(body)).strip()
+                if code_text:
+                    doc.add_code(text=code_text, code_language=lang,
+                                 parent=self.parents[self.level])
+                continue
+
+            if not stripped:
+                flush_para()
+                i += 1
+                continue
+
+            m = _HEADING_RE.match(line)
+            if m:
+                flush_para()
+                self._emit_heading(len(m.group(1)), _unescape(m.group(2)))
+                i += 1
+                continue
+            m = _EMPTY_HEADING_RE.match(stripped)
+            if m:
+                flush_para()
+                self._emit_heading(len(m.group(1)), "")
+                i += 1
+                continue
+            if _EMPTY_LI_RE.match(line):
+                flush_para()
+                i += 1
+                continue
+
+            if _HR_RE.match(stripped):
+                flush_para()
+                i += 1
+                continue
+
+            # GFM table: header row + separator row
+            if ("|" in stripped and i + 1 < len(lines)
+                    and _TABLE_SEP_RE.match(lines[i + 1])):
+                flush_para()
+                i = self._emit_table(lines, i)
+                continue
+
+            if _UL_RE.match(line) or _OL_RE.match(line):
+                flush_para()
+                i = self._emit_list(lines, i)
+                continue
+
+            img = _IMG_RE.match(stripped)
+            if img and img.end() == len(stripped):
+                flush_para()
+                caption_item = None
+                if img.group(1):
+                    caption_item = doc.add_text(
+                        label="caption", text=img.group(1))
+                doc.add_picture(caption=caption_item,
+                                parent=self.parents[self.level])
+                i += 1
+                continue
+
+            para.append(stripped)
+            i += 1
+        flush_para()
+        return doc
+
+    def _walk_html_fragment(self, fragment: str) -> None:
+        """Delegate an embedded HTML block to the HTML extractor's walk,
+        attaching items to the current markdown parent."""
+        from .dom import parse_html
+        from .extractor import HtmlExtractor
+        root = parse_html(fragment)
+        ex = HtmlExtractor()
+        ex.doc = self.doc
+        ex.level = self.level
+        ex.parents = {i: None for i in range(ex.MAX_LEVELS)}
+        for k in range(min(len(self.parents), ex.MAX_LEVELS)):
+            ex.parents[k] = self.parents[k]
+        ex.content_layer = BODY
+        ex.hyperlink = None
+        ex.format_tags = []
+        ex.list_start_by_ref = {}
+        ex.list_ordered_by_ref = {}
+        ex._disable_inline_group_depth = 0
+        ex._walk(root)
+
+    # -- emitters -------------------------------------------------------
+    def _emit_heading(self, level: int, text: str) -> None:
+        doc = self.doc
+        text = text.strip()
+        if level == 1:
+            for k in range(len(self.parents)):
+                self.parents[k] = None
+            self.level = 0
+            runs = _parse_inline(text)
+            if len(runs) > 1:
+                title = doc.add_title("")
+                inline = doc.add_inline_group(parent=title)
+                for r in runs:
+                    seg = r.text.strip()
+                    if not seg:
+                        continue
+                    fmt = (Formatting(bold=r.bold, italic=r.italic)
+                           if (r.bold or r.italic) else None)
+                    if r.code:
+                        doc.add_code(text=seg, parent=inline, formatting=fmt)
+                    else:
+                        doc.add_text(label="text", text=seg, parent=inline,
+                                     formatting=fmt, hyperlink=r.href)
+            else:
+                title = doc.add_title(text)
+            self.parents[1] = title
+            self.level = 1
+        else:
+            lvl = level - 1
+            if lvl > self.level:
+                for k in range(self.level, lvl):
+                    self.parents[k + 1] = doc.add_group(
+                        name=f"header-{k + 1}", label="section",
+                        parent=self.parents[k])
+                self.level = lvl
+            elif lvl < self.level:
+                for k in range(len(self.parents)):
+                    if k > lvl + 1:
+                        self.parents[k] = None
+                self.level = lvl
+            runs = _parse_inline(text)
+            if len(runs) > 1:
+                heading = doc.add_heading(
+                    "", level=self.level, parent=self.parents[self.level])
+                inline = doc.add_inline_group(parent=heading)
+                for r in runs:
+                    seg = r.text.strip()
+                    if not seg:
+                        continue
+                    fmt = (Formatting(bold=r.bold, italic=r.italic)
+                           if (r.bold or r.italic) else None)
+                    if r.code:
+                        doc.add_code(text=seg, parent=inline, formatting=fmt)
+                    else:
+                        doc.add_text(label="text", text=seg, parent=inline,
+                                     formatting=fmt, hyperlink=r.href)
+            else:
+                heading = doc.add_heading(
+                    text, level=self.level, parent=self.parents[self.level])
+            self.parents[self.level + 1] = heading
+            self.level += 1
+
+    def _runs_to_items(self, text: str, parent) -> None:
+        doc = self.doc
+        runs = _parse_inline(text)
+        simple = len(runs) == 1
+        target = parent
+        if not simple:
+            target = doc.add_inline_group(parent=parent)
+        for r in runs:
+            seg = _unescape(r.text.strip())
+            if not seg:
+                continue
+            fmt = None
+            if r.bold or r.italic:
+                fmt = Formatting(bold=r.bold, italic=r.italic)
+            if r.code:
+                doc.add_code(text=seg, parent=target, formatting=fmt,
+                             hyperlink=r.href)
+            else:
+                doc.add_text(label="text", text=seg, parent=target,
+                             formatting=fmt, hyperlink=r.href)
+
+    def _emit_paragraph(self, text: str) -> None:
+        self._runs_to_items(text, self.parents[self.level])
+
+    def _emit_list(self, lines: list[str], i: int) -> int:
+        doc = self.doc
+        stack: list[tuple[int, object]] = []  # (indent, group)
+
+        def open_group(indent: int, ordered: bool, start: Optional[int],
+                       parent) -> None:
+            name = "list"
+            if ordered:
+                name = "ordered list" + (
+                    f" start {start}"
+                    if start is not None and start != 1 else "")
+            group = doc.add_list_group(name=name, parent=parent)
+            stack.append((indent, group))
+
+        last_item = None
+        m0_ol = _OL_RE.match(lines[i])
+        m0_ul = _UL_RE.match(lines[i])
+        root_symbol = "#" if m0_ol else (m0_ul.group(2) if m0_ul else "-")
+        while i < len(lines):
+            line = lines[i]
+            if not line.strip():
+                # skip blank runs as long as the list continues afterwards
+                j = i
+                while j < len(lines) and not lines[j].strip():
+                    j += 1
+                if j < len(lines) and (_UL_RE.match(lines[j])
+                                       or _OL_RE.match(lines[j])):
+                    i = j
+                    continue
+                break
+            m_ol = _OL_RE.match(line)
+            m_ul = _UL_RE.match(line)
+            if not (m_ol or m_ul):
+                break
+            if m_ol:
+                indent = len(m_ol.group(1))
+                ordered = True
+                number = int(m_ol.group(2))
+                body = m_ol.group(3)
+                symbol = "#"
+            else:
+                indent = len(m_ul.group(1))
+                ordered = False
+                number = None
+                body = m_ul.group(3)
+                symbol = m_ul.group(2)
+
+            # CommonMark: changing the list type or bullet symbol at the
+            # root indent starts a NEW list block
+            if stack and indent <= stack[0][0] and symbol != root_symbol:
+                break
+
+            while stack and indent < stack[-1][0]:
+                stack.pop()
+            if not stack or indent > stack[-1][0]:
+                parent = (last_item if stack and last_item is not None
+                          else self.parents[self.level])
+                open_group(indent, ordered, number, parent)
+            group = stack[-1][1]
+
+            clean = _unescape(re.sub(r"\s+", " ", body).strip())
+            runs = _parse_inline(body)
+            if len(runs) > 1:
+                item = doc.add_list_item(
+                    text="", enumerated=ordered,
+                    marker=f"{number}." if ordered and number not in (None, 1)
+                    and "start" in getattr(group, "name", "") else "",
+                    parent=group)
+                inline = doc.add_inline_group(parent=item)
+                for r in runs:
+                    seg = _unescape(r.text.strip())
+                    if not seg:
+                        continue
+                    fmt = (Formatting(bold=r.bold, italic=r.italic)
+                           if (r.bold or r.italic) else None)
+                    if r.code:
+                        doc.add_code(text=seg, parent=inline)
+                    else:
+                        doc.add_text(label="text", text=seg, parent=inline,
+                                     formatting=fmt, hyperlink=r.href)
+            else:
+                item = doc.add_list_item(
+                    text=clean, enumerated=ordered,
+                    marker="", parent=group)
+            last_item = item
+            i += 1
+        return i
+
+    def _emit_table(self, lines: list[str], i: int) -> int:
+        doc = self.doc
+
+        def split_row(line: str) -> list[str]:
+            s = line.strip()
+            if s.startswith("|"):
+                s = s[1:]
+            if s.endswith("|"):
+                s = s[:-1]
+            # split on unescaped pipes
+            return [c.strip().replace("\\|", "|")
+                    for c in re.split(r"(?<!\\)\|", s)]
+
+        header = split_row(lines[i])
+        rows = [header]
+        i += 2  # skip separator
+        while i < len(lines) and "|" in lines[i] and lines[i].strip():
+            rows.append(split_row(lines[i]))
+            i += 1
+        num_rows = len(rows)
+        num_cols = max(len(r) for r in rows)
+        data = TableData(num_rows=num_rows, num_cols=num_cols)
+        for r_idx, row in enumerate(rows):
+            for c_idx in range(num_cols):
+                text = row[c_idx] if c_idx < len(row) else ""
+                cell_runs = _parse_inline(text)
+                plain = " ".join(r.text.strip() for r in cell_runs
+                                 if r.text.strip())
+                data.table_cells.append(TableCell(
+                    text=_unescape(plain), row_span=1,
+                    col_span=1,
+                    start_row_offset_idx=r_idx, end_row_offset_idx=r_idx + 1,
+                    start_col_offset_idx=c_idx, end_col_offset_idx=c_idx + 1,
+                    column_header=r_idx == 0, row_header=False))
+        doc.add_table(data=data, parent=self.parents[self.level])
+        return i
+
+
+def convert_markdown(raw: Union[bytes, str], name: str = "file",
+                     filename: str = "", binary_hash: int = 0) -> Doc:
+    return MarkdownConverter().convert(raw, name=name, filename=filename,
+                                       binary_hash=binary_hash)

@@ -119,15 +119,16 @@ class TableData:
 
     def to_dict(self) -> dict:
         grid_out = []
-        for row in self.grid():
+        for r, row in enumerate(self.grid()):
             row_out = []
-            for cell in row:
+            for c, cell in enumerate(row):
                 if cell is None:
                     # docling-core fills empty grid slots with blank cells
+                    # carrying their actual grid position
                     row_out.append(TableCell(
                         text="", row_span=1, col_span=1,
-                        start_row_offset_idx=0, end_row_offset_idx=1,
-                        start_col_offset_idx=0, end_col_offset_idx=1,
+                        start_row_offset_idx=r, end_row_offset_idx=r + 1,
+                        start_col_offset_idx=c, end_col_offset_idx=c + 1,
                     ).to_dict())
                 else:
                     # the grid view drops the rich-cell ref (kept only in

@@ -9,6 +9,7 @@ corpus (driver checked via tests/test_html_goldens.py).
 from __future__ import annotations
 
 import json
+import re
 from typing import Optional
 
 from .model import (
@@ -28,7 +29,8 @@ from .model import (
 
 
 def _escape_md(text: str) -> str:
-    return text.replace("&", "&amp;").replace("_", "\\_")
+    return (text.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("_", "\\_"))
 
 
 def _fmt_inline(item: TextItem) -> str:
@@ -85,6 +87,14 @@ class MarkdownSerializer:
             # inline code: newlines collapse to spaces
             text = " ".join(node.text.split())
             out = f"`{text}`" if text else ""
+            f = node.formatting
+            if f is not None and out:
+                if f.bold and f.italic:
+                    out = f"***{out}***"
+                elif f.bold:
+                    out = f"**{out}**"
+                elif f.italic:
+                    out = f"*{out}*"
             if node.hyperlink and out:
                 out = f"[{out}]({node.hyperlink})"
             return out
@@ -126,7 +136,12 @@ class MarkdownSerializer:
                 if cap.text:
                     blocks.append(cap.text)
             blocks.append("<!-- image -->")
-            blocks.extend(self._serialize_children(item, list_depth))
+            meta = item.meta or {}
+            preds = (meta.get("classification") or {}).get("predictions") or []
+            if preds and preds[0].get("class_name"):
+                blocks.append(preds[0]["class_name"].capitalize())
+            else:
+                blocks.extend(self._serialize_children(item, list_depth))
             return blocks
 
         if isinstance(item, TableItem):
@@ -142,9 +157,22 @@ class MarkdownSerializer:
 
         if isinstance(item, SectionHeaderItem):
             prefix = "#" * (item.level + 1)
+            inline_children = [
+                doc.resolve(r) for r in item.children
+                if isinstance(doc.resolve(r), GroupItem)
+                and doc.resolve(r).label == "inline"]
             if item.text:
                 blocks.append(f"{prefix} {_fmt_inline(item)}")
-            blocks.extend(self._serialize_children(item, list_depth))
+            elif inline_children:
+                s = self._inline_text(inline_children[0])
+                if s:
+                    blocks.append(f"{prefix} {s}")
+            for ref in item.children:
+                child = doc.resolve(ref)
+                if (not item.text and inline_children
+                        and child is inline_children[0]):
+                    continue
+                blocks.extend(self._serialize_item(child, list_depth))
             return blocks
 
         if isinstance(item, TextItem):
@@ -187,6 +215,9 @@ class MarkdownSerializer:
                 else:
                     marker = "-"
                 body = _fmt_inline(child)
+                # text that would re-parse as an enumerator gets a
+                # protective space ("2. x" -> "2 . x"), per groundtruth
+                body = re.sub(r"^(\d+)\.", r"\1 .", body)
                 # nested children: inline groups join the marker line;
                 # nested lists/pictures/tables become their own lines
                 inline_parts: list[str] = []
@@ -257,7 +288,7 @@ class MarkdownSerializer:
             txt = "\n\n".join(b for b in blocks if b != "")
         else:
             txt = cell.text
-        return txt.replace("\n", " ").replace("|", "\\|")
+        return txt.replace("\n", " ").replace("|", "&#124;")
 
     def _serialize_table(self, item: TableItem) -> str:
         data = item.data

@@ -1,0 +1,70 @@
+"""Golden tests for the secondary declarative formats: CSV + Markdown.
+
+Same method as the HTML corpus: byte-compare every export against the
+reference groundtruth (md goldens end with a trailing newline, unlike the
+HTML family)."""
+
+import hashlib
+import json
+import pathlib
+
+import pytest
+
+from docling_spark.formats import convert_csv, convert_markdown
+from docling_spark.serialize import to_indented_text, to_json, to_markdown
+
+CSV_SRC = pathlib.Path("/root/reference/tests/data/csv/sources")
+CSV_GT = pathlib.Path("/root/reference/tests/data/csv/groundtruth")
+MD_SRC = pathlib.Path("/root/reference/tests/data/md/sources")
+MD_GT = pathlib.Path("/root/reference/tests/data/md/groundtruth")
+
+CSV_FIXTURES = sorted(p.name for p in CSV_SRC.glob("*.csv")) if CSV_SRC.exists() else []
+MD_FIXTURES = sorted(p.name for p in MD_SRC.glob("*.md")) if MD_SRC.exists() else []
+
+
+def _bh(raw: bytes) -> int:
+    return int.from_bytes(hashlib.sha256(raw).digest()[-8:], "big")
+
+
+@pytest.mark.parametrize("name", CSV_FIXTURES)
+def test_csv_all_formats_byte_identical(name):
+    raw = (CSV_SRC / name).read_bytes()
+    doc = convert_csv(raw, name=name.rsplit(".", 1)[0], filename=name,
+                      binary_hash=_bh(raw))
+    for kind, ours in (
+        ("md", to_markdown(doc)),
+        ("itxt", to_indented_text(doc)),
+        ("json", json.dumps(json.loads(to_json(doc)), indent=2,
+                            ensure_ascii=False)),
+    ):
+        golden_path = CSV_GT / f"{name}.{kind}"
+        if not golden_path.exists():
+            continue
+        golden = golden_path.read_text()
+        assert ours == golden or ours + "\n" == golden, f"{name}.{kind}"
+
+
+@pytest.mark.parametrize("name", MD_FIXTURES)
+def test_markdown_reexport_byte_identical(name):
+    raw = (MD_SRC / name).read_bytes()
+    doc = convert_markdown(raw, name=name.rsplit(".", 1)[0], filename=name,
+                           binary_hash=_bh(raw))
+    golden = (MD_GT / f"{name}.md").read_text()
+    assert to_markdown(doc) + "\n" == golden
+
+
+def test_markdown_never_raises_on_garbage():
+    for raw in (b"", b"| broken | table", b"``` unclosed fence\ncode",
+                b"#\n##\n- \n1. ", b"\xff\xfe bad bytes",
+                b"<div>html soup<ul><li>x"):
+        doc = convert_markdown(raw, name="garbage")
+        to_markdown(doc)
+        to_indented_text(doc)
+        to_json(doc)
+
+
+def test_csv_never_raises_on_garbage():
+    for raw in (b"", b'a,"unclosed quote\nb,c', b"\xff\xfe,bad",
+                b"only-one-cell"):
+        doc = convert_csv(raw, name="garbage")
+        to_markdown(doc)

@@ -9,6 +9,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name):
+    # other test modules may have cached these tables; pruning assertions
+    # need the real parquet scan
+    spark.catalog.clearCache()
     df = entrymod.queries()[name](spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
