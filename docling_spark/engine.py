@@ -77,7 +77,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     from .extractor import HtmlExtractor
-    from .formats import convert_csv, convert_markdown
+    from .formats import convert_csv, convert_markdown, convert_vtt
     from .serialize import to_indented_text, to_json, to_markdown
 
     tc = TaskContext.get()
@@ -103,6 +103,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                            filename=tail, binary_hash=bh)
                 elif ext == "csv":
                     doc = convert_csv(raw, name=name,
+                                      filename=tail, binary_hash=bh)
+                elif ext == "vtt":
+                    doc = convert_vtt(raw, name=name,
                                       filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,

@@ -548,3 +548,160 @@ def convert_markdown(raw: Union[bytes, str], name: str = "file",
                      filename: str = "", binary_hash: int = 0) -> Doc:
     return MarkdownConverter().convert(raw, name=name, filename=filename,
                                        binary_hash=binary_hash)
+
+
+# ---------------------------------------------------------------- WebVTT
+
+_VTT_TS_RE = re.compile(
+    r"(?:(\d+):)?(\d{2}):(\d{2})\.(\d{3})")
+_VTT_TAG_RE = re.compile(r"<(/?)([^>\s.]+)((?:\.[^>\s]*)*)(?:\s+([^>]*))?>")
+
+
+def _vtt_seconds(token: str) -> Optional[float]:
+    m = _VTT_TS_RE.match(token.strip())
+    if not m:
+        return None
+    h = int(m.group(1) or 0)
+    return h * 3600 + int(m.group(2)) * 60 + int(m.group(3)) + \
+        int(m.group(4)) / 1000.0
+
+
+def convert_vtt(raw: Union[bytes, str], name: str = "file",
+                filename: str = "", binary_hash: int = 0) -> Doc:
+    """WebVTT cues -> text items with track provenance
+    (reference ``backend/webvtt_backend.py`` semantics: one text item per
+    payload paragraph; multi-run cues become 'WebVTT cue span' inline
+    groups; items carry source=[{kind: track, start/end, identifier?,
+    voice?}])."""
+    text = _decode(raw).lstrip("﻿")
+    doc = Doc(name=name, filename=filename or f"{name}.vtt",
+              binary_hash=binary_hash, mimetype="text/vtt")
+    lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+    if not lines or not lines[0].startswith("WEBVTT"):
+        return doc
+    title = lines[0][6:].strip(" \t-")
+    if title:
+        doc.add_title(title)
+
+    # split into blocks on blank lines
+    blocks: list[list[str]] = []
+    cur: list[str] = []
+    for ln in lines[1:]:
+        if ln.strip():
+            cur.append(ln)
+        elif cur:
+            blocks.append(cur)
+            cur = []
+    if cur:
+        blocks.append(cur)
+
+    for block in blocks:
+        head = block[0].strip()
+        if head.startswith(("NOTE", "STYLE", "REGION")):
+            continue
+        identifier = None
+        idx = 0
+        if "-->" not in block[0]:
+            identifier = block[0].strip()
+            idx = 1
+        if idx >= len(block) or "-->" not in block[idx]:
+            continue
+        timing = block[idx]
+        left, _, right = timing.partition("-->")
+        start = _vtt_seconds(left)
+        end = _vtt_seconds(right.strip().split(" ")[0] if right.strip()
+                           else "")
+        if start is None or end is None:
+            continue
+        payload = "\n".join(block[idx + 1:])
+
+        # tokenize cue payload: paragraphs (on newline), runs with
+        # voice/formatting state from the tag stack
+        pars: list[list[_Run]] = [[]]
+        state: list[tuple[str, Optional[str], bool, bool, bool]] = []
+        # state entries: (tag, voice, bold, italic, underline)
+
+        def cur_meta():
+            voice = None
+            bold = italic = underline = False
+            for tag, v, b, i_, u in state:
+                if v is not None:
+                    voice = v
+                bold = bold or b
+                italic = italic or i_
+                underline = underline or u
+            return voice, bold, italic, underline
+
+        pos = 0
+        for m in _VTT_TAG_RE.finditer(payload):
+            if m.start() > pos:
+                seg = payload[pos:m.start()]
+                voice, bold, italic, underline = cur_meta()
+                parts = seg.split("\n")
+                for pi, part in enumerate(parts):
+                    if pi > 0:
+                        pars.append([])
+                    if part:
+                        run = _Run(_html.unescape(part), bold=bold,
+                                   italic=italic)
+                        run.href = None
+                        pars[-1].append((run, voice, underline))
+            closing, tag, _classes, annotation = m.groups()
+            if closing:
+                for k in range(len(state) - 1, -1, -1):
+                    if state[k][0] == tag:
+                        del state[k:]
+                        break
+            else:
+                if tag == "v":
+                    state.append((tag, (annotation or "").strip() or None,
+                                  False, False, False))
+                elif tag == "b":
+                    state.append((tag, None, True, False, False))
+                elif tag == "i":
+                    state.append((tag, None, False, True, False))
+                elif tag == "u":
+                    state.append((tag, None, False, False, True))
+                else:  # c, lang, ruby, rt ... transparent wrappers
+                    state.append((tag, None, False, False, False))
+            pos = m.end()
+        if pos < len(payload):
+            seg = payload[pos:]
+            voice, bold, italic, underline = cur_meta()
+            for pi, part in enumerate(seg.split("\n")):
+                if pi > 0:
+                    pars.append([])
+                if part:
+                    run = _Run(_html.unescape(part), bold=bold, italic=italic)
+                    pars[-1].append((run, voice, underline))
+
+        for par in pars:
+            if not par:
+                continue
+
+            def track(voice):
+                t = {"kind": "track", "start_time": start, "end_time": end}
+                if identifier:
+                    t["identifier"] = identifier
+                if voice:
+                    t["voice"] = voice
+                return [t]
+
+            if len(par) == 1:
+                run, voice, underline = par[0]
+                fmt = (Formatting(bold=run.bold, italic=run.italic,
+                                  underline=underline)
+                       if (run.bold or run.italic or underline) else None)
+                doc.add_text(label="text", text=run.text,
+                             formatting=fmt, source=track(voice))
+            else:
+                group = doc.add_inline_group(name="WebVTT cue span")
+                for run, voice, underline in par:
+                    fmt = (Formatting(bold=run.bold, italic=run.italic,
+                                      underline=underline)
+                           if (run.bold or run.italic or underline)
+                           else None)
+                    doc.add_text(label="text", text=run.text,
+                                 formatting=fmt, parent=group,
+                                 source=track(voice))
+    return doc

@@ -182,11 +182,12 @@ class GroupItem(NodeItem):
 
 
 class TextItem(NodeItem):
-    __slots__ = ("label", "text", "orig", "formatting", "hyperlink", "kind")
+    __slots__ = ("label", "text", "orig", "formatting", "hyperlink", "kind",
+                 "source")
 
     def __init__(self, self_ref, parent_ref, label, text, orig=None,
                  formatting=None, hyperlink=None, content_layer=BODY,
-                 kind=None):
+                 kind=None, source=None):
         super().__init__(self_ref, parent_ref, content_layer)
         self.label = label
         self.text = text
@@ -194,11 +195,14 @@ class TextItem(NodeItem):
         self.formatting: Optional[Formatting] = formatting
         self.hyperlink: Optional[str] = hyperlink
         self.kind = kind  # field_value texts: read_only | fillable
+        self.source = source  # track provenance (WebVTT cues)
 
     def to_dict(self) -> dict:
         d = self.base_dict()
         d["label"] = self.label
         d["prov"] = []
+        if self.source is not None:
+            d["source"] = self.source
         d["orig"] = self.orig
         d["text"] = self.text
         if self.formatting is not None:
@@ -368,12 +372,13 @@ class Doc:
     # -- add API ---------------------------------------------------------
     def add_text(self, label="text", text="", orig=None, parent=None,
                  content_layer=BODY, formatting=None, hyperlink=None,
-                 kind=None):
+                 kind=None, source=None):
         ref = f"#/texts/{len(self.texts)}"
         pref = self._parent_ref(parent, content_layer)
         item = TextItem(ref, pref, label, text, orig=orig,
                         formatting=formatting, hyperlink=hyperlink,
-                        content_layer=content_layer, kind=kind)
+                        content_layer=content_layer, kind=kind,
+                        source=source)
         self.texts.append(item)
         self._attach(item, pref)
         return item
@@ -434,8 +439,9 @@ class Doc:
         return self.add_group(label="list", name=name, parent=parent,
                               content_layer=content_layer)
 
-    def add_inline_group(self, parent=None, content_layer=BODY):
-        return self.add_group(label="inline", name="group", parent=parent,
+    def add_inline_group(self, name="group", parent=None,
+                         content_layer=BODY):
+        return self.add_group(label="inline", name=name, parent=parent,
                               content_layer=content_layer)
 
     def add_table(self, data: TableData, parent=None, content_layer=BODY):

@@ -10,16 +10,19 @@ import pathlib
 
 import pytest
 
-from docling_spark.formats import convert_csv, convert_markdown
+from docling_spark.formats import convert_csv, convert_markdown, convert_vtt
 from docling_spark.serialize import to_indented_text, to_json, to_markdown
 
 CSV_SRC = pathlib.Path("/root/reference/tests/data/csv/sources")
 CSV_GT = pathlib.Path("/root/reference/tests/data/csv/groundtruth")
 MD_SRC = pathlib.Path("/root/reference/tests/data/md/sources")
 MD_GT = pathlib.Path("/root/reference/tests/data/md/groundtruth")
+VTT_SRC = pathlib.Path("/root/reference/tests/data/webvtt/sources")
+VTT_GT = pathlib.Path("/root/reference/tests/data/webvtt/groundtruth")
 
 CSV_FIXTURES = sorted(p.name for p in CSV_SRC.glob("*.csv")) if CSV_SRC.exists() else []
 MD_FIXTURES = sorted(p.name for p in MD_SRC.glob("*.md")) if MD_SRC.exists() else []
+VTT_FIXTURES = sorted(p.name for p in VTT_SRC.glob("*.vtt")) if VTT_SRC.exists() else []
 
 
 def _bh(raw: bytes) -> int:
@@ -51,6 +54,31 @@ def test_markdown_reexport_byte_identical(name):
                            binary_hash=_bh(raw))
     golden = (MD_GT / f"{name}.md").read_text()
     assert to_markdown(doc) + "\n" == golden
+
+
+@pytest.mark.parametrize("name", VTT_FIXTURES)
+def test_webvtt_all_formats_byte_identical(name):
+    raw = (VTT_SRC / name).read_bytes()
+    doc = convert_vtt(raw, name=name.rsplit(".", 1)[0], filename=name,
+                      binary_hash=_bh(raw))
+    for kind, ours in (
+        ("md", to_markdown(doc)),
+        ("itxt", to_indented_text(doc)),
+        ("json", json.dumps(json.loads(to_json(doc)), indent=2,
+                            ensure_ascii=False)),
+    ):
+        golden_path = VTT_GT / f"{name}.{kind}"
+        if not golden_path.exists():
+            continue
+        golden = golden_path.read_text()
+        assert ours == golden or ours + "\n" == golden, f"{name}.{kind}"
+
+
+def test_webvtt_never_raises_on_garbage():
+    for raw in (b"", b"not vtt", b"WEBVTT", b"WEBVTT\n\nbroken --> cue",
+                b"WEBVTT\n\n00:00.000 --> bad\n<v unclosed"):
+        doc = convert_vtt(raw, name="garbage")
+        to_markdown(doc)
 
 
 def test_markdown_never_raises_on_garbage():
