@@ -77,7 +77,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     from .extractor import HtmlExtractor
-    from .formats import convert_csv, convert_markdown, convert_vtt
+    from .formats import (convert_csv, convert_email, convert_epub,
+                          convert_markdown, convert_vtt)
     from .serialize import to_indented_text, to_json, to_markdown
 
     tc = TaskContext.get()
@@ -107,6 +108,12 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif ext == "vtt":
                     doc = convert_vtt(raw, name=name,
                                       filename=tail, binary_hash=bh)
+                elif ext == "epub":
+                    doc = convert_epub(raw, name=name,
+                                       filename=tail, binary_hash=bh)
+                elif ext == "eml":
+                    doc = convert_email(raw, name=name,
+                                        filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,
                                             filename=name + ".html",

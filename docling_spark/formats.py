@@ -705,3 +705,147 @@ def convert_vtt(raw: Union[bytes, str], name: str = "file",
                                  formatting=fmt, parent=group,
                                  source=track(voice))
     return doc
+
+
+# ------------------------------------------------------------------ EPUB
+
+def convert_epub(raw: Union[bytes, str], name: str = "file",
+                 filename: str = "", binary_hash: int = 0) -> Doc:
+    """EPUB = zip of XHTML chapters; spine order from content.opf.
+
+    Composes over the HTML operator (reference ``backend/epub_backend.py``
+    semantics): chapter bodies concatenated into one HTML document,
+    internal chapter#anchor links flattened, HTML conversion with
+    add_title=False / infer_furniture=False, origin rewritten to the epub.
+    """
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from .extractor import HtmlExtractor
+
+    if isinstance(raw, str):
+        raw = raw.encode("utf-8")
+    empty = Doc(name=name, filename=filename or f"{name}.epub",
+                binary_hash=binary_hash, mimetype="application/epub+zip")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(raw))
+    except Exception:
+        return empty
+    try:
+        container = ET.fromstring(zf.read("META-INF/container.xml"))
+        ns = {"container": "urn:oasis:names:tc:opendocument:xmlns:container"}
+        rootfile = container.find(".//container:rootfile", ns)
+        opf_path = rootfile.get("full-path")
+        opf = ET.fromstring(zf.read(opf_path))
+        import posixpath as _pp
+        opf_dir = _pp.dirname(opf_path)
+        ns_opf = {"opf": "http://www.idpf.org/2007/opf"}
+        spine = opf.find(".//opf:spine", ns_opf)
+        manifest = opf.find(".//opf:manifest", ns_opf)
+        manifest_map = {
+            item.get("id"): item.get("href")
+            for item in manifest.findall("opf:item", ns_opf)
+            if item.get("id") and item.get("href")
+        }
+        content_files = []
+        for itemref in spine.findall("opf:itemref", ns_opf):
+            href = manifest_map.get(itemref.get("idref"))
+            if href:
+                content_files.append(f"{opf_dir}/{href}" if opf_dir else href)
+    except Exception:
+        return empty
+
+    parts = ['<!DOCTYPE html><html><head><meta charset="utf-8"/></head><body>']
+    for content_file in content_files:
+        try:
+            xhtml = zf.read(content_file).decode("utf-8")
+        except Exception:
+            continue
+        m = re.search(r"<body[^>]*>(.*?)</body>", xhtml,
+                      re.DOTALL | re.IGNORECASE)
+        body = m.group(1) if m else xhtml
+        # chapter.xhtml#anchor -> #anchor (single combined document)
+        body = re.sub(r'href="([^"]*\.xhtml)(#[^"]*)"', r'href="\2"', body)
+        parts.append(body)
+    parts.append("</body></html>")
+    combined = "\n".join(parts)
+
+    doc = HtmlExtractor(add_title=False, infer_furniture=False).convert(
+        combined.encode("utf-8"), name=name,
+        filename=filename or f"{name}.epub", binary_hash=binary_hash)
+    doc.mimetype = "application/epub+zip"
+    return doc
+
+
+# ----------------------------------------------------------------- email
+
+def convert_email(raw: Union[bytes, str], name: str = "file",
+                  filename: str = "", binary_hash: int = 0) -> Doc:
+    """RFC-822 email -> title (subject) + From/To/Date lines + body
+    paragraphs; HTML parts route through the HTML operator (reference
+    ``backend/email_backend.py`` semantics, stdlib ``email`` instead of
+    mail-parser)."""
+    import email as _email
+    import email.policy as _policy
+
+    from .extractor import HtmlExtractor
+    from .serialize import to_markdown
+
+    if isinstance(raw, str):
+        raw = raw.encode("utf-8")
+    doc = Doc(name=name, filename=filename or f"{name}.eml",
+              binary_hash=binary_hash, mimetype="message/rfc822")
+    try:
+        msg = _email.message_from_bytes(raw, policy=_policy.default)
+    except Exception:
+        return doc
+
+    def split_paragraphs(text: str) -> list[str]:
+        return [p.strip() for p in re.split(r"\n\s*\n+", text.strip())
+                if p.strip()]
+
+    subject = (msg.get("Subject") or "").strip()
+    from_text = (msg.get("From") or "").strip()
+    to_text = (msg.get("To") or "").strip()
+    date_text = (msg.get("Date") or "").strip()
+
+    plain_parts: list[str] = []
+    html_parts: list[str] = []
+    for part in msg.walk():
+        if part.get_content_maintype() != "text":
+            continue
+        if part.get_content_disposition() == "attachment":
+            continue
+        try:
+            content = part.get_content()
+        except Exception:
+            continue
+        if part.get_content_subtype() == "plain":
+            plain_parts.append(content)
+        elif part.get_content_subtype() == "html":
+            html_parts.append(content)
+
+    if plain_parts:
+        paragraphs = [p for part in plain_parts
+                      for p in split_paragraphs(part)]
+    elif html_parts:
+        paragraphs = []
+        for part in html_parts:
+            sub = HtmlExtractor(add_title=False,
+                                infer_furniture=False).convert(
+                part.encode("utf-8"), name="email-body")
+            paragraphs.extend(split_paragraphs(to_markdown(sub)))
+    else:
+        paragraphs = []
+
+    if subject:
+        doc.add_title(text=subject)
+    if from_text:
+        doc.add_text(label="text", text=f"From: {from_text}")
+    if to_text:
+        doc.add_text(label="text", text=f"To: {to_text}")
+    if date_text:
+        doc.add_text(label="text", text=f"Date: {date_text}")
+    for p in paragraphs:
+        doc.add_text(label="text", text=p)
+    return doc

@@ -10,7 +10,8 @@ import pathlib
 
 import pytest
 
-from docling_spark.formats import convert_csv, convert_markdown, convert_vtt
+from docling_spark.formats import (convert_csv, convert_email, convert_epub,
+                                   convert_markdown, convert_vtt)
 from docling_spark.serialize import to_indented_text, to_json, to_markdown
 
 CSV_SRC = pathlib.Path("/root/reference/tests/data/csv/sources")
@@ -96,3 +97,44 @@ def test_csv_never_raises_on_garbage():
                 b"only-one-cell"):
         doc = convert_csv(raw, name="garbage")
         to_markdown(doc)
+
+
+EPUB_SRC = pathlib.Path("/root/reference/tests/data/epub/sources")
+EPUB_GT = pathlib.Path("/root/reference/tests/data/epub/groundtruth")
+EPUB_FIXTURES = (sorted(p.name for p in EPUB_SRC.glob("*.epub"))
+                 if EPUB_SRC.exists() else [])
+
+
+@pytest.mark.parametrize("name", EPUB_FIXTURES)
+def test_epub_all_formats_byte_identical(name):
+    raw = (EPUB_SRC / name).read_bytes()
+    doc = convert_epub(raw, name=name.rsplit(".", 1)[0], filename=name,
+                       binary_hash=_bh(raw))
+    for kind, ours in (
+        ("md", to_markdown(doc)),
+        ("itxt", to_indented_text(doc)),
+        ("json", json.dumps(json.loads(to_json(doc)), indent=2,
+                            ensure_ascii=False)),
+    ):
+        golden_path = EPUB_GT / f"{name}.{kind}"
+        if not golden_path.exists():
+            continue
+        golden = golden_path.read_text()
+        assert ours == golden or ours + "\n" == golden, f"{name}.{kind}"
+
+
+def test_email_structure():
+    raw = pathlib.Path(
+        "/root/reference/tests/data/email/sources/eml_simple.eml").read_bytes()
+    doc = convert_email(raw, name="eml_simple", filename="eml_simple.eml")
+    labels = [(t.label, t.text) for t in doc.texts]
+    assert labels[0][0] == "title"
+    assert labels[1][1].startswith("From: ")
+    assert labels[2][1].startswith("To: ")
+    assert any("simple email body" in t for _, t in labels)
+
+
+def test_epub_email_never_raise_on_garbage():
+    for raw in (b"", b"PK garbage not zip", b"\xff\xfe"):
+        to_markdown(convert_epub(raw, name="g"))
+        to_markdown(convert_email(raw, name="g"))
