@@ -80,6 +80,27 @@ def _synth_html(rng: random.Random, idx: int) -> bytes:
     return "".join(parts).encode("utf-8")
 
 
+def _synth_markdown(rng: random.Random, idx: int) -> bytes:
+    parts = [f"# Markdown doc {idx}", ""]
+    for s in range(rng.randint(1, 3)):
+        parts += [f"## Part {s}", ""]
+        words = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(10, 30)))
+        parts += [f"{rng.choice(_PARA_POOL)} {words}", ""]
+        if rng.random() < 0.5:
+            parts += [f"- item {j} {rng.choice(_WORDS)}"
+                      for j in range(rng.randint(2, 5))] + [""]
+    return "\n".join(parts).encode("utf-8")
+
+
+def _synth_csv(rng: random.Random, idx: int) -> bytes:
+    cols = rng.randint(2, 5)
+    lines = [",".join(f"col{c}" for c in range(cols))]
+    for r in range(rng.randint(3, 12)):
+        lines.append(",".join(f"{rng.choice(_WORDS)}{r}.{c}"
+                              for c in range(cols)))
+    return "\n".join(lines).encode("utf-8")
+
+
 def generate_pages(
     n_rows: int,
     seed: int = 42,
@@ -110,14 +131,23 @@ def generate_pages(
                 return rows
     rng = random.Random(seed)
     while len(rows) < n_rows:
-        body = _synth_html(rng, i)
-        if skew_every and i % skew_every == skew_every - 1:
-            # oversized blob: repeat the body section many times
-            head, _, tail = body.partition(b"<body>")
-            mid = tail.rsplit(b"</body>", 1)[0]
-            body = head + b"<body>" + mid * skew_repeat + b"</body></html>"
+        # every 16th/17th row is a non-HTML format to exercise dispatch
+        if i % 16 == 7:
+            body = _synth_markdown(rng, i)
+            url = f"https://synth.test/{i % 64:02d}/{i}.md"
+        elif i % 16 == 15:
+            body = _synth_csv(rng, i)
+            url = f"https://synth.test/{i % 64:02d}/{i}.csv"
+        else:
+            body = _synth_html(rng, i)
+            url = f"https://synth.test/{i % 64:02d}/{i}"
+            if skew_every and i % skew_every == skew_every - 1:
+                # oversized blob: repeat the body section many times
+                head, _, tail = body.partition(b"<body>")
+                mid = tail.rsplit(b"</body>", 1)[0]
+                body = head + b"<body>" + mid * skew_repeat + b"</body></html>"
         rows.append({
-            "url": f"https://synth.test/{i % 64:02d}/{i}",
+            "url": url,
             "warc_ts": epoch + _dt.timedelta(seconds=i),
             "html": body,
             "text": None,
@@ -167,7 +197,7 @@ def ensure_pages(n_rows: int, seed: int = 42, cache_dir=None,
     """Idempotent cached generation keyed by the parameters."""
     cache_dir = pathlib.Path(cache_dir or DEFAULT_CACHE)
     key = hashlib.sha256(
-        f"{n_rows}|{seed}|{skew_every}|{skew_repeat}|v3".encode()).hexdigest()[:12]
+        f"{n_rows}|{seed}|{skew_every}|{skew_repeat}|v4".encode()).hexdigest()[:12]
     out = cache_dir / f"pages_{n_rows}_{key}.parquet"
     if not (out / "_DONE").exists():
         write_pages_parquet(out, n_rows, seed=seed, skew_every=skew_every,
