@@ -211,25 +211,25 @@ class HtmlExtractor:
     def __init__(self, add_title: bool = True, infer_furniture: bool = True):
         self.add_title = add_title
         self.infer_furniture = infer_furniture
+        self._reset_state(None)
+
+    def _reset_state(self, doc) -> None:
+        self.doc = doc
+        self.level = 0
+        self.parents = {i: None for i in range(self.MAX_LEVELS)}
+        self.content_layer = BODY
+        self.hyperlink = None
+        self.format_tags = []
+        self.list_start_by_ref = {}
+        self.list_ordered_by_ref = {}
+        self._disable_inline_group_depth = 0
 
     # ------------------------------------------------------------------ API
     def convert(self, raw: Union[bytes, str], name: str = "file",
                 filename: str = "", binary_hash: int = 0) -> Doc:
         dom = parse_html(raw)
         doc = Doc(name=name, filename=filename or name, binary_hash=binary_hash)
-
-        # state
-        self.doc = doc
-        self.level = 0
-        self.parents: dict[int, Optional[object]] = {
-            i: None for i in range(self.MAX_LEVELS)
-        }
-        self.content_layer = BODY
-        self.hyperlink: Optional[str] = None
-        self.format_tags: list[str] = []
-        self.list_start_by_ref: dict[str, int] = {}
-        self.list_ordered_by_ref: dict[str, bool] = {}
-        self._disable_inline_group_depth = 0
+        self._reset_state(doc)
 
         # <title> as furniture
         title = dom.title_tag

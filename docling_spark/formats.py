@@ -319,17 +319,10 @@ class MarkdownConverter:
         from .extractor import HtmlExtractor
         root = parse_html(fragment)
         ex = HtmlExtractor()
-        ex.doc = self.doc
+        ex._reset_state(self.doc)
         ex.level = self.level
-        ex.parents = {i: None for i in range(ex.MAX_LEVELS)}
         for k in range(min(len(self.parents), ex.MAX_LEVELS)):
             ex.parents[k] = self.parents[k]
-        ex.content_layer = BODY
-        ex.hyperlink = None
-        ex.format_tags = []
-        ex.list_start_by_ref = {}
-        ex.list_ordered_by_ref = {}
-        ex._disable_inline_group_depth = 0
         ex._walk(root)
 
     # -- emitters -------------------------------------------------------

@@ -114,3 +114,39 @@ def test_table_with_spans():
     lines = out.splitlines()
     assert lines[0] == "| H1 | H2 |"
     assert lines[2] == "| wide | wide |"
+
+
+def test_is_rich_table_cell_grid():
+    """Hand-labeled rich-cell classification grid from the reference's
+    tests/test_backend_html.py:682-760."""
+    import pathlib
+
+    from docling_spark.dom import parse_html
+    from docling_spark.extractor import HtmlExtractor
+
+    raw = pathlib.Path(
+        "/root/reference/tests/data/html/sources/html_rich_table_cells.html"
+    ).read_bytes()
+    dom = parse_html(raw)
+    ex = HtmlExtractor()
+    ex.doc = None  # predicate path does not touch the doc
+
+    gt = {
+        0: [False, False, False, False, False, False, False, False, False,
+            False, False, True, False, True, True],
+        1: [False, False, True, False, True, False, True, False],
+        2: [False, True, True, True, False, True, True],
+        3: [False, False, False, False, False, False],
+        4: [False, False, False, False, False, True, False, False, True,
+            False, False, True, False, False, False],
+    }
+    for idx_t, table in enumerate(dom.find_all("table")):
+        expected = iter(gt[idx_t])
+        n = 0
+        for part in table.find_all(["thead", "tbody"], recursive=False):
+            for row in part.find_all("tr", recursive=False):
+                for cell in row.find_all(["td", "th"], recursive=False):
+                    assert next(expected) == ex._is_rich_table_cell(cell), \
+                        f"table {idx_t} cell {n}"
+                    n += 1
+        assert n == len(gt[idx_t])
