@@ -493,6 +493,39 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(text)), 4) AS avg_chars
             FROM documents GROUP BY lang
         """,
+
+        "doc_lang_quality": r"""
+            WITH hits AS (
+                SELECT doc_id, text,
+                       CAST((length(lower(text)) - length(regexp_replace(lower(text), '\bthe\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\band\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bof\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bto\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bin\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bis\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bthat\b', '', 'g'))) / 4 + (length(lower(text)) - length(regexp_replace(lower(text), '\bit\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bwas\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bfor\b', '', 'g'))) / 3 AS BIGINT) AS h_en,
+                       CAST((length(lower(text)) - length(regexp_replace(lower(text), '\bder\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bdie\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bdas\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bund\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bist\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bvon\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bnicht\b', '', 'g'))) / 5 + (length(lower(text)) - length(regexp_replace(lower(text), '\bmit\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bein\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bzu\b', '', 'g'))) / 2 AS BIGINT) AS h_de,
+                       CAST((length(lower(text)) - length(regexp_replace(lower(text), '\ble\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bla\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bles\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bet\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\best\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bdes\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bune\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bdans\b', '', 'g'))) / 4 + (length(lower(text)) - length(regexp_replace(lower(text), '\bque\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bpour\b', '', 'g'))) / 4 AS BIGINT) AS h_fr,
+                       CAST((length(lower(text)) - length(regexp_replace(lower(text), '\bel\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bla\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\blos\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\blas\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bes\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\buna\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bdel\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bpor\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bcon\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bpara\b', '', 'g'))) / 4 AS BIGINT) AS h_es,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS tc,
+                       length(regexp_replace(text, '\s+', '', 'g')) AS nonws,
+                       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                           (length(text) - length(regexp_replace(text,
+                               '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0
+                           / length(text) END AS punct
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und' WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en' WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es) THEN 'de' WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr' WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es' END AS lang_guess,
+                       round(0.3 * (CASE WHEN tc BETWEEN 10 AND 100000 THEN 1.0
+                                    WHEN tc > 0 THEN 0.3 ELSE 0.0 END)
+                       + 0.25 * (CASE WHEN punct < 0.3 THEN 1.0 ELSE 0.2 END)
+                       + 0.25 * (CASE WHEN h_en > 0 THEN 1.0 ELSE 0.4 END)
+                       + 0.2 * (CASE WHEN nonws * 1.0 / greatest(tc, 1)
+                                     BETWEEN 2.0 AND 12.0 THEN 1.0
+                                ELSE 0.3 END), 4) AS quality
+                FROM hits
+            )
+            SELECT lang_guess, count(*) AS n_docs,
+                   round(avg(quality), 4) AS avg_quality
+            FROM scored GROUP BY lang_guess
+        """,
         "emb_knn_bruteforce": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS q_emb
