@@ -546,3 +546,16 @@ def process_page_layout(df):
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, schema=PAGE_LAYOUT_SCHEMA)
+
+
+def merge_split_text(prefix: str, continuation: str) -> str:
+    """Cross-element hyphen merge (readingorder_model._merge_elements
+    :589-621): a soft hyphen, or a hard hyphen followed by a lowercase
+    continuation, marks a split word - drop the hyphen and join directly;
+    anything else joins with a space."""
+    cont_stripped = continuation.lstrip()
+    if prefix.endswith("­") or (
+            prefix.endswith("-") and cont_stripped
+            and cont_stripped[0].islower()):
+        return prefix[:-1] + continuation
+    return f"{prefix} {continuation}"

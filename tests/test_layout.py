@@ -175,3 +175,11 @@ def test_process_page_layout_spark(spark):
     assert labels == ["section_header", "text"]
     # hyphen de-break applied across the two body cells
     assert row["elements"][1]["text"] == "Body paragraph joined"
+
+
+def test_merge_split_text_reference_vectors():
+    """Vectors from the reference's test_readingorder_hyphenated_merges."""
+    from docling_spark.layout import merge_split_text
+    assert merge_split_text("algo-", "rithms") == "algorithms"
+    assert merge_split_text("algo­", "rithms") == "algorithms"
+    assert merge_split_text("algo-", "Rithms") == "algo- Rithms"
