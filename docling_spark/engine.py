@@ -77,8 +77,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     from .extractor import HtmlExtractor
-    from .formats import (convert_csv, convert_email, convert_epub,
-                          convert_markdown, convert_vtt)
+    from .formats import (convert_asciidoc, convert_csv, convert_email,
+                          convert_epub, convert_markdown, convert_vtt)
     from .serialize import to_indented_text, to_json, to_markdown
 
     tc = TaskContext.get()
@@ -114,6 +114,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif ext == "eml":
                     doc = convert_email(raw, name=name,
                                         filename=tail, binary_hash=bh)
+                elif ext in ("adoc", "asciidoc"):
+                    doc = convert_asciidoc(raw, name=name,
+                                           filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,
                                             filename=name + ".html",

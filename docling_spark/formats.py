@@ -842,3 +842,145 @@ def convert_email(raw: Union[bytes, str], name: str = "file",
     for p in paragraphs:
         doc.add_text(label="text", text=p)
     return doc
+
+
+# -------------------------------------------------------------- AsciiDoc
+
+_ADOC_CELL_SPEC = r"(?:\d+(?:\.\d+)?[*+])*[<^>]?(?:\.[<^>])?[adehlms]?"
+_ADOC_TITLE_RE = re.compile(r"^= ")
+_ADOC_SECTION_RE = re.compile(r"^(=+)\s+(.*)")
+_ADOC_LIST_RE = re.compile(r"^(\s)*(\*|-|\d+\.|\w+\.) ")
+_ADOC_LIST_PARSE_RE = re.compile(r"^(\s*)(\*|-|\d+\.)\s+(.*)")
+_ADOC_TABLE_LINE_RE = re.compile(rf"^{_ADOC_CELL_SPEC}\|.*\|")
+_ADOC_CELL_STRIP_RE = re.compile(rf"(^|\s){_ADOC_CELL_SPEC}(?=\|)")
+_ADOC_PICTURE_RE = re.compile(r"^image::")
+_ADOC_CAPTION_RE = re.compile(r"^\.(.+)")
+
+
+def convert_asciidoc(raw: Union[bytes, str], name: str = "file",
+                     filename: str = "", binary_hash: int = 0) -> Doc:
+    """AsciiDoc line-regex parser (reference ``backend/asciidoc_backend.py``
+    semantics): '=' title / '==+' headings, indent-nested lists, '|' tables
+    with cell-spec stripping, image:: macros, '.caption' lines, blank-line
+    paragraph flushing."""
+    text = _decode(raw)
+    doc = Doc(name=name, filename=filename or f"{name}.asciidoc",
+              binary_hash=binary_hash, mimetype="text/asciidoc")
+
+    parents: dict[int, object] = {i: None for i in range(10)}
+    indents: dict[int, object] = {i: None for i in range(10)}
+    in_list = False
+    in_table = False
+    text_data: list[str] = []
+    table_data: list[list[str]] = []
+    caption_data: list[str] = []
+
+    def current_level() -> int:
+        for k in range(10):
+            if parents[k] is None and k > 0:
+                return k - 1
+        return 0
+
+    def current_parent():
+        for k in range(10):
+            if parents[k] is None and k > 0:
+                return parents[k - 1]
+        return None
+
+    def parse_table_line(line: str) -> list[str]:
+        line = _ADOC_CELL_STRIP_RE.sub(r"\1", line)
+        return [c.strip() for c in line.split("|")[1:]]
+
+    def flush_table(caption_item):
+        num_rows = len(table_data)
+        num_cols = max((len(r) for r in table_data), default=0)
+        data = TableData(num_rows=num_rows, num_cols=num_cols)
+        for r, row in enumerate(table_data):
+            for c, cell_text in enumerate(row):
+                data.table_cells.append(TableCell(
+                    text=cell_text, row_span=1, col_span=1,
+                    start_row_offset_idx=r, end_row_offset_idx=r + 1,
+                    start_col_offset_idx=c, end_col_offset_idx=c + 1,
+                    column_header=r == 0, row_header=False))
+        table = doc.add_table(data=data, parent=current_parent())
+        if caption_item is not None:
+            table.captions.append(caption_item.self_ref)
+
+    for line in text.split("\n"):
+        if _ADOC_TITLE_RE.match(line):
+            parents[0] = doc.add_text(label="title", text=line[2:].strip())
+        elif _ADOC_SECTION_RE.match(line) and line.startswith("=="):
+            m = _ADOC_SECTION_RE.match(line)
+            level = len(m.group(1)) - 1
+            parents[level] = doc.add_heading(
+                m.group(2).strip(), level=level, parent=parents[level - 1])
+            for k in range(10):
+                if k > level:
+                    parents[k] = None
+        elif _ADOC_LIST_RE.match(line):
+            m = _ADOC_LIST_PARSE_RE.match(line)
+            if m:
+                indent = len(m.group(1) or "")
+                item_text = m.group(3).strip()
+            else:
+                indent = 0
+                item_text = line
+            level = current_level()
+            if not in_list:
+                in_list = True
+                parents[level + 1] = doc.add_list_group(
+                    name="list", parent=parents[level])
+                indents[level + 1] = indent
+            elif indents[level] is not None and indent > indents[level]:
+                parents[level + 1] = doc.add_list_group(
+                    name="list", parent=parents[level])
+                indents[level + 1] = indent
+            elif indents[level] is not None and indent < indents[level]:
+                while (indents[level] is not None
+                       and indent < indents[level]):
+                    parents[level] = None
+                    indents[level] = None
+                    level -= 1
+            doc.add_list_item(item_text, parent=current_parent())
+        elif in_list and not _ADOC_LIST_RE.match(line):
+            in_list = False
+            parents[current_level()] = None
+        elif line.strip() == "|===" and not in_table:
+            in_table = True
+        elif _ADOC_TABLE_LINE_RE.match(line):
+            in_table = True
+            table_data.append(parse_table_line(line))
+        elif in_table and (not _ADOC_TABLE_LINE_RE.match(line)
+                           or line.strip() == "|==="):
+            caption_item = None
+            if caption_data:
+                caption_item = doc.add_text(
+                    label="caption", text=" ".join(caption_data))
+            caption_data = []
+            flush_table(caption_item)
+            in_table = False
+            table_data = []
+        elif _ADOC_PICTURE_RE.match(line):
+            caption_item = None
+            if caption_data:
+                caption_item = doc.add_text(
+                    label="caption", text=" ".join(caption_data))
+            caption_data = []
+            doc.add_picture(caption=caption_item)
+        elif _ADOC_CAPTION_RE.match(line) and not caption_data:
+            caption_data.append(_ADOC_CAPTION_RE.match(line).group(1))
+        elif line.strip() and caption_data:
+            caption_data.append(line.strip())
+        elif not line.strip() and text_data:
+            doc.add_text(label="paragraph", text=" ".join(text_data),
+                         parent=current_parent())
+            text_data = []
+        elif line.strip():
+            text_data.append(line.strip())
+
+    if text_data:
+        doc.add_text(label="paragraph", text=" ".join(text_data),
+                     parent=current_parent())
+    if in_table and table_data:
+        flush_table(None)
+    return doc

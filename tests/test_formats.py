@@ -10,7 +10,8 @@ import pathlib
 
 import pytest
 
-from docling_spark.formats import (convert_csv, convert_email, convert_epub,
+from docling_spark.formats import (convert_asciidoc, convert_csv,
+                                   convert_email, convert_epub,
                                    convert_markdown, convert_vtt)
 from docling_spark.serialize import to_indented_text, to_json, to_markdown
 
@@ -138,3 +139,24 @@ def test_epub_email_never_raise_on_garbage():
     for raw in (b"", b"PK garbage not zip", b"\xff\xfe"):
         to_markdown(convert_epub(raw, name="g"))
         to_markdown(convert_email(raw, name="g"))
+
+
+ADOC_SRC = pathlib.Path("/root/reference/tests/data/asciidoc/sources")
+ADOC_GT = pathlib.Path("/root/reference/tests/data/asciidoc/groundtruth")
+ADOC_FIXTURES = (sorted(p.name for p in ADOC_SRC.glob("*.asciidoc"))
+                 if ADOC_SRC.exists() else [])
+
+
+@pytest.mark.parametrize("name", ADOC_FIXTURES)
+def test_asciidoc_md_byte_identical(name):
+    raw = (ADOC_SRC / name).read_bytes()
+    doc = convert_asciidoc(raw, name=name.rsplit(".", 1)[0], filename=name,
+                           binary_hash=_bh(raw))
+    golden = (ADOC_GT / f"{name}.md").read_text()
+    ours = to_markdown(doc)
+    assert ours == golden or ours + "\n" == golden
+
+
+def test_asciidoc_never_raises_on_garbage():
+    for raw in (b"", b"|=== \n|unclosed", b"= ", b"image::[", b"\xff\xfe"):
+        to_markdown(convert_asciidoc(raw, name="g"))
