@@ -49,8 +49,12 @@ def convert_csv(raw: Union[bytes, str], name: str = "file",
     try:
         rows = list(csv.reader(content, dialect=dialect, strict=True))
     except csv.Error:
-        content.seek(0)
-        rows = list(csv.reader(content))
+        # stray \r / newline-in-field soup: feed pre-split lines so the
+        # reader never sees an embedded newline (UDF never-raise contract)
+        try:
+            rows = list(csv.reader(text.splitlines()))
+        except csv.Error:
+            rows = [[ln] for ln in text.splitlines() if ln]
     if not rows:
         return doc
     num_rows = len(rows)
