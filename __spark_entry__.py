@@ -147,7 +147,7 @@ def _q_cube_event_hour(spark, sf_dir):
     return relational.cube_agg(
         with_hour, ["event_type", "hour_of_day"],
         [F.count(F.lit(1)).alias("n_events"),
-         F.round(F.sum("value"), 4).alias("total_value")])
+         streaming.decimal_sum("value").alias("total_value")])
 
 
 def _q_asof_purchase_view(spark, sf_dir):
@@ -183,7 +183,7 @@ def _q_top_users(spark, sf_dir):
     events = _load(spark, sf_dir, "events")
     from pyspark.sql import Window
     per_user = events.groupBy("user_id", "event_type").agg(
-        F.round(F.sum("value"), 4).alias("total_value"))
+        streaming.decimal_sum("value").alias("total_value"))
     w = Window.partitionBy("event_type").orderBy(
         F.desc("total_value"), F.asc("user_id"))
     return (per_user.withColumn("rank", F.row_number().over(w))
@@ -396,7 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_event_hour": """
             SELECT event_type, date_part('hour', ts)::int AS hour_of_day,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS total_value
+                   round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS total_value
             FROM events
             GROUP BY CUBE (event_type, date_part('hour', ts)::int)
         """,
@@ -412,7 +412,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS total_value
+                   round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS total_value
             FROM events GROUP BY 1, 2
         """,
         "event_sessions": """
@@ -437,13 +437,13 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start,
                    max(ts) AS session_end,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS total_value
+                   round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS total_value
             FROM numbered GROUP BY user_id, session_seq
         """,
         "top_users_per_event_type": """
             WITH per_user AS (
                 SELECT user_id, event_type,
-                       round(sum(value), 4) AS total_value
+                       round(sum(CAST(value AS DECIMAL(20,6))), 4)::DOUBLE AS total_value
                 FROM events GROUP BY user_id, event_type
             )
             SELECT * FROM (

@@ -20,6 +20,7 @@ The node API is intentionally tiny - just what the extractor needs.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 from typing import Callable, Iterable, Iterator, Optional, Union
 
@@ -294,14 +295,69 @@ class _TreeParser(HTMLParser):
         pass
 
 
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.I)
+_XML_ENCODING_RE = re.compile(
+    rb"""<\?xml[^>]+encoding\s*=\s*["']([a-zA-Z0-9_\-]+)["']""", re.I)
+
+
+def sniff_charset(raw: bytes) -> Optional[str]:
+    """Best-effort charset sniff: BOM, then <meta charset=...> /
+    http-equiv content-type / XML declaration in the first 4 KiB.
+
+    Returns a validated codec name or None. Mirrors how the reference's
+    BeautifulSoup backend honors declared charsets
+    (``/root/reference/docling/backend/html_backend.py`` uses bs4's
+    UnicodeDammit); we sniff the same signals without vendoring bs4.
+    """
+    import codecs
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if raw.startswith((b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff")):
+        return "utf-32"
+    if raw.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return "utf-16"
+    head = raw[:4096]
+    m = _META_CHARSET_RE.search(head) or _XML_ENCODING_RE.search(head)
+    if m:
+        name = m.group(1).decode("ascii", errors="replace")
+        try:
+            return codecs.lookup(name).name
+        except LookupError:
+            return None
+    return None
+
+
+def decode_html_bytes(raw: bytes) -> str:
+    """Decode page bytes to text.
+
+    Order: strict UTF-8 first (the dominant web case, and what every golden
+    fixture is stored as); on failure, the sniffed declared charset with
+    replacement; final fallback UTF-8 with replacement. Non-UTF-8 pages
+    (Latin-1, Shift-JIS, GBK, ...) thus decode via their declared charset
+    instead of turning into U+FFFD mojibake.
+    """
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    charset = sniff_charset(raw)
+    if charset is not None:
+        try:
+            return raw.decode(charset, errors="replace")
+        except (UnicodeDecodeError, LookupError, ValueError):
+            pass
+    return raw.decode("utf-8", errors="replace")
+
+
 def parse_html(raw: Union[bytes, str]) -> Document:
     """Parse HTML bytes/text into a :class:`Document`.
 
-    Bytes are decoded as UTF-8 with replacement, matching how the synthetic
-    pages table stores payloads (UTF-8 ``binary`` column).
+    Bytes are decoded via :func:`decode_html_bytes` (strict UTF-8 ->
+    declared-charset fallback -> UTF-8/replace).
     """
     if isinstance(raw, bytes):
-        text = raw.decode("utf-8", errors="replace")
+        text = decode_html_bytes(raw)
     else:
         text = raw
     parser = _TreeParser()

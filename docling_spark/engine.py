@@ -88,12 +88,23 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k.name: [] for k in EXTRACT_SCHEMA.fields}
         for url, html in zip(pdf["url"].values, pdf["html"].values):
-            raw = bytes(html) if html is not None else b""
-            tail = url.rsplit("/", 1)[-1].split("#")[0] or "page"
-            ext = tail.rsplit(".", 1)[-1].lower() if "." in tail else "html"
-            name = tail.rsplit(".", 1)[0] if "." in tail else tail
+            # Coercion stays INSIDE the try: a row with an unexpected type
+            # (string html, None url) must become a failure envelope, never
+            # a task failure.
+            raw = b""
+            url = "" if url is None else str(url)
             t0 = time.perf_counter()
             try:
+                if html is None:
+                    raw = b""
+                elif isinstance(html, (bytes, bytearray, memoryview)):
+                    raw = bytes(html)
+                else:
+                    raw = str(html).encode("utf-8")
+                tail = url.rsplit("/", 1)[-1].split("#")[0] or "page"
+                ext = (tail.rsplit(".", 1)[-1].lower()
+                       if "." in tail else "html")
+                name = tail.rsplit(".", 1)[0] if "." in tail else tail
                 # reference-compatible document hash: sha256(bytes) mod 2^64
                 bh = int.from_bytes(
                     hashlib.sha256(raw).digest()[-8:], "big")
@@ -260,14 +271,24 @@ class CheckpointedExtraction:
         processed = []
         for i in range(0, len(pending), self.group_size):
             group = pending[i:i + self.group_size]
+            gid = group[0]
             part = bucketed.where(F.col("bucket").isin(group)).drop("bucket")
             results = extract_pages(part, skew_threshold=skew_threshold)
-            results.write.mode("append").parquet(self.results_path)
+            # Idempotent commit protocol: each group's results land in a
+            # key=value subdirectory with overwrite semantics, so a crash
+            # between the results write and the manifest write leaves a
+            # directory that the resumed run simply overwrites - no
+            # duplicate rows, no inflated metrics. (An Iceberg snapshot
+            # commit in production.) Readers of results_path see `grp` as
+            # a discovered partition column.
+            grp_results = f"{self.results_path}/grp={gid}"
+            results.write.mode("overwrite").parquet(grp_results)
+            # Metrics come from ONE scan of the group's own output - never
+            # a re-read of everything committed so far.
             metrics = partition_metrics(
-                self.spark.read.parquet(self.results_path)
-                .join(bucketed.where(F.col("bucket").isin(group))
-                      .select("url"), "url", "leftsemi"))
-            metrics.write.mode("append").parquet(self.metrics_path)
+                self.spark.read.parquet(grp_results))
+            metrics.write.mode("overwrite").parquet(
+                f"{self.metrics_path}/grp={gid}")
             manifest = self.spark.createDataFrame(
                 [(b, time.time()) for b in group], "bucket int, committed_at double")
             manifest.write.mode("append").parquet(self.manifest_path)

@@ -22,13 +22,27 @@ from pyspark.sql.types import (
 
 # ------------------------------------------------------------ batch twins
 
+def decimal_sum(col: str, scale: int = 4):
+    """Order-insensitive sum of a double column.
+
+    Summing doubles is not associative: Spark's partial aggregation order
+    differs from a single-threaded oracle, and ulp-level drift can survive
+    ``round(..., 4)`` at ties. Casting to an exact decimal first makes the
+    sum deterministic regardless of partial-agg order; the final cast back
+    to double keeps the output schema unchanged. Mirror the cast in the
+    DuckDB oracle (``round(sum(CAST(value AS DECIMAL(20,6))), 4)``).
+    """
+    return (F.round(F.sum(F.col(col).cast("decimal(20,6)")), scale)
+            .cast("double"))
+
+
 def hourly_event_counts(events: DataFrame) -> DataFrame:
     return (
         events.groupBy(
             F.date_trunc("hour", "ts").alias("hour"),
             "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("total_value"))
+             decimal_sum("value").alias("total_value"))
     )
 
 
@@ -147,5 +161,5 @@ def batch_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         .agg(F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
              F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("total_value"))
+             decimal_sum("value").alias("total_value"))
     )

@@ -90,8 +90,10 @@ def lang_guess(col="text") -> Column:
     hits = [(lang, stopword_hits(col, lang)) for lang in STOPWORDS]
     best_lang = F.lit("und")
     best_hits = F.lit(0).cast("long")
-    # iterate reversed so earlier languages win ties
-    for lang, h in reversed(hits):
+    # forward order with strict '>' - a later language must strictly beat
+    # the running best, so on ties the earlier language (en first) wins,
+    # matching the oracle's CASE ... WHEN h_en = GREATEST(...) ordering
+    for lang, h in hits:
         cond = h > best_hits
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(cond, h).otherwise(best_hits)
