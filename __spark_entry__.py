@@ -210,6 +210,29 @@ def _q_doc_lang_agg(spark, sf_dir):
     )
 
 
+def _q_near_dup_groups(spark, sf_dir):
+    """Connected-component folding of near-dup pairs (dedup.dedup_groups).
+
+    Edges are built deterministically from the documents table (chains at
+    doc_id%10<3, stars at multiples of 25) so DuckDB can rebuild the same
+    graph and verify the components with a recursive CTE.
+    """
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    ids_b = docs.select(F.col("doc_id").alias("doc_b"))
+    ids_a = docs.select(F.col("doc_id").alias("doc_a"))
+    chain = (docs.where(F.col("doc_id") % 10 < 3)
+             .select(F.col("doc_id").alias("doc_a"),
+                     (F.col("doc_id") + 1).alias("doc_b"))
+             .join(ids_b, "doc_b", "leftsemi"))
+    star = (docs.where((F.col("doc_id") % 25 >= 5)
+                       & (F.col("doc_id") % 25 <= 7))
+            .select((F.col("doc_id") - F.col("doc_id") % 25).alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"))
+            .join(ids_a, "doc_a", "leftsemi"))
+    pairs = chain.unionByName(star)
+    return dedup.dedup_groups(pairs)
+
+
 def _q_emb_knn(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -330,6 +353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dups": _q_doc_exact_dups,
         "doc_lang_agg": _q_doc_lang_agg,
         "emb_knn_bruteforce": _q_emb_knn,
+        "near_dup_groups": _q_near_dup_groups,
         # rows-only (no SQL twin):
         "extract_fixture_pages": _q_extract_fixtures,
         "extract_span_histogram": _q_extract_spans,
@@ -525,6 +549,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_guess, count(*) AS n_docs,
                    round(avg(quality), 4) AS avg_quality
             FROM scored GROUP BY lang_guess
+        """,
+        "near_dup_groups": """
+            WITH RECURSIVE
+            chain AS (
+                SELECT d.doc_id AS a, d.doc_id + 1 AS b
+                FROM documents d
+                WHERE d.doc_id % 10 < 3
+                  AND EXISTS (SELECT 1 FROM documents x
+                              WHERE x.doc_id = d.doc_id + 1)
+            ),
+            star AS (
+                SELECT d.doc_id - (d.doc_id % 25) AS a, d.doc_id AS b
+                FROM documents d
+                WHERE d.doc_id % 25 BETWEEN 5 AND 7
+                  AND EXISTS (SELECT 1 FROM documents x
+                              WHERE x.doc_id = d.doc_id - (d.doc_id % 25))
+            ),
+            edges0 AS (SELECT a, b FROM chain UNION SELECT a, b FROM star),
+            edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+            nodes AS (SELECT DISTINCT a AS node FROM edges),
+            reach(node, lbl) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+            ),
+            comp AS (SELECT node, min(lbl) AS group_id
+                     FROM reach GROUP BY node)
+            SELECT group_id,
+                   count(*) AS n_docs,
+                   list_sort(list(node)) AS doc_ids,
+                   min(node) AS keeper_id
+            FROM comp GROUP BY group_id
         """,
         "emb_knn_bruteforce": """
             WITH q AS (

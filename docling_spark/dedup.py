@@ -78,12 +78,38 @@ def minhash_signatures(documents: DataFrame, k: int = 5,
         "doc_id", F.array(*[F.col(f"h{s}") for s in seeds]).alias("signature"))
 
 
-def lsh_candidate_pairs(documents: DataFrame, k: int = 5,
-                        num_hashes: int = 64, bands: int = 16) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs."""
+def _cap_hot_buckets(banded: DataFrame, keys: list,
+                     max_bucket_size: int) -> DataFrame:
+    """Drop rows in band buckets larger than ``max_bucket_size``.
+
+    Web-scale boilerplate (empty pages, error pages, shared templates)
+    collapses into mega-buckets whose self-join is quadratic: one 15k-doc
+    bucket alone yields ~10^8 candidate pairs. Capping bounds the join to
+    O(buckets * cap^2). Docs dropped here are near-identical boilerplate -
+    exact dedup (hash-groupBy, no bucket join) still catches the identical
+    ones. Use :func:`hot_bucket_stats` on the same banded frame to audit
+    the dropped volume.
+    """
+    w = Window.partitionBy(*keys)
+    return (banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz"))
+
+
+def hot_bucket_stats(banded: DataFrame, keys: list,
+                     max_bucket_size: int) -> DataFrame:
+    """Audit view: the buckets (and doc volume) a cap would drop."""
+    return (banded.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .where(F.col("n_docs") > max_bucket_size))
+
+
+def minhash_banded(documents: DataFrame, k: int = 5, num_hashes: int = 64,
+                   bands: int = 16) -> DataFrame:
+    """(doc_id, band, bucket) rows: one bucket hash per signature band."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, k, num_hashes)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -98,6 +124,19 @@ def lsh_candidate_pairs(documents: DataFrame, k: int = 5,
             )
         ).alias("band", "bucket"),
     )
+
+
+def lsh_candidate_pairs(documents: DataFrame, k: int = 5,
+                        num_hashes: int = 64, bands: int = 16,
+                        max_bucket_size: int = 1000) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Buckets larger than ``max_bucket_size`` are excluded before the
+    self-join (see :func:`_cap_hot_buckets`) so degenerate boilerplate
+    buckets can never go quadratic.
+    """
+    banded = minhash_banded(documents, k, num_hashes, bands)
+    banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -142,9 +181,11 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame,
 
 
 def near_duplicates(documents: DataFrame, k: int = 5, num_hashes: int = 64,
-                    bands: int = 16, threshold: float = 0.8) -> DataFrame:
+                    bands: int = 16, threshold: float = 0.8,
+                    max_bucket_size: int = 1000) -> DataFrame:
     """MinHash-LSH candidates verified by exact shingle Jaccard."""
-    pairs = lsh_candidate_pairs(documents, k, num_hashes, bands)
+    pairs = lsh_candidate_pairs(documents, k, num_hashes, bands,
+                                max_bucket_size)
     return (ngram_jaccard(documents, pairs, k)
             .where(F.col("jaccard") >= threshold))
 
@@ -172,32 +213,121 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_banded(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash, band, band_val) rows: 4 x 16-bit sub-bands.
+
+    Pigeonhole: any pair within hamming<=3 of 64 bits shares at least one
+    of the 4 bands exactly. Exploding bands into rows turns the previous 4
+    unioned self-joins into ONE equi-join keyed on (band, band_val) - one
+    shuffle instead of four."""
+    sig = simhash(documents)
+    band_arr = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+        .bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)
+    ])
+    return sig.select(
+        "doc_id", "simhash",
+        F.posexplode(band_arr).alias("band", "band_val"))
+
+
 def simhash_near_duplicates(documents: DataFrame,
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket_size: int = 1000) -> DataFrame:
     """Candidate pairs whose simhashes differ in <= max_hamming bits.
 
-    Block on 4 x 16-bit sub-bands (pigeonhole: any pair within hamming<=3
-    shares at least one exact band), then verify with bit_count."""
-    sig = simhash(documents)
-    bands = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-        .bitwiseAND(F.lit(0xFFFF)).alias(f"band{i}")
-        for i in range(4)
-    ]
-    banded = sig.select("doc_id", "simhash", *bands)
-    pairs = None
-    for i in range(4):
-        l = banded.alias("l")
-        r = banded.alias("r")
-        p = (l.join(r, (F.col(f"l.band{i}") == F.col(f"r.band{i}"))
-                    & (F.col("l.doc_id") < F.col("r.doc_id")))
-             .select(F.col("l.doc_id").alias("doc_a"),
-                     F.col("r.doc_id").alias("doc_b"),
-                     F.col("l.simhash").alias("sim_a"),
-                     F.col("r.simhash").alias("sim_b")))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct()
+    Block on 4 x 16-bit sub-bands, cap hot buckets (16-bit keys give only
+    65k buckets/band, so web boilerplate WILL pile up - see
+    :func:`_cap_hot_buckets`), then verify with bit_count."""
+    banded = simhash_banded(documents)
+    banded = _cap_hot_buckets(banded, ["band", "band_val"], max_bucket_size)
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.band_val") == F.col("r.band_val"))
+               & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("doc_a"),
+                F.col("r.doc_id").alias("doc_b"),
+                F.col("l.simhash").alias("sim_a"),
+                F.col("r.simhash").alias("sim_b"))
+        .distinct()
+    )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (pairs.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# ------------------------------------------------- near-dup group folding
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Fold near-duplicate PAIRS into components: (node, group_id).
+
+    Pairs alone cannot drop duplicates from a corpus - transitive chains
+    (a~b, b~c) must collapse into one group with one keeper. This is
+    iterative min-label propagation in pure DataFrame algebra (no
+    GraphFrames): each round every node takes the min of its own label and
+    its neighbors' labels, PLUS a pointer-jumping step (label <- label of
+    label) so chains collapse in O(log diameter) rounds rather than
+    O(diameter). Convergence is detected with a changed-count action per
+    round; ``localCheckpoint`` cuts the lineage so plans stay flat.
+
+    Near-dup clusters in web corpora are cliques/stars (diameter <= ~3),
+    so this typically converges in 2-3 rounds.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        nbr_min = (edges.join(labels, edges["b"] == labels["node"])
+                   .groupBy("a").agg(F.min("label").alias("nbr_label")))
+        stepped = (labels.join(nbr_min, labels["node"] == nbr_min["a"],
+                               "left")
+                   .select(labels["node"],
+                           F.least(labels["label"],
+                                   F.coalesce("nbr_label", labels["label"]))
+                           .alias("label")))
+        # pointer jumping: node -> label(label(node))
+        parent = stepped.select(F.col("node").alias("pnode"),
+                                F.col("label").alias("plabel"))
+        jumped = (stepped.join(parent,
+                               stepped["label"] == parent["pnode"], "left")
+                  .select(stepped["node"],
+                          F.least(stepped["label"],
+                                  F.coalesce("plabel", stepped["label"]))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        changed = (jumped.alias("n").join(labels.alias("o"), "node")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("group_id"))
+
+
+def dedup_groups(pairs: DataFrame) -> DataFrame:
+    """Near-dup groups with keeper policy: smallest doc_id survives.
+
+    Output: (group_id, n_docs, doc_ids sorted, keeper_id). group_id ==
+    keeper_id == min doc_id of the component (stable, join-free policy).
+    """
+    comp = connected_components(pairs)
+    return (comp.groupBy("group_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sort_array(F.collect_list("node")).alias("doc_ids"),
+                 F.min("node").alias("keeper_id")))
+
+
+def drop_near_duplicates(documents: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Corpus minus non-keeper members of every near-dup component."""
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("node") != F.col("group_id")).select(
+        F.col("node").alias(id_col))
+    return documents.join(losers, id_col, "left_anti")

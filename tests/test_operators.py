@@ -152,3 +152,86 @@ def test_multimodal_feature_plumbing(spark):
     out2 = {r["media_id"]: r for r in
             multimodal.extract_media_features(df).collect()}
     assert out == out2
+
+
+# ------------------------------------------------ hot-bucket caps + groups
+
+def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """5k identical boilerplate docs: without the cap this join is ~12.5M
+    pairs per band; with it the bucket is dropped entirely and the pair
+    count is bounded (0 here), in bounded time."""
+    import time
+    rows = [(i, "breaking news error page not found contact us home")
+            for i in range(5000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    pairs = dedup.lsh_candidate_pairs(docs, k=3, num_hashes=16, bands=4,
+                                      max_bucket_size=100)
+    n = pairs.count()
+    assert n == 0  # the mega-bucket was capped away
+    assert time.time() - t0 < 60
+    # the audit view reports what was dropped
+    banded = dedup.minhash_banded(docs, k=3, num_hashes=16, bands=4)
+    stats = dedup.hot_bucket_stats(banded, ["band", "bucket"], 100).collect()
+    assert stats and all(r["n_docs"] == 5000 for r in stats)
+
+
+def test_simhash_hot_bucket_cap(spark):
+    rows = [(i, "same same same page") for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    n = dedup.simhash_near_duplicates(docs, max_bucket_size=50).count()
+    assert n == 0
+
+
+def test_lsh_cap_preserves_planted_dup_recall(spark, docs):
+    """With a sane cap, planted near-dups are still recovered."""
+    clones = (docs.limit(200).where(F.col("doc_id") % 25 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+              .withColumn("text", F.concat("text", F.lit(" tail"))))
+    base = docs.limit(200).unionByName(clones)
+    found = dedup.near_duplicates(base, k=5, num_hashes=32, bands=8,
+                                  threshold=0.5, max_bucket_size=1000)
+    got = {(r["doc_a"], r["doc_b"]) for r in found.collect()}
+    planted = {(r["doc_id"], r["doc_id"] + 1_000_000)
+               for r in docs.limit(200)
+               .where(F.col("doc_id") % 25 == 0).collect()}
+    assert planted <= got
+
+
+def test_connected_components_chain_and_star(spark):
+    # chain 1-2-3-4, star 10-(11,12,13), isolated pair 20-21
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    comp = {r["node"]: r["group_id"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_dedup_groups_keeper_policy(spark):
+    edges = [(5, 3), (3, 9), (40, 41)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    groups = {r["group_id"]: r for r in dedup.dedup_groups(pairs).collect()}
+    assert set(groups) == {3, 40}
+    assert groups[3]["keeper_id"] == 3
+    assert groups[3]["doc_ids"] == [3, 5, 9]
+    assert groups[40]["n_docs"] == 2
+
+
+def test_drop_near_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.drop_near_duplicates(docs, pairs).collect())
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping: a 64-node path collapses within the iteration cap."""
+    edges = [(i, i + 1) for i in range(64)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = dedup.connected_components(pairs, max_iters=10).collect()
+    assert all(r["group_id"] == 0 for r in out)
+    assert len(out) == 65
