@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from docling_spark import dedup, engine, layout, multimodal
+from docling_spark import chunking, dedup, engine, layout, multimodal
 from docling_spark import pages as pages_mod
 from docling_spark import relational, similarity, streaming, textfns
 
@@ -210,6 +210,24 @@ def _q_doc_lang_agg(spark, sf_dir):
     )
 
 
+def _q_doc_chunks(spark, sf_dir):
+    """Fixed-size token-window chunking over documents - pure column
+    algebra, DuckDB-twinned."""
+    docs = _load(spark, sf_dir, "documents")
+    return chunking.token_window_chunks(docs, size=128)
+
+
+def _q_doc_chunks_hier(spark, sf_dir):
+    """Hierarchical (DoclingDocument-aware) chunks over extracted fixture
+    pages - structure-dependent, rows-only at the driver; unit tests pin
+    hand-derived chunkings."""
+    pages = _fixture_pages(spark, 40)
+    res = engine.extract_pages(pages, repartition=False)
+    ch = chunking.chunks_view(res)
+    return ch.select("url", "chunk_id", "label", "n_tokens",
+                     F.md5("text").alias("chunk_md5"))
+
+
 def _q_near_dup_groups(spark, sf_dir):
     """Connected-component folding of near-dup pairs (dedup.dedup_groups).
 
@@ -354,7 +372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_agg": _q_doc_lang_agg,
         "emb_knn_bruteforce": _q_emb_knn,
         "near_dup_groups": _q_near_dup_groups,
+        "doc_chunks": _q_doc_chunks,
         # rows-only (no SQL twin):
+        "doc_chunks_hier": _q_doc_chunks_hier,
         "extract_fixture_pages": _q_extract_fixtures,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -549,6 +569,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_guess, count(*) AS n_docs,
                    round(avg(quality), 4) AS avg_quality
             FROM scored GROUP BY lang_guess
+        """,
+        "doc_chunks": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents WHERE trim(text) <> ''
+            ), c AS (
+                SELECT doc_id, toks,
+                       unnest(range(CAST(ceil(len(toks) / 128.0) AS BIGINT)))
+                           AS chunk_id
+                FROM t
+            )
+            SELECT doc_id, chunk_id,
+                   len(toks[chunk_id*128+1 : (chunk_id+1)*128]) AS n_tokens,
+                   md5(array_to_string(
+                       toks[chunk_id*128+1 : (chunk_id+1)*128], ' '))
+                       AS chunk_md5
+            FROM c
         """,
         "near_dup_groups": """
             WITH RECURSIVE

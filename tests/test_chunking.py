@@ -1,0 +1,172 @@
+"""Chunker tests: hand-derived hierarchical chunkings, hybrid merge/split,
+doc_json round-trip, and the Spark chunks_view / token_window_chunks ops."""
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_spark import chunking, engine
+from docling_spark.extractor import HtmlExtractor
+from docling_spark.serialize import to_json
+
+FIXTURES = pathlib.Path("/root/reference/tests/data/html/sources")
+
+
+def _convert(html: str):
+    return HtmlExtractor().convert(html.encode("utf-8"), name="t",
+                                   filename="t.html", binary_hash=1)
+
+
+# ----------------------------------------------------------- hand-derived
+
+def test_hierarchical_basic_paragraphs_and_headings():
+    doc = _convert("""
+    <html><body>
+      <h1>Intro</h1><p>First para.</p><p>Second para.</p>
+      <h2>Details</h2><p>Third para.</p>
+    </body></html>""")
+    chunks = list(chunking.hierarchical_chunks(doc))
+    assert [c["text"] for c in chunks] == [
+        "First para.", "Second para.", "Third para."]
+    assert chunks[0]["headings"] == ["Intro"]
+    assert chunks[1]["headings"] == ["Intro"]
+    assert chunks[2]["headings"] == ["Intro", "Details"]
+
+
+def test_hierarchical_merges_list_items():
+    doc = _convert("""
+    <html><body><h1>T</h1>
+      <ul><li>alpha</li><li>beta</li><li>gamma</li></ul>
+      <p>after</p>
+    </body></html>""")
+    chunks = list(chunking.hierarchical_chunks(doc))
+    assert chunks[0]["label"] == "list"
+    assert chunks[0]["text"] == "alpha\nbeta\ngamma"
+    assert len(chunks[0]["doc_items"]) == 3
+    assert chunks[1]["text"] == "after"
+
+
+def test_hierarchical_no_merge_option():
+    doc = _convert(
+        "<html><body><ul><li>a</li><li>b</li></ul></body></html>")
+    chunks = list(chunking.hierarchical_chunks(doc,
+                                               merge_list_items=False))
+    # without merging, nothing is emitted for the group wrapper itself;
+    # the walk descends and each list item stands alone
+    assert [c["text"] for c in chunks] == ["a", "b"]
+
+
+def test_hierarchical_heading_stack_pops_siblings():
+    doc = _convert("""
+    <html><body>
+      <h1>A</h1><h2>B</h2><p>one</p><h2>C</h2><p>two</p><h1>D</h1><p>three</p>
+    </body></html>""")
+    chunks = list(chunking.hierarchical_chunks(doc))
+    assert chunks[0]["headings"] == ["A", "B"]
+    assert chunks[1]["headings"] == ["A", "C"]
+    assert chunks[2]["headings"] == ["D"]
+
+
+def test_hierarchical_table_triplets():
+    doc = _convert("""
+    <html><body><table>
+      <tr><th>city</th><th>pop</th></tr>
+      <tr><td>Rome</td><td>2.8M</td></tr>
+    </table></body></html>""")
+    chunks = list(chunking.hierarchical_chunks(doc))
+    tables = [c for c in chunks if c["label"] == "table"]
+    assert len(tables) == 1
+    assert "city = Rome" in tables[0]["text"]
+    assert "pop = 2.8M" in tables[0]["text"]
+
+
+def test_hierarchical_picture_caption_chunk():
+    doc = _convert("""
+    <html><body><h1>T</h1><figure><img src="x.png"/>
+      <figcaption>A duck</figcaption></figure></body></html>""")
+    chunks = list(chunking.hierarchical_chunks(doc))
+    pics = [c for c in chunks if c["label"] == "picture"]
+    assert len(pics) == 1
+    assert pics[0]["captions"] == ["A duck"]
+    assert pics[0]["text"] == "A duck"
+    assert chunking.contextualize(pics[0]) == "T\nA duck\nA duck"
+
+
+def test_hybrid_splits_oversized():
+    doc = _convert("<html><body><p>%s</p></body></html>"
+                   % " ".join(f"w{i}" for i in range(25)))
+    chunks = list(chunking.hybrid_chunks(doc, max_tokens=10))
+    assert [chunking.count_tokens(c["text"]) for c in chunks] == [10, 10, 5]
+
+
+def test_hybrid_merges_peers_same_headings():
+    doc = _convert("""
+    <html><body><h1>H</h1><p>one two</p><p>three four</p>
+      <h1>H2</h1><p>five</p></body></html>""")
+    chunks = list(chunking.hybrid_chunks(doc, max_tokens=100))
+    assert len(chunks) == 2
+    assert chunks[0]["text"] == "one two\nthree four"
+    assert chunks[1]["text"] == "five"
+
+
+def test_hybrid_merge_peers_optout():
+    doc = _convert(
+        "<html><body><p>one</p><p>two</p></body></html>")
+    chunks = list(chunking.hybrid_chunks(doc, max_tokens=100,
+                                         merge_peers=False))
+    assert [c["text"] for c in chunks] == ["one", "two"]
+
+
+# ------------------------------------------------------------- round-trip
+
+@pytest.mark.parametrize("fixture", ["example_01", "example_05", "wiki_duck"])
+def test_doc_json_roundtrip_byte_identical(fixture):
+    raw = (FIXTURES / f"{fixture}.html").read_bytes()
+    doc = HtmlExtractor().convert(raw, name=fixture,
+                                  filename=f"{fixture}.html", binary_hash=7)
+    j1 = to_json(doc)
+    j2 = to_json(chunking.doc_from_json(j1))
+    assert j1 == j2
+
+
+def test_chunks_on_golden_fixture():
+    raw = (FIXTURES / "example_02.html").read_bytes()
+    doc = HtmlExtractor().convert(raw, name="example_02",
+                                  filename="example_02.html", binary_hash=7)
+    chunks = list(chunking.hierarchical_chunks(doc))
+    assert chunks  # non-empty
+    for c in chunks:
+        assert c["text"].strip()
+        assert isinstance(c["headings"], list)
+        assert c["doc_items"]
+
+
+# ----------------------------------------------------------- spark surface
+
+def test_chunks_view(spark):
+    rows = [("https://x/a", "<html><body><h1>T</h1><p>hello world</p>"
+             "<ul><li>x</li><li>y</li></ul></body></html>".encode())]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False)
+    out = chunking.chunks_view(res).collect()
+    assert [(r["label"], r["text"]) for r in out] == [
+        ("text", "hello world"), ("list", "x\ny")]
+    assert out[0]["headings"] == ["T"]
+    assert out[1]["n_tokens"] == 2
+
+
+def test_token_window_chunks(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(300))), (2, ""), (3, "one")],
+        "doc_id long, text string")
+    out = chunking.token_window_chunks(docs, size=128).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(by_doc) == [1, 3]  # empty doc emits nothing
+    assert [r["n_tokens"] for r in sorted(by_doc[1],
+                                          key=lambda r: r["chunk_id"])] == \
+        [128, 128, 44]
+    assert by_doc[3][0]["n_tokens"] == 1
