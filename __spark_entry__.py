@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from docling_spark import chunking, dedup, engine, layout, multimodal
+from docling_spark import (chunking, confidence, dedup, engine, layout,
+                           multimodal)
 from docling_spark import pages as pages_mod
 from docling_spark import relational, similarity, streaming, textfns
 
@@ -210,6 +211,25 @@ def _q_doc_lang_agg(spark, sf_dir):
     )
 
 
+def _q_doc_confidence(spark, sf_dir):
+    """ConfidenceReport analog over documents: deterministic per-doc
+    parse/layout/table scores (ocr always null on the text path), nanmean
+    + nanquantile(0.05) + grade buckets - the reference's aggregation
+    semantics (base_models.py:591-727) as pure column algebra."""
+    docs = _load(spark, sf_dir, "documents")
+    parse = F.round(1 - textfns.punct_ratio("text"), 6)
+    tc = textfns.token_count("text")
+    layout_score = (F.when(tc.between(10, 100000), 0.95)
+                    .when(tc > 0, 0.6))  # else NULL (nan analog)
+    dr = textfns.digit_ratio("text")
+    table_score = F.when(dr > 0, F.round(1 - dr, 6))
+    ocr = F.lit(None).cast("double")
+    rep = confidence.confidence_report(
+        docs.select("doc_id", "text"), parse, layout_score, table_score, ocr)
+    return rep.select("doc_id", "parse_score", "layout_score", "table_score",
+                      "mean_score", "low_score", "mean_grade", "low_grade")
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Fixed-size token-window chunking over documents - pure column
     algebra, DuckDB-twinned."""
@@ -268,9 +288,11 @@ def _q_extract_fixtures(spark, sf_dir):
 
 
 def _q_extract_spans(spark, sf_dir):
+    """Histogram over ALL item kinds (texts, tables, pictures, groups)
+    via engine.items_view - the widened spans side-view."""
     pages = _fixture_pages(spark, 40)
     res = engine.extract_pages(pages, repartition=False)
-    return (engine.spans_view(res).groupBy("label")
+    return (engine.items_view(res).groupBy("kind", "label")
             .agg(F.count(F.lit(1)).alias("n_spans")))
 
 
@@ -309,7 +331,8 @@ def _q_emb_knn_lsh(spark, sf_dir):
     dim = len(emb.select("embedding").first()["embedding"])
     queries_df = emb.where(F.col("vec_id") < 5)
     return similarity.cosine_topk_lsh(emb, queries_df, dim=dim, k=3,
-                                      n_planes=6)
+                                      n_planes=6, n_tables=4,
+                                      probe_hamming=1)
 
 
 def _q_pdf_layout_stages(spark, sf_dir):
@@ -373,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_bruteforce": _q_emb_knn,
         "near_dup_groups": _q_near_dup_groups,
         "doc_chunks": _q_doc_chunks,
+        "doc_confidence": _q_doc_confidence,
         # rows-only (no SQL twin):
         "doc_chunks_hier": _q_doc_chunks_hier,
         "extract_fixture_pages": _q_extract_fixtures,
@@ -569,6 +593,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_guess, count(*) AS n_docs,
                    round(avg(quality), 4) AS avg_quality
             FROM scored GROUP BY lang_guess
+        """,
+        "doc_confidence": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       round(1 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                           (length(text) - length(regexp_replace(text,
+                               '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0
+                           / length(text) END, 6) AS parse_score,
+                       CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text),
+                                           '\s+')) END)
+                                 BETWEEN 10 AND 100000
+                            THEN CAST(0.95 AS DOUBLE)
+                            WHEN (CASE WHEN trim(text) = '' THEN 0
+                                  ELSE len(regexp_split_to_array(trim(text),
+                                           '\s+')) END) > 0
+                            THEN CAST(0.6 AS DOUBLE)
+                       END AS layout_score,
+                       CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                               (length(text) - length(regexp_replace(text,
+                                   '[0-9]', '', 'g'))) * 1.0
+                               / length(text) END) > 0
+                            THEN round(1 - (CASE WHEN length(text) = 0
+                                THEN 0.0 ELSE
+                                (length(text) - length(regexp_replace(text,
+                                    '[0-9]', '', 'g'))) * 1.0
+                                / length(text) END), 6)
+                       END AS table_score,
+                       CAST(NULL AS DOUBLE) AS ocr_score
+                FROM documents
+            ), arr AS (
+                SELECT *,
+                       list_sort(list_filter(
+                           [parse_score, layout_score, table_score,
+                            ocr_score], x -> x IS NOT NULL)) AS a
+                FROM s
+            ), agg AS (
+                SELECT *, len(a) AS n,
+                       CAST(floor(0.05 * (len(a) - 1)) AS INT) AS lo,
+                       0.05 * (len(a) - 1)
+                           - floor(0.05 * (len(a) - 1)) AS frac
+                FROM arr
+            ), q AS (
+                SELECT doc_id, parse_score, layout_score, table_score,
+                       CASE WHEN n > 0
+                            THEN round(list_sum(a) / n, 6) END AS mean_score,
+                       CASE WHEN n > 0
+                            THEN round(a[lo + 1] + frac *
+                                 (a[LEAST(lo + 2, n)] - a[lo + 1]), 6)
+                       END AS low_score
+                FROM agg
+            )
+            SELECT doc_id, parse_score, layout_score, table_score,
+                   mean_score, low_score,
+                   CASE WHEN mean_score < 0.5 THEN 'poor'
+                        WHEN mean_score < 0.8 THEN 'fair'
+                        WHEN mean_score < 0.9 THEN 'good'
+                        WHEN mean_score >= 0.9 THEN 'excellent'
+                        ELSE 'unspecified' END AS mean_grade,
+                   CASE WHEN low_score < 0.5 THEN 'poor'
+                        WHEN low_score < 0.8 THEN 'fair'
+                        WHEN low_score < 0.9 THEN 'good'
+                        WHEN low_score >= 0.9 THEN 'excellent'
+                        ELSE 'unspecified' END AS low_grade
+            FROM q
         """,
         "doc_chunks": r"""
             WITH t AS (

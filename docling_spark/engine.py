@@ -337,3 +337,54 @@ def spans_view(results: DataFrame) -> DataFrame:
             F.col("span.content_layer").alias("content_layer"),
         )
     )
+
+
+def items_view(results: DataFrame) -> DataFrame:
+    """Queryable side-view over ALL item kinds (texts, tables, pictures,
+    groups) exploded from doc_json - one unified schema so span queries
+    don't re-walk HTML for non-text items either.
+
+    Columns: (url, kind, self_ref, label, content_layer, text, name,
+    num_rows, num_cols, n_captions). JVM-side from_json only, no Python.
+    """
+    ok = results.where(F.col("status") == "success")
+    nil = F.lit(None)
+
+    def kind_view(json_path, schema, kind, text, name, num_rows, num_cols,
+                  n_captions):
+        return (ok.withColumn(
+            "it", F.explode(F.from_json(
+                F.get_json_object("doc_json", json_path), schema)))
+            .select(
+                "url", F.lit(kind).alias("kind"),
+                F.col("it.self_ref").alias("self_ref"),
+                F.col("it.label").alias("label"),
+                F.col("it.content_layer").alias("content_layer"),
+                text.alias("text"), name.alias("name"),
+                num_rows.cast("int").alias("num_rows"),
+                num_cols.cast("int").alias("num_cols"),
+                n_captions.cast("int").alias("n_captions")))
+
+    texts = kind_view(
+        "$.texts",
+        "array<struct<self_ref:string,label:string,text:string,"
+        "content_layer:string>>",
+        "text", F.col("it.text"), nil, nil, nil, nil)
+    tables = kind_view(
+        "$.tables",
+        "array<struct<self_ref:string,label:string,content_layer:string,"
+        "captions:array<struct<`$ref`:string>>,"
+        "data:struct<num_rows:int,num_cols:int>>>",
+        "table", nil, nil, F.col("it.data.num_rows"),
+        F.col("it.data.num_cols"), F.size("it.captions"))
+    pictures = kind_view(
+        "$.pictures",
+        "array<struct<self_ref:string,label:string,content_layer:string,"
+        "captions:array<struct<`$ref`:string>>>>",
+        "picture", nil, nil, nil, nil, F.size("it.captions"))
+    groups = kind_view(
+        "$.groups",
+        "array<struct<self_ref:string,label:string,name:string,"
+        "content_layer:string>>",
+        "group", nil, F.col("it.name"), nil, nil, nil)
+    return texts.unionByName(tables).unionByName(pictures).unionByName(groups)

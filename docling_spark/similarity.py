@@ -81,25 +81,61 @@ def lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 16,
     return embeddings.withColumn("bucket", bucket)
 
 
-def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
-                    k: int = 5, n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket.
+def _probe_masks(n_planes: int, radius: int) -> list:
+    """XOR masks for all buckets within Hamming ``radius`` of a sketch."""
+    from itertools import combinations
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    return masks
 
-    With n_planes=8 this prunes ~255/256 of the corpus per query at 100 TB;
-    recall is tunable by lowering n_planes or probing neighbor buckets.
+
+def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 5, n_planes: int = 8, seed: int = 42,
+                    n_tables: int = 1, probe_hamming: int = 1) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket(s).
+
+    Recall is governed by two standard knobs (both compose, and both keep
+    the corpus-side scan bucket-pruned):
+
+    - ``probe_hamming``: multi-probe - each query also probes every bucket
+      within this Hamming radius of its sketch (vectors near a hyperplane
+      land on either side; single-probe recall cliffs at scale). Radius 1
+      scans ~(n_planes+1)/2^n_planes of the corpus.
+    - ``n_tables``: independent hash tables with different hyperplanes; a
+      true neighbor is found if ANY table buckets it with the query
+      (miss probability decays geometrically in n_tables).
+
+    Candidates are deduped across tables/probes before scoring, so each
+    (query, neighbor) pair is scored exactly once.
     """
-    corpus = lsh_bucket(with_normalized(embeddings), dim, n_planes, seed,
-                        col="norm_emb")
-    corpus = corpus.select(F.col("vec_id").alias("nbr_id"),
-                           F.col("norm_emb").alias("nbr_emb"), "bucket")
-    qs = lsh_bucket(with_normalized(queries), dim, n_planes, seed,
-                    col="norm_emb")
-    qs = qs.select(F.col("vec_id").alias("query_id"),
-                   F.col("norm_emb").alias("q_emb"), "bucket")
-    scored = corpus.join(F.broadcast(qs), "bucket").where(
-        F.col("nbr_id") != F.col("query_id"))
-    scored = scored.withColumn("cosine", _dot(F.col("q_emb"),
-                                              F.col("nbr_emb")))
+    from functools import reduce
+
+    corpus = with_normalized(embeddings).select(
+        F.col("vec_id").alias("nbr_id"), F.col("norm_emb").alias("nbr_emb"))
+    qs = with_normalized(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("norm_emb").alias("q_emb"))
+    masks = _probe_masks(n_planes, probe_hamming)
+    cand_frames = []
+    for t in range(n_tables):
+        s = seed + 7919 * t
+        cb = lsh_bucket(corpus, dim, n_planes, s, col="nbr_emb").select(
+            "nbr_id", "bucket")
+        qb = lsh_bucket(qs, dim, n_planes, s, col="q_emb").select(
+            "query_id", "bucket")
+        if len(masks) > 1:
+            qb = qb.withColumn("bucket", F.explode(F.array(
+                *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])))
+        cand_frames.append(
+            cb.join(F.broadcast(qb), "bucket")
+            .select("query_id", "nbr_id"))
+    cands = (reduce(lambda a, b: a.unionByName(b), cand_frames)
+             .where(F.col("nbr_id") != F.col("query_id"))
+             .distinct())
+    scored = (cands.join(corpus, "nbr_id")
+              .join(F.broadcast(qs), "query_id")
+              .withColumn("cosine", _dot(F.col("q_emb"), F.col("nbr_emb"))))
     w = (Window.partitionBy("query_id")
          .orderBy(F.desc("cosine"), F.asc("nbr_id")))
     return (scored.withColumn("rank", F.row_number().over(w))

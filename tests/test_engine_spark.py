@@ -101,3 +101,24 @@ def test_spans_view(spark):
     spans = engine.spans_view(res)
     labels = {r["label"] for r in spans.select("label").distinct().collect()}
     assert "section_header" in labels or "title" in labels
+
+
+def test_items_view_all_kinds(spark):
+    from docling_spark import engine
+    html = (b"<html><body><h1>T</h1><p>para</p>"
+            b"<table><tr><td>1</td><td>2</td></tr></table>"
+            b"<ul><li>x</li></ul>"
+            b"<figure><img src='i.png'/><figcaption>c</figcaption>"
+            b"</figure></body></html>")
+    pages = spark.createDataFrame([("https://x/a", html)],
+                                  "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False)
+    rows = engine.items_view(res).collect()
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"text", "table", "picture", "group"}
+    table = [r for r in rows if r["kind"] == "table"][0]
+    assert (table["num_rows"], table["num_cols"]) == (1, 2)
+    pic = [r for r in rows if r["kind"] == "picture"][0]
+    assert pic["n_captions"] == 1
+    group = [r for r in rows if r["kind"] == "group"][0]
+    assert group["label"] == "list"

@@ -235,3 +235,79 @@ def test_connected_components_long_chain_converges(spark):
     out = dedup.connected_components(pairs, max_iters=10).collect()
     assert all(r["group_id"] == 0 for r in out)
     assert len(out) == 65
+
+
+# ---------------------------------------------- multiprobe LSH + confidence
+
+def test_lsh_recall_clustered_data(spark):
+    """In the regime LSH targets (clustered embeddings, NN cosine ~0.95+),
+    two tables with Hamming-2 probing recover >=0.95 of brute-force
+    top-k while scanning ~2*37/256 of the corpus."""
+    import math
+    import random
+    rng = random.Random(11)
+    dim = 32
+    rows = []
+    vid = 0
+    for c in range(10):  # 10 clusters x 20 near-identical members
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        nb = math.sqrt(sum(x * x for x in base))
+        base = [x / nb for x in base]
+        for _ in range(20):
+            v = [b + rng.gauss(0, 0.05) for b in base]
+            rows.append((vid, v))
+            vid += 1
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb2.where(F.col("vec_id") % 20 == 0)
+    bf = similarity.cosine_topk_bruteforce(emb2, queries, k=3)
+    lsh = similarity.cosine_topk_lsh(emb2, queries, dim=dim, k=3,
+                                     n_planes=8, n_tables=2,
+                                     probe_hamming=2)
+    bf_set = {(r["query_id"], r["nbr_id"]) for r in bf.collect()}
+    got = {(r["query_id"], r["nbr_id"]) for r in lsh.collect()}
+    recall = len(bf_set & got) / len(bf_set)
+    assert recall >= 0.95, f"clustered recall {recall}"
+
+
+def test_lsh_multi_table_recall_on_random_data(spark, emb):
+    """Quasi-random embeddings (NN cosine ~0.33) are LSH's worst case; the
+    n_tables knob still drives recall >=0.95, and more tables never hurt."""
+    queries = emb.where(F.col("vec_id") < 20)
+    dim = len(emb.select("embedding").first()["embedding"])
+    bf = similarity.cosine_topk_bruteforce(emb, queries, k=3)
+    many = similarity.cosine_topk_lsh(emb, queries, dim=dim, k=3, n_planes=6,
+                                      n_tables=16, probe_hamming=1)
+    few = similarity.cosine_topk_lsh(emb, queries, dim=dim, k=3, n_planes=6,
+                                     n_tables=2, probe_hamming=1)
+    bf_set = {(r["query_id"], r["nbr_id"]) for r in bf.collect()}
+    many_set = {(r["query_id"], r["nbr_id"]) for r in many.collect()}
+    few_set = {(r["query_id"], r["nbr_id"]) for r in few.collect()}
+    recall_many = len(bf_set & many_set) / len(bf_set)
+    recall_few = len(bf_set & few_set) / len(bf_set)
+    assert recall_many >= 0.95, f"16-table recall {recall_many}"
+    assert recall_many >= recall_few
+
+
+def test_confidence_matches_numpy(spark):
+    import numpy as np
+    from docling_spark import confidence
+    rows = [(1, 0.4, 0.9, None, None), (2, None, None, None, None),
+            (3, 0.85, None, None, None), (4, 0.2, 0.5, 0.95, 0.7),
+            (5, 0.91, 0.93, 0.97, 0.99)]
+    df = spark.createDataFrame(
+        rows, "id long, p double, l double, t double, o double")
+    rep = confidence.confidence_report(
+        df, F.col("p"), F.col("l"), F.col("t"), F.col("o"))
+    for r in rep.collect():
+        vals = [v for v in (r["parse_score"], r["layout_score"],
+                            r["table_score"], r["ocr_score"])
+                if v is not None]
+        if not vals:
+            assert r["mean_score"] is None
+            assert r["mean_grade"] == "unspecified"
+        else:
+            assert abs(r["mean_score"] - np.nanmean(vals)) < 1e-6
+            assert abs(r["low_score"] - np.nanquantile(vals, 0.05)) < 1e-6
+    grades = {r["id"]: r["mean_grade"] for r in rep.collect()}
+    assert grades[5] == "excellent"
+    assert grades[4] == "fair"
