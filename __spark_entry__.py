@@ -365,9 +365,11 @@ def _q_pdf_layout_stages(spark, sf_dir):
         F.size("elements").alias("n_elements"))
 
 
-def _q_media_features(spark, sf_dir):
-    docs = _load(spark, sf_dir, "documents").limit(200)
-    media = docs.select(
+def _media_table(spark, sf_dir):
+    # orderBy before limit: the oracle compares VALUES, so the row subset
+    # must be deterministic (a bare limit is not)
+    docs = _load(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
+    return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -375,7 +377,18 @@ def _q_media_features(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
-    return multimodal.extract_media_features(media)
+
+
+def _q_media_features(spark, sf_dir):
+    return multimodal.extract_media_features(_media_table(spark, sf_dir))
+
+
+def _q_media_inventory(spark, sf_dir):
+    """Oracle-checked slice of the media UDF output: byte_len + sha256 are
+    recomputable in DuckDB, so the mapInPandas plumbing itself gets a
+    value-level correctness gate (width/height stay in media_features)."""
+    feats = multimodal.extract_media_features(_media_table(spark, sf_dir))
+    return feats.select("media_id", "kind", "byte_len", "sha256")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -397,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": _q_near_dup_groups,
         "doc_chunks": _q_doc_chunks,
         "doc_confidence": _q_doc_confidence,
+        "media_inventory": _q_media_inventory,
         # rows-only (no SQL twin):
         "doc_chunks_hier": _q_doc_chunks_hier,
         "extract_fixture_pages": _q_extract_fixtures,
@@ -593,6 +607,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_guess, count(*) AS n_docs,
                    round(avg(quality), 4) AS avg_quality
             FROM scored GROUP BY lang_guess
+        """,
+        "media_inventory": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   strlen(text) AS byte_len,
+                   sha256(text) AS sha256
+            FROM (SELECT doc_id, text FROM documents
+                  ORDER BY doc_id LIMIT 200)
         """,
         "doc_confidence": r"""
             WITH s AS (

@@ -2,9 +2,11 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct.
 The Spark-side plumbing (schemas, batch shape, partition safety) is real
-and tested; the actual codec work is stubbed deterministically because the
-decode libraries are not in this container - swap ``_fake_decode`` for a
-real decoder (PIL/av) in production, the dataflow is unchanged.
+and tested. Image dimensions are REAL for PNG/GIF/BMP/JPEG via pure-stdlib
+header parsing (:func:`decode_image_header` - no pixel decode needed for
+width/height). Full pixel decode and audio/video probing are stubbed
+deterministically because the codec libraries are not in this container -
+swap ``_fake_decode`` for PIL/av in production, the dataflow is unchanged.
 """
 
 from __future__ import annotations
@@ -46,6 +48,57 @@ except ImportError:
     pass
 
 
+def decode_image_header(payload: bytes):
+    """Real (width, height, format) from image container headers.
+
+    Pure stdlib byte parsing - PNG IHDR, GIF logical screen descriptor,
+    BMP BITMAPINFOHEADER, JPEG SOFn frame header. Returns None for
+    anything unrecognized/truncated (caller falls back to the stub).
+    """
+    import struct
+    if len(payload) < 12:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return (w, h, "png")
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return (w, h, "gif")
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        hdr_size = struct.unpack("<I", payload[14:18])[0]
+        if hdr_size >= 40:  # BITMAPINFOHEADER and later
+            w, h = struct.unpack("<ii", payload[18:26])
+            return (w, abs(h), "bmp")
+        if hdr_size == 12 and len(payload) >= 22:  # BITMAPCOREHEADER
+            w, h = struct.unpack("<HH", payload[18:22])
+            return (w, h, "bmp")
+        return None
+    if payload[:2] == b"\xff\xd8":  # JPEG: scan markers for SOFn
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+            if (0xC0 <= marker <= 0xCF
+                    and marker not in (0xC4, 0xC8, 0xCC)):
+                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
+                return (w, h, "jpeg")
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def _fake_decode(payload: bytes, kind: str) -> dict:
     """Deterministic stand-in for decode/feature-extract.
 
@@ -79,7 +132,15 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                       pdf["payload"]):
             raw = bytes(payload) if payload is not None else b""
-            feats = _fake_decode(raw, kind)
+            feats = None
+            if kind == "image":
+                hdr = decode_image_header(raw)
+                if hdr is not None:
+                    w, h, _fmt = hdr
+                    feats = {"width": w, "height": h, "duration_s": None,
+                             "feature_v0": (w * h) / 2**24}
+            if feats is None:
+                feats = _fake_decode(raw, kind)
             out["media_id"].append(mid)
             out["kind"].append(kind)
             out["byte_len"].append(len(raw))

@@ -311,3 +311,35 @@ def test_confidence_matches_numpy(spark):
     grades = {r["id"]: r["mean_grade"] for r in rep.collect()}
     assert grades[5] == "excellent"
     assert grades[4] == "fair"
+
+
+def test_image_header_decode_real_formats(spark):
+    import struct
+    import zlib
+    # real 7x5 PNG (IHDR only matters for the header parse)
+    ihdr = struct.pack(">II", 7, 5) + b"\x08\x02\x00\x00\x00"
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = (b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+           + struct.pack("<ii", 64, -48) + b"\x00" * 20)
+    jpg = (b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+           + b"\x00" * 9
+           + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+           + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9
+           + b"\xff\xd9")
+    assert multimodal.decode_image_header(png) == (7, 5, "png")
+    assert multimodal.decode_image_header(gif) == (320, 200, "gif")
+    assert multimodal.decode_image_header(bmp) == (64, 48, "bmp")
+    assert multimodal.decode_image_header(jpg) == (640, 480, "jpeg")
+    assert multimodal.decode_image_header(b"not an image at all") is None
+    # end-to-end through the Spark UDF: real dims, not the hash stub
+    df = spark.createDataFrame(
+        [(1, "image", png, "image/png"), (2, "image", jpg, "image/jpeg"),
+         (3, "image", b"junk junk junk", "image/unknown")],
+        "media_id long, kind string, payload binary, mime string")
+    out = {r["media_id"]: r for r in
+           multimodal.extract_media_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (7, 5)
+    assert (out[2]["width"], out[2]["height"]) == (640, 480)
+    assert out[3]["width"] is not None  # stub fallback still deterministic
