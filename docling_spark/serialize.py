@@ -212,6 +212,11 @@ class MarkdownSerializer:
                 if child.enumerated:
                     enum_counter += 1
                     marker = child.marker or f"{enum_counter}."
+                    # only plain ordinals are valid markdown enumerators;
+                    # compound/templated markers ("1.1.", "Proposal 1:")
+                    # ride behind a dash bullet, per groundtruth
+                    if not re.fullmatch(r"\d+\.", marker):
+                        marker = f"- {marker}"
                 else:
                     marker = "-"
                 body = _fmt_inline(child)
@@ -288,7 +293,9 @@ class MarkdownSerializer:
             txt = "\n\n".join(b for b in blocks if b != "")
         else:
             txt = cell.text
-        return txt.replace("\n", " ").replace("|", "&#124;")
+        # ends stripped: markdown cells render trimmed (golden ' Column A'
+        # JSON text -> '| Column A |'), internal runs of spaces preserved
+        return txt.replace("\n", " ").replace("|", "&#124;").strip()
 
     def _serialize_table(self, item: TableItem) -> str:
         data = item.data
