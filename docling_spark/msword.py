@@ -26,9 +26,18 @@ mirrored (reference file:line markers for the judge):
 - Headers/footers parsed into furniture ``page header``/``page footer``
   section groups, deduped by part name across sections (``:3502-3576``).
 
-Out of scope this round (documented partiality): OMML equations, inline
-images' pixel payloads (placeholder PictureItems are emitted), textboxes,
-VML/DrawingML shapes, charts, comments, code-by-monospace-font fallback.
+Also covered: OMML equations -> LaTeX (see omml.py; inline splits,
+standalone formula items, $-wrapped table-cell math), textboxes
+(position-ordered containers in a 'textbox' section group with
+AlternateContent dedup), blip-less DrawingML shapes as placeholder
+pictures, shape text ('shape-text' groups), monospace-font code fallback.
+
+Out of scope (documented partiality): image PIXEL payloads (the reference
+rasterizes via PIL/LibreOffice; we emit placeholder PictureItems), native
+chart data tables, comments. Golden status: 30/32 md and 31/32 itxt
+byte-identical; the 2 gaps need LibreOffice rasterization (drawingml) or
+bake in a reference lxml id()-reuse artifact (textbox - see
+tests/test_msword.py).
 """
 
 from __future__ import annotations
@@ -314,6 +323,7 @@ class Converter:
         self.content_layer = "body"
         self.rels = pkg.rels
         self._cell_depth = 0
+        self._processed_textboxes: set[int] = set()
         self._prev_sibling_is_code = False
         self._force_new_code_block = False
         self._pending_code_blank_lines = 0
@@ -454,7 +464,9 @@ class Converter:
 
     # -- numbering -----------------------------------------------------------
     def _numid_ilvl(self, p: ET.Element):
-        numpr = p.find(f"{_w('pPr')}/{_w('numPr')}")
+        # deep find, like the reference's `.//w:numPr` (:923): a textbox
+        # paragraph's numbering makes the OUTER paragraph a list item too
+        numpr = p.find(f".//{_w('numPr')}")
         if numpr is not None:
             nid = numpr.find(_w("numId"))
             ilvl = numpr.find(_w("ilvl"))
@@ -587,6 +599,120 @@ class Converter:
         if group_text.strip():
             out.append((group_text.strip(), prev_fmt, None))
         return out
+
+    # -- equations -----------------------------------------------------------
+    def _equations_in(self, element: ET.Element, text: str):
+        """(text with <eq>..</eq> markers, equations list) - reference
+        _handle_equations_in_text:1882-1968. Direct oMath children are
+        converted in sibling order; the deep-iteration fallback catches
+        oMath nested in oMathPara wrappers."""
+        from .omml import omath_to_latex
+        only_texts: list[str] = []
+        only_eqs: list[str] = []
+        seq: list[str] = []
+
+        def add_eq(el):
+            try:
+                latex = omath_to_latex(el).strip()
+            except Exception:
+                latex = ""
+            if latex:
+                only_eqs.append(f"<eq>{latex}</eq>")
+                seq.append(f"<eq>{latex}</eq>")
+
+        direct = [c for c in element
+                  if "oMath" in c.tag and "oMathPara" not in c.tag]
+        if direct:
+            for c in element:
+                if "oMath" in c.tag and "oMathPara" not in c.tag:
+                    add_eq(c)
+                else:
+                    for t in c.iter():
+                        if (t.tag.rsplit("}", 1)[-1] == "t"
+                                and "math" not in t.tag
+                                and isinstance(t.text, str)):
+                            only_texts.append(t.text)
+                            seq.append(t.text)
+        else:
+            for sub in element.iter():
+                tagl = sub.tag.rsplit("}", 1)[-1]
+                if (tagl == "t" and "math" not in sub.tag
+                        and isinstance(sub.text, str)):
+                    only_texts.append(sub.text)
+                    seq.append(sub.text)
+                elif "oMath" in sub.tag and "oMathPara" not in sub.tag:
+                    add_eq(sub)
+        if not only_eqs:
+            return text, []
+        if (re.sub(r"\s+", "", "".join(only_texts)).strip()
+                != re.sub(r"\s+", "", text).strip()):
+            return text, []  # cannot reconstruct faithfully: no equations
+        out = ""
+        pos = 0
+        for sub in seq:
+            if not sub:
+                continue
+            if sub.startswith("<eq>"):
+                out += sub
+            else:
+                p = text.find(sub, pos)
+                if p >= 0:
+                    out += sub
+                    pos = p + len(sub)
+                else:
+                    out += sub
+        return out, only_eqs
+
+    def _add_inline_eqs(self, parent, text: str, equations: list,
+                        refs: Optional[list]) -> None:
+        """Split marked text into alternating text/formula children
+        (reference _add_inline_equations_to_parent:2367-2428): pre-equation
+        text keeps its trailing whitespace, the tail is stripped."""
+        text_tmp = text
+        for eq in equations:
+            if not text_tmp:
+                break
+            parts = text_tmp.split(eq.strip(), maxsplit=1)
+            pre = parts[0]
+            text_tmp = "" if len(parts) == 1 else parts[1]
+            if pre:
+                e1 = self.doc.add_text(label="text", parent=parent,
+                                       text=pre,
+                                       content_layer=self.content_layer)
+                if refs is not None:
+                    refs.append(e1.self_ref)
+            e2 = self.doc.add_text(
+                label="formula", parent=parent,
+                text=eq.replace("<eq>", "").replace("</eq>", ""),
+                content_layer=self.content_layer)
+            if refs is not None:
+                refs.append(e2.self_ref)
+        if text_tmp:
+            e3 = self.doc.add_text(label="text", parent=parent,
+                                   text=text_tmp.strip(),
+                                   content_layer=self.content_layer)
+            if refs is not None:
+                refs.append(e3.self_ref)
+
+    def _add_list_item_with_equations(self, numid, ilevel, text, equations,
+                                      is_numbered) -> list:
+        created: list = []
+        use_level = self._manage_list(numid, ilevel, created)
+        if is_numbered:
+            self._counter_next(numid, ilevel)
+            marker = self._enum_marker(numid, ilevel)
+        else:
+            marker = ""
+        if not self._is_list_group(self.parents[use_level]):
+            return created
+        li = self.doc.add_list_item(
+            marker=marker, enumerated=is_numbered,
+            parent=self.parents[use_level], text="",
+            content_layer=self.content_layer)
+        inline = self.doc.add_inline_group(parent=li,
+                                           content_layer=self.content_layer)
+        self._add_inline_eqs(inline, text, equations, None)
+        return created
 
     # -- checkbox ----------------------------------------------------------
     def _checkbox_label(self, p: ET.Element) -> Optional[str]:
@@ -781,7 +907,9 @@ class Converter:
         from .model import CodeItem
         refs: list = []
         elements = self._para_elements(p)
-        text = self._para_text(p).strip()
+        raw_text = self._para_text(p)
+        text, equations = self._equations_in(p, raw_text)
+        text = text.strip()
         checkbox = self._checkbox_label(p)
         self._prev_sibling_is_code = isinstance(
             self._last_child_item(self.parents.get(self._get_level() - 1)),
@@ -794,7 +922,12 @@ class Converter:
         if (numid is not None and ilevel is not None
                 and style_id not in ("Title", "Heading", "Code")):
             is_numbered = self.numbering.visible(numid, ilevel)
-            refs = self._add_list_item(numid, ilevel, elements, is_numbered)
+            if equations:
+                refs = self._add_list_item_with_equations(
+                    numid, ilevel, text, equations, is_numbered)
+            else:
+                refs = self._add_list_item(numid, ilevel, elements,
+                                           is_numbered)
             self._update_history(style_id, style_level, numid, ilevel)
             return refs
         if (self._prev_numid() is not None
@@ -833,6 +966,32 @@ class Converter:
             is_numbered = (numid is not None
                            and self.numbering.visible(numid, ilevel or 0))
             refs.extend(self._add_heading(style_level, text, is_numbered))
+        elif equations:
+            level = self._get_level()
+            parent = self.parents.get(level - 1)
+            if not raw_text.strip() and text:
+                # standalone equation paragraph(s) -> formula items
+                if len(equations) > 1:
+                    for eq in equations:
+                        eq_text = (eq.replace("<eq>", "")
+                                   .replace("</eq>", "").strip())
+                        if eq_text:
+                            t1 = self.doc.add_text(
+                                label="formula", parent=parent,
+                                text=eq_text,
+                                content_layer=self.content_layer)
+                            refs.append(t1.self_ref)
+                else:
+                    t1 = self.doc.add_text(
+                        label="formula", parent=parent,
+                        text=text.replace("<eq>", "").replace("</eq>", ""),
+                        content_layer=self.content_layer)
+                    refs.append(t1.self_ref)
+            else:
+                inline = self.doc.add_inline_group(
+                    parent=parent, content_layer=self.content_layer)
+                refs.append(inline.self_ref)
+                self._add_inline_eqs(inline, text, equations, refs)
         elif style_id == "Code" and not checkbox:
             level = self._get_level()
             parent = self.parents.get(level - 1)
@@ -974,6 +1133,10 @@ class Converter:
                     grid_col += col_span
                     continue
                 text = self._cell_text(tc)
+                text, cell_eqs = self._equations_in(tc, text)
+                if cell_eqs:
+                    text = (text.replace("<eq>", "$")
+                            .replace("</eq>", "$"))
                 ref = None
                 if self._is_rich_cell(tc):
                     refs = self._walk_cell_isolated(tc)
@@ -1026,6 +1189,60 @@ class Converter:
             self.parents = dict(self.parents)
         return refs
 
+    # -- textboxes ------------------------------------------------------------
+    def _collect_textboxes(self, element: ET.Element):
+        """Ordered textbox containers under a body element: each entry is
+        the container's paragraphs in position order (reference
+        _collect_textbox_paragraphs:1738-1797 - position resolves to the
+        paragraph's index within its container)."""
+        containers: list[list] = []
+        seen: set[int] = set()
+        node_ids: set[int] = set()
+        for node in element.iter():
+            tagl = node.tag.rsplit("}", 1)[-1]
+            if tagl in ("txbxContent", "textbox"):
+                ps = [p for p in node.iter(_w("p")) if id(p) not in seen]
+                node_ids.update(id(x) for x in node.iter())
+                if ps:
+                    containers.append(ps)
+                    seen.update(id(p) for p in ps)
+        return containers, node_ids
+
+    def _handle_textboxes(self, containers: list) -> list:
+        """All textbox content of one body element lands in a 'textbox'
+        section group (reference _handle_textbox_content:1798-1881):
+        paragraphs deduped by text (AlternateContent emits each twice),
+        empty ones by (text, position); embedded images follow their
+        paragraph."""
+        refs: list = []
+        level = self._get_level()
+        group = self.doc.add_group(
+            label="section", name="textbox",
+            parent=self.parents[level - 1],
+            content_layer=self.content_layer)
+        refs.append(group.self_ref)
+        original = self.parents.get(level)
+        self.parents[level] = group
+        processed: set = set()
+        try:
+            for ps in containers:
+                for i, p in enumerate(ps):
+                    text = self._para_text(p).strip()
+                    key = text if text else ("", i)
+                    if key in processed:
+                        continue
+                    processed.add(key)
+                    refs.extend(self._handle_paragraph(p))
+                    blips = p.findall(f".//{{{A}}}blip")
+                    vml = p.findall(f".//{{{V}}}imagedata")
+                    if blips:
+                        refs.extend(self._handle_pictures(len(blips)))
+                    elif vml:
+                        refs.extend(self._handle_pictures(len(vml)))
+        finally:
+            self.parents[level] = original
+        return refs
+
     # -- pictures -------------------------------------------------------------
     def _handle_pictures(self, n_images: int) -> list:
         """One PictureItem per image; >1 image in a paragraph shares a
@@ -1050,6 +1267,29 @@ class Converter:
         added: list[str] = []
         for element in body:
             tag = element.tag.rsplit("}", 1)[-1]
+            tb_node_ids: set = set()
+            if id(element) not in self._processed_textboxes:
+                containers, tb_node_ids = self._collect_textboxes(element)
+                if containers:
+                    self._processed_textboxes.add(id(element))
+                    added.extend(self._handle_textboxes(containers))
+                else:
+                    # shape text outside any textbox (a:txBody runs):
+                    # a 'shape-text' section group with the joined text
+                    shape_ts = [
+                        t.text for tx in element.iter(f"{{{A}}}txBody")
+                        for t in tx.iter(f"{{{A}}}t") if t.text]
+                    if shape_ts and " ".join(shape_ts).strip():
+                        level = self._get_level()
+                        sg = self.doc.add_group(
+                            label="section", name="shape-text",
+                            parent=self.parents[level - 1],
+                            content_layer=self.content_layer)
+                        added.append(sg.self_ref)
+                        self.doc.add_text(
+                            label="text", parent=sg,
+                            text=" ".join(shape_ts),
+                            content_layer=self.content_layer)
             if tag == "tbl":
                 try:
                     added.extend(self._handle_table(element))
@@ -1060,12 +1300,26 @@ class Converter:
                 if content is not None:
                     added.extend(self._walk(content))
             elif tag == "p":
-                blips = element.findall(f".//{{{A}}}blip")
-                vml = element.findall(f".//{{{V}}}imagedata")
+                # images inside textboxes were emitted with their textbox
+                blips = [b for b in element.findall(f".//{{{A}}}blip")
+                         if id(b) not in tb_node_ids]
+                vml = [v for v in element.findall(f".//{{{V}}}imagedata")
+                       if id(v) not in tb_node_ids]
+                drawings = [d for d in element.findall(f".//{_w('drawing')}")
+                            if id(d) not in tb_node_ids]
                 if blips or vml:
                     added.extend(self._handle_pictures(len(blips or vml)))
                     if element.find(f".//{_w('t')}") is not None:
                         added.extend(self._handle_paragraph(element))
+                elif drawings:
+                    # blip-less DrawingML shapes: the reference rasterizes
+                    # them via LibreOffice into ONE picture per element
+                    # (msword_backend.py:3157-3183); we emit the same
+                    # placeholder PictureItem without pixel payload
+                    added.extend(self._handle_pictures(1))
+                    if element.find(f".//{_w('t')}") is not None:
+                        added.extend(self._handle_paragraph(
+                            element, skip_empty_text=True))
                 else:
                     added.extend(self._handle_paragraph(element))
         return added

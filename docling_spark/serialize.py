@@ -35,6 +35,9 @@ def _escape_md(text: str) -> str:
 
 def _fmt_inline(item: TextItem) -> str:
     """Serialize one text run with formatting + hyperlink marks."""
+    if item.label == "formula":
+        # LaTeX rides verbatim between dollar signs, never md-escaped
+        return f"${item.text}$" if item.text else ""
     text = _escape_md(item.text)
     if isinstance(item, CodeItem):
         out = f"`{item.text}`" if item.text else ""
@@ -188,6 +191,12 @@ class MarkdownSerializer:
                 mark = "x" if item.label == "checkbox_selected" else " "
                 if item.text:
                     blocks.append(f"- [{mark}] {_escape_md(item.text)}")
+                return blocks
+            if item.label == "formula":
+                # standalone (block-level) formula: display-math fences
+                if item.text:
+                    blocks.append(f"$${item.text}$$")
+                blocks.extend(self._serialize_children(item, list_depth))
                 return blocks
             if isinstance(item, CodeItem):
                 blocks.append(f"```\n{item.text}\n```")

@@ -15,13 +15,15 @@ from docling_spark.serialize import to_indented_text, to_markdown
 SRC = pathlib.Path("/root/reference/tests/data/docx/sources")
 GT = pathlib.Path("/root/reference/tests/data/docx/groundtruth")
 
-# fixtures whose md is expected byte-identical (everything except the
-# OMML/textbox/drawingml subsystems scoped out this round)
-OUT_OF_SCOPE = {
-    "equations", "omml_frac_superscript", "omml_func_log",
-    "omml_multi_equation_paragraph", "omml_text_escapes_in_math",
-    "table_with_equations", "textbox", "drawingml",
-}
+# fixtures whose md is expected byte-identical. The two exclusions:
+# - drawingml: golden embeds LibreOffice-rasterized shape PNGs and a
+#   native-chart data table (tabulate-style md) - renderer absent here;
+#   its itxt DOES match and is asserted below.
+# - textbox: the golden silently drops 4 of 13 textboxes because the
+#   reference tracks processed elements by id() of ephemeral lxml
+#   proxies, which the GC reuses; our output is a strict superset.
+OUT_OF_SCOPE = {"textbox", "drawingml"}
+ITXT_ALSO_OK = {"drawingml"}
 
 
 def _names():
@@ -39,7 +41,7 @@ def test_docx_md_golden_byte_identical(stem):
 
 
 @pytest.mark.parametrize("stem", [n for n in _names()
-                                  if n not in OUT_OF_SCOPE])
+                                  if n not in OUT_OF_SCOPE - ITXT_ALSO_OK])
 def test_docx_itxt_golden_byte_identical(stem):
     raw = (SRC / f"{stem}.docx").read_bytes()
     doc = convert_docx(raw, name=stem, filename=f"{stem}.docx")
@@ -73,3 +75,32 @@ def test_engine_dispatches_docx(spark):
     assert ok["status"] == "success"
     assert ok["n_texts"] > 0
     assert rows["https://x/broken.docx"]["status"] == "failure"
+
+
+def test_omml_to_latex_units():
+    from xml.etree import ElementTree as ET
+    from docling_spark.omml import omath_to_latex
+    M = "http://schemas.openxmlformats.org/officeDocument/2006/math"
+    ET.register_namespace("m", M)
+
+    def run(xml):
+        return omath_to_latex(
+            ET.fromstring(f'<m:oMath xmlns:m="{M}">{xml}</m:oMath>'))
+
+    assert run("<m:r><m:t>a=b</m:t></m:r>") == "a=b"
+    assert run("<m:f><m:num><m:r><m:t>x</m:t></m:r></m:num>"
+               "<m:den><m:r><m:t>y</m:t></m:r></m:den></m:f>") \
+        == "\\frac{x}{y}"
+    assert run("<m:sSup><m:e><m:r><m:t>r</m:t></m:r></m:e>"
+               "<m:sup><m:r><m:t>2</m:t></m:r></m:sup></m:sSup>") \
+        == "r^{2}"
+    # fraction base grouped under a superscript
+    assert run("<m:sSup><m:e><m:f><m:num><m:r><m:t>x</m:t></m:r></m:num>"
+               "<m:den><m:r><m:t>v</m:t></m:r></m:den></m:f></m:e>"
+               "<m:sup><m:r><m:t>2</m:t></m:r></m:sup></m:sSup>") \
+        == "{\\frac{x}{v}}^{2}"
+    assert run("<m:rad><m:deg/><m:e><m:r><m:t>x</m:t></m:r></m:e></m:rad>") \
+        == "\\sqrt{x}"
+    assert run("<m:d><m:dPr/><m:e><m:r><m:t>x</m:t></m:r></m:e></m:d>") \
+        == "\\left(x\\right)"
+    assert run("<m:r><m:t>π</m:t></m:r>").strip() == "\\pi"
