@@ -296,6 +296,21 @@ def _q_extract_spans(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_spans")))
 
 
+def _q_extract_docx(spark, sf_dir):
+    """DOCX backend through the Spark engine: the reference's own docx
+    fixtures as (url, bytes) rows -> extraction envelopes (rows-only;
+    byte-identity vs goldens is pinned by tests/test_msword.py)."""
+    import pathlib
+    _ensure_shipped(spark)
+    src = pathlib.Path("/root/reference/tests/data/docx/sources")
+    rows = [(f"https://fixtures.test/docx/{p.name}", p.read_bytes())
+            for p in sorted(src.glob("*.docx"))]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").limit(500)
     # plant near-duplicates: append a tail to a copy of each 25th doc
@@ -331,8 +346,8 @@ def _q_emb_knn_lsh(spark, sf_dir):
     dim = len(emb.select("embedding").first()["embedding"])
     queries_df = emb.where(F.col("vec_id") < 5)
     return similarity.cosine_topk_lsh(emb, queries_df, dim=dim, k=3,
-                                      n_planes=6, n_tables=4,
-                                      probe_hamming=1)
+                                      n_planes=6, n_tables=2,
+                                      probe_hamming=2)
 
 
 def _q_pdf_layout_stages(spark, sf_dir):
@@ -414,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL twin):
         "doc_chunks_hier": _q_doc_chunks_hier,
         "extract_fixture_pages": _q_extract_fixtures,
+        "extract_docx_fixtures": _q_extract_docx,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_dups,

@@ -40,8 +40,10 @@ def main() -> None:
     from docling_spark import engine, pages as pages_mod
 
     sf = sf_of(SF_DIR)
-    # extraction corpus scaled with sf: sf0.1 -> 4000 pages (~35 MB html)
-    default_rows = max(256, int(40_000 * sf))
+    # extraction corpus scaled with sf: sf0.1 -> 100k pages (~0.9 GB html),
+    # sized so the headline leg runs >=8s and measures steady-state
+    # throughput rather than fixed cost (pages are cached across runs)
+    default_rows = max(256, int(1_000_000 * sf))
     n_pages = int(os.environ.get("BENCH_PAGES_ROWS", default_rows))
 
     pages_path = pages_mod.ensure_pages(n_pages)
@@ -94,7 +96,7 @@ def main() -> None:
         "events_hourly", "event_sessions", "top_users_per_event_type",
         "doc_stats", "doc_exact_dups", "doc_lang_agg",
         "emb_knn_bruteforce", "minhash_near_dups", "simhash_near_dups",
-        "emb_knn_lsh",
+        "emb_knn_lsh", "doc_chunks", "near_dup_groups", "doc_confidence",
     ]
     for name in bench_queries:
         fn = qs[name]

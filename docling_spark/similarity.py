@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -81,6 +82,41 @@ def lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 16,
     return embeddings.withColumn("bucket", bucket)
 
 
+def _sketch_keys_udf(dim: int, n_planes: int, seeds: list, masks=None):
+    """Vectorized LSH sketch keys: a pandas UDF computing, per Arrow
+    batch, one numpy matmul against all tables' hyperplanes at once and
+    packing sign bits into composite ``(table << n_planes) | bucket``
+    keys (optionally expanded by XOR probe masks)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [random_hyperplanes(dim, n_planes, s) for s in seeds],
+        dtype=np.float64)                       # (T, P, dim)
+    n_tables = len(seeds)
+    w = planes.reshape(-1, dim).T               # (dim, T*P)
+    bit_weights = (1 << np.arange(n_planes)).astype(np.int64)
+    table_offsets = (np.arange(n_tables, dtype=np.int64) << n_planes)
+    mask_arr = (np.array(masks, dtype=np.int64)
+                if masks else np.zeros(1, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def keys(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(emb.tolist(), dtype=np.float64)      # (n, dim)
+        signs = (mat @ w) > 0                                # (n, T*P)
+        buckets = (signs.reshape(len(mat), n_tables, n_planes)
+                   @ bit_weights)                            # (n, T)
+        # probe expansion: bucket ^ mask, then table offset
+        probed = (buckets[:, :, None] ^ mask_arr[None, None, :]
+                  ) + table_offsets[None, :, None]           # (n, T, M)
+        flat = probed.reshape(len(mat), -1)
+        return pd.Series(list(flat))
+
+    return keys
+
+
 def _probe_masks(n_planes: int, radius: int) -> list:
     """XOR masks for all buckets within Hamming ``radius`` of a sketch."""
     from itertools import combinations
@@ -108,31 +144,36 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
       (miss probability decays geometrically in n_tables).
 
     Candidates are deduped across tables/probes before scoring, so each
-    (query, neighbor) pair is scored exactly once.
+    (query, neighbor) pair is scored exactly once. All tables ride ONE
+    corpus scan and ONE equi-join on a composite key
+    ``(table << n_planes) | bucket``. Sketches are computed by a
+    vectorized Arrow/numpy matmul (one ``(n, dim) @ (dim, T*P)`` per
+    record batch) - hyperplane signs are scale-invariant, so the raw
+    embedding is bucketed and normalization is paid only at scoring.
     """
-    from functools import reduce
-
-    corpus = with_normalized(embeddings).select(
-        F.col("vec_id").alias("nbr_id"), F.col("norm_emb").alias("nbr_emb"))
-    qs = with_normalized(queries).select(
-        F.col("vec_id").alias("query_id"), F.col("norm_emb").alias("q_emb"))
+    keys_udf = _sketch_keys_udf(dim, n_planes,
+                                [seed + 7919 * t for t in range(n_tables)],
+                                masks=None)
     masks = _probe_masks(n_planes, probe_hamming)
-    cand_frames = []
-    for t in range(n_tables):
-        s = seed + 7919 * t
-        cb = lsh_bucket(corpus, dim, n_planes, s, col="nbr_emb").select(
-            "nbr_id", "bucket")
-        qb = lsh_bucket(qs, dim, n_planes, s, col="q_emb").select(
-            "query_id", "bucket")
-        if len(masks) > 1:
-            qb = qb.withColumn("bucket", F.explode(F.array(
-                *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])))
-        cand_frames.append(
-            cb.join(F.broadcast(qb), "bucket")
-            .select("query_id", "nbr_id"))
-    cands = (reduce(lambda a, b: a.unionByName(b), cand_frames)
+    probe_udf = _sketch_keys_udf(dim, n_planes,
+                                 [seed + 7919 * t for t in range(n_tables)],
+                                 masks=masks)
+    corpus = with_normalized(embeddings).select(
+        F.col("vec_id").alias("nbr_id"), F.col("norm_emb").alias("nbr_emb"),
+        F.col("embedding").alias("raw_emb"))
+    qs = with_normalized(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("norm_emb").alias("q_emb"),
+        F.col("embedding").alias("raw_emb"))
+    cb = corpus.select(
+        "nbr_id", F.explode(keys_udf("raw_emb")).alias("key"))
+    qb = qs.select(
+        "query_id", F.explode(probe_udf("raw_emb")).alias("key"))
+    cands = (cb.join(F.broadcast(qb), "key")
+             .select("query_id", "nbr_id")
              .where(F.col("nbr_id") != F.col("query_id"))
              .distinct())
+    corpus = corpus.drop("raw_emb")
+    qs = qs.drop("raw_emb")
     scored = (cands.join(corpus, "nbr_id")
               .join(F.broadcast(qs), "query_id")
               .withColumn("cosine", _dot(F.col("q_emb"), F.col("nbr_emb"))))
