@@ -79,6 +79,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .extractor import HtmlExtractor
     from .formats import (convert_asciidoc, convert_csv, convert_email,
                           convert_epub, convert_markdown, convert_vtt)
+    from .msexcel import convert_xlsx
     from .msword import convert_docx
     from .serialize import to_indented_text, to_json, to_markdown
 
@@ -131,6 +132,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                            filename=tail, binary_hash=bh)
                 elif ext == "docx":
                     doc = convert_docx(raw, name=name,
+                                       filename=tail, binary_hash=bh)
+                elif ext in ("xlsx", "xlsm"):
+                    doc = convert_xlsx(raw, name=name,
                                        filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,

@@ -147,7 +147,8 @@ class TableData:
 
 
 class NodeItem:
-    __slots__ = ("self_ref", "parent_ref", "children", "content_layer")
+    __slots__ = ("self_ref", "parent_ref", "children", "content_layer",
+                 "prov")
 
     def __init__(self, self_ref: str, parent_ref: Optional[str],
                  content_layer: str = BODY):
@@ -155,6 +156,9 @@ class NodeItem:
         self.parent_ref = parent_ref
         self.children: list[str] = []
         self.content_layer = content_layer
+        # provenance dicts ({page_no, bbox, charspan}) for paginated
+        # backends (xlsx); [] keeps the HTML/DOCX exports byte-stable
+        self.prov: list = []
 
     def base_dict(self) -> dict:
         d: dict = {"self_ref": self.self_ref}
@@ -183,7 +187,7 @@ class GroupItem(NodeItem):
 
 class TextItem(NodeItem):
     __slots__ = ("label", "text", "orig", "formatting", "hyperlink", "kind",
-                 "source")
+                 "source", "comments")
 
     def __init__(self, self_ref, parent_ref, label, text, orig=None,
                  formatting=None, hyperlink=None, content_layer=BODY,
@@ -196,11 +200,14 @@ class TextItem(NodeItem):
         self.hyperlink: Optional[str] = hyperlink
         self.kind = kind  # field_value texts: read_only | fillable
         self.source = source  # track provenance (WebVTT cues)
+        self.comments: list[str] = []  # refs of comment texts targeting this
 
     def to_dict(self) -> dict:
         d = self.base_dict()
         d["label"] = self.label
-        d["prov"] = []
+        d["prov"] = list(self.prov)
+        if self.comments:
+            d["comments"] = [{"$ref": r} for r in self.comments]
         if self.source is not None:
             d["source"] = self.source
         d["orig"] = self.orig
@@ -260,39 +267,46 @@ class CodeItem(TextItem):
 
 
 class PictureItem(NodeItem):
-    __slots__ = ("captions", "meta")
+    __slots__ = ("captions", "meta", "image")
 
     def __init__(self, self_ref, parent_ref, content_layer=BODY):
         super().__init__(self_ref, parent_ref, content_layer)
         self.captions: list[str] = []
         self.meta = None
+        self.image = None  # ImageRef dict: mimetype/dpi/size/uri
 
     def to_dict(self) -> dict:
         d = self.base_dict()
+        # docling-core serializes `meta` right after content_layer
+        if self.meta is not None:
+            d["meta"] = self.meta
         d["label"] = "picture"
-        d["prov"] = []
+        d["prov"] = list(self.prov)
         d["captions"] = [{"$ref": r} for r in self.captions]
         d["references"] = []
         d["footnotes"] = []
+        if self.image is not None:
+            d["image"] = self.image
         d["annotations"] = []
-        if self.meta is not None:
-            d["meta"] = self.meta
         return d
 
 
 class TableItem(NodeItem):
-    __slots__ = ("data", "captions")
+    __slots__ = ("data", "captions", "comments")
 
     def __init__(self, self_ref, parent_ref, data: TableData,
                  content_layer=BODY):
         super().__init__(self_ref, parent_ref, content_layer)
         self.data = data
         self.captions: list[str] = []
+        self.comments: list[str] = []
 
     def to_dict(self) -> dict:
         d = self.base_dict()
         d["label"] = "table"
-        d["prov"] = []
+        d["prov"] = list(self.prov)
+        if self.comments:
+            d["comments"] = [{"$ref": r} for r in self.comments]
         d["captions"] = [{"$ref": r} for r in self.captions]
         d["references"] = []
         d["footnotes"] = []
@@ -307,7 +321,7 @@ class FieldRegionItem(NodeItem):
     def to_dict(self) -> dict:
         d = self.base_dict()
         d["label"] = "field_region"
-        d["prov"] = []
+        d["prov"] = list(self.prov)
         return d
 
 
@@ -317,7 +331,7 @@ class FieldItemItem(NodeItem):
     def to_dict(self) -> dict:
         d = self.base_dict()
         d["label"] = "field_item"
-        d["prov"] = []
+        d["prov"] = list(self.prov)
         return d
 
 
@@ -346,6 +360,8 @@ class Doc:
         self.pictures: list[PictureItem] = []
         self.field_regions: list[FieldRegionItem] = []
         self.field_items: list[FieldItemItem] = []
+        # page_no -> (width, height) for paginated backends (xlsx)
+        self.pages: dict[int, tuple] = {}
 
     # -- ref helpers ---------------------------------------------------------
     def resolve(self, ref: str) -> AnyItem:
@@ -372,13 +388,15 @@ class Doc:
     # -- add API ---------------------------------------------------------
     def add_text(self, label="text", text="", orig=None, parent=None,
                  content_layer=BODY, formatting=None, hyperlink=None,
-                 kind=None, source=None):
+                 kind=None, source=None, prov=None):
         ref = f"#/texts/{len(self.texts)}"
         pref = self._parent_ref(parent, content_layer)
         item = TextItem(ref, pref, label, text, orig=orig,
                         formatting=formatting, hyperlink=hyperlink,
                         content_layer=content_layer, kind=kind,
                         source=source)
+        if prov:
+            item.prov = list(prov)
         self.texts.append(item)
         self._attach(item, pref)
         return item
@@ -444,10 +462,13 @@ class Doc:
         return self.add_group(label="inline", name=name, parent=parent,
                               content_layer=content_layer)
 
-    def add_table(self, data: TableData, parent=None, content_layer=BODY):
+    def add_table(self, data: TableData, parent=None, content_layer=BODY,
+                  prov=None):
         ref = f"#/tables/{len(self.tables)}"
         pref = self._parent_ref(parent, content_layer)
         item = TableItem(ref, pref, data, content_layer=content_layer)
+        if prov:
+            item.prov = list(prov)
         self.tables.append(item)
         self._attach(item, pref)
         return item
@@ -471,10 +492,13 @@ class Doc:
         self._attach(item, pref)
         return item
 
-    def add_picture(self, caption=None, parent=None, content_layer=BODY):
+    def add_picture(self, caption=None, parent=None, content_layer=BODY,
+                    prov=None):
         ref = f"#/pictures/{len(self.pictures)}"
         pref = self._parent_ref(parent, content_layer)
         item = PictureItem(ref, pref, content_layer=content_layer)
+        if prov:
+            item.prov = list(prov)
         self.pictures.append(item)
         self._attach(item, pref)
         if caption is not None:
@@ -532,5 +556,9 @@ class Doc:
             **({"field_regions": [f.to_dict() for f in self.field_regions],
                 "field_items": [f.to_dict() for f in self.field_items]}
                if self.field_regions else {}),
-            "pages": {},
+            "pages": {
+                str(n): {"size": {"width": float(w), "height": float(h)},
+                         "page_no": n}
+                for n, (w, h) in sorted(self.pages.items())
+            },
         }

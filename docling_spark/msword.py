@@ -56,7 +56,100 @@ R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 W14 = "http://schemas.microsoft.com/office/word/2010/wordml"
 A = "http://schemas.openxmlformats.org/drawingml/2006/main"
 V = "urn:schemas-microsoft-com:vml"
+C = "http://schemas.openxmlformats.org/drawingml/2006/chart"
 PKG_R = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+# chart plot tag -> picture classification (reference
+# msword_backend.py:112-130 / msexcel_backend.py:106-117)
+_CHART_CLASSIFY = {
+    "barChart": "bar_chart", "bar3DChart": "bar_chart",
+    "lineChart": "line_chart", "line3DChart": "line_chart",
+    "pieChart": "pie_chart", "pie3DChart": "pie_chart",
+    "doughnutChart": "pie_chart", "scatterChart": "scatter_chart",
+}
+
+
+def _classify_chart(root) -> str:
+    plot_area = root.find(f".//{{{C}}}plotArea")
+    if plot_area is not None:
+        for child in plot_area:
+            label = _CHART_CLASSIFY.get(child.tag.rsplit("}", 1)[-1])
+            if label is not None:
+                return label
+    return "other_chart"
+
+
+def _chart_cell_text(value) -> str:
+    """Cached chart value -> cell text; numbers round-trip through float
+    ('4.4000000000000004' -> '4.4', '2' -> '2')."""
+    if value is None:
+        return ""
+    try:
+        number = float(value)
+    except (TypeError, ValueError):
+        return value
+    if number.is_integer():
+        return str(int(number))
+    return str(number)
+
+
+def _read_chart_cache(node) -> list:
+    """c:pt values under a data source (numCache/strCache/numLit/strLit),
+    idx-aligned with ptCount gap filling."""
+    if node is None:
+        return []
+    cache = None
+    for tag in ("numCache", "strCache", "numLit", "strLit"):
+        cache = node.find(f".//{{{C}}}{tag}")
+        if cache is not None:
+            break
+    if cache is None:
+        return []
+    points = {}
+    for pt in cache.findall(f"{{{C}}}pt"):
+        try:
+            idx = int(pt.get("idx", "0"))
+        except ValueError:
+            continue
+        v = pt.find(f"{{{C}}}v")
+        points[idx] = _chart_cell_text(v.text if v is not None else None)
+    if not points:
+        return []
+    count = 0
+    count_el = cache.find(f"{{{C}}}ptCount")
+    if count_el is not None and count_el.get("val"):
+        try:
+            count = int(count_el.get("val"))
+        except ValueError:
+            count = 0
+    length = max([count] + [idx + 1 for idx in points])
+    return [points.get(i, "") for i in range(length)]
+
+
+def _chart_series_name(ser) -> str:
+    tx = ser.find(f"{{{C}}}tx")
+    if tx is None:
+        return ""
+    cached = _read_chart_cache(tx)
+    if cached:
+        return cached[0]
+    v = tx.find(f"{{{C}}}v")
+    return _chart_cell_text(v.text) if v is not None else ""
+
+
+def _chart_title_text(root):
+    chart = root.find(f"{{{C}}}chart")
+    if chart is None:
+        return None
+    title = chart.find(f"{{{C}}}title")
+    if title is None:
+        return None
+    runs = [t.text for t in title.iter(f"{{{A}}}t") if t.text]
+    text = "".join(runs).strip()
+    if not text:
+        cached = _read_chart_cache(title)
+        text = cached[0].strip() if cached else ""
+    return text or None
 
 
 def _w(tag: str) -> str:
@@ -1260,6 +1353,60 @@ class Converter:
             refs.append(pic.self_ref)
         return refs
 
+    # -- native charts ---------------------------------------------------------
+    def _handle_chart(self, drawing) -> list:
+        """Native chart drawing -> classified picture with reconstructed data
+        (reference _handle_chart, msword_backend.py:3196-3399): the chart part
+        is resolved via the document rels and its inline numCache/strCache
+        values become the picture's tabular_chart meta."""
+        from .msexcel import chart_grid_table
+        level = self._get_level()
+        parent = self.parents[level - 1]
+        root = None
+        chart_ref = drawing.find(f".//{{{C}}}chart")
+        if chart_ref is not None:
+            rid = chart_ref.get(f"{{{R}}}id")
+            rel = self.rels.get(rid)
+            if rel is not None:
+                root = self.pkg.part_xml(rel["target"])
+        classification = table_data = caption_text = None
+        if root is not None:
+            classification = _classify_chart(root)
+            categories: list = []
+            for ser in root.iter(f"{{{C}}}ser"):
+                cat = ser.find(f"{{{C}}}cat")
+                if cat is None:
+                    cat = ser.find(f"{{{C}}}xVal")
+                resolved = _read_chart_cache(cat)
+                if resolved:
+                    categories = resolved
+                    break
+            columns = []
+            for ser in root.iter(f"{{{C}}}ser"):
+                val = ser.find(f"{{{C}}}val")
+                if val is None:
+                    val = ser.find(f"{{{C}}}yVal")
+                columns.append((_chart_series_name(ser),
+                                _read_chart_cache(val)))
+            table_data = chart_grid_table(categories, columns) if columns \
+                else None
+            caption_text = _chart_title_text(root)
+        caption_item = None
+        if caption_text:
+            caption_item = self.doc.add_text(
+                label="caption", text=caption_text,
+                content_layer=self.content_layer)
+        pic = self.doc.add_picture(parent=parent, caption=caption_item,
+                                   content_layer=self.content_layer)
+        if classification is not None:
+            pic.meta = {
+                "classification": {
+                    "predictions": [{"class_name": classification}]},
+                "tabular_chart": ({"chart_data": table_data.to_dict()}
+                                  if table_data is not None else None),
+            }
+        return [pic.self_ref]
+
     # -- walk -----------------------------------------------------------------
     def _walk(self, body: ET.Element) -> list:
         """Linear walk over block elements; returns the refs the handlers
@@ -1312,11 +1459,20 @@ class Converter:
                     if element.find(f".//{_w('t')}") is not None:
                         added.extend(self._handle_paragraph(element))
                 elif drawings:
-                    # blip-less DrawingML shapes: the reference rasterizes
-                    # them via LibreOffice into ONE picture per element
-                    # (msword_backend.py:3157-3183); we emit the same
-                    # placeholder PictureItem without pixel payload
-                    added.extend(self._handle_pictures(1))
+                    # native charts first (reference msword_backend.py:
+                    # 816-828), each parsed into a classified picture with
+                    # its cached data; remaining blip-less DrawingML shapes
+                    # are rasterized via LibreOffice in the reference into
+                    # ONE picture per element (msword_backend.py:3157-3183)
+                    # - we emit the same placeholder PictureItem without
+                    # pixel payload
+                    chart_ds = [d for d in drawings
+                                if d.find(f".//{{{C}}}chart") is not None]
+                    other_ds = [d for d in drawings if d not in chart_ds]
+                    for d in chart_ds:
+                        added.extend(self._handle_chart(d))
+                    if other_ds:
+                        added.extend(self._handle_pictures(1))
                     if element.find(f".//{_w('t')}") is not None:
                         added.extend(self._handle_paragraph(
                             element, skip_empty_text=True))

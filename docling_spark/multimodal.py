@@ -96,6 +96,24 @@ def decode_image_header(payload: bytes):
                 return (w, h, "jpeg")
             i += 2 + seg_len
         return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        fourcc = payload[12:16]
+        if fourcc == b"VP8 " and len(payload) >= 30:
+            if payload[23:26] == b"\x9d\x01\x2a":
+                w = struct.unpack("<H", payload[26:28])[0] & 0x3FFF
+                h = struct.unpack("<H", payload[28:30])[0] & 0x3FFF
+                return (w, h, "webp")
+            return None
+        if fourcc == b"VP8L" and len(payload) >= 25:
+            if payload[20] != 0x2F:
+                return None
+            bits = struct.unpack("<I", payload[21:25])[0]
+            return ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp")
+        if fourcc == b"VP8X" and len(payload) >= 30:
+            w = int.from_bytes(payload[24:27], "little") + 1
+            h = int.from_bytes(payload[27:30], "little") + 1
+            return (w, h, "webp")
+        return None
     return None
 
 

@@ -58,9 +58,56 @@ def _fmt_inline(item: TextItem) -> str:
     return out
 
 
+_NUM_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _tabulate_grid(chart_data: dict) -> str:
+    """Pipe table in the pandas ``to_markdown`` / tabulate style used by the
+    reference for chart data grids: header padding of 2, numeric columns
+    right-aligned and float-formatted with ``%g``, plain-dash separators."""
+    nrows = chart_data.get("num_rows", 0)
+    ncols = chart_data.get("num_cols", 0)
+    grid = [["" for _ in range(ncols)] for _ in range(nrows)]
+    for cell in chart_data.get("table_cells", []):
+        r, c = cell.get("start_row_offset_idx"), cell.get(
+            "start_col_offset_idx")
+        if r is not None and c is not None and r < nrows and c < ncols:
+            grid[r][c] = cell.get("text", "")
+    if not grid:
+        return ""
+    headers, rows = grid[0], grid[1:]
+    numeric, widths, display = [], [], []
+    for c in range(ncols):
+        col = [row[c] for row in rows]
+        non_empty = [v for v in col if v != ""]
+        is_num = bool(non_empty) and all(_NUM_RE.match(v) for v in non_empty)
+        disp = [format(float(v), "g") if is_num and v != "" else v
+                for v in col]
+        numeric.append(is_num)
+        widths.append(max([len(headers[c]) + 2]
+                          + [len(v) for v in disp] + [2]))
+        display.append(disp)
+
+    def fmt_row(cells, align_num) -> str:
+        out = []
+        for c, val in enumerate(cells):
+            w = widths[c]
+            out.append(val.rjust(w) if (numeric[c] and align_num)
+                       else val.ljust(w))
+        return "| " + " | ".join(out) + " |"
+
+    lines = [fmt_row(headers, align_num=True),
+             "|" + "|".join("-" * (w + 2) for w in widths) + "|"]
+    for r in range(len(rows)):
+        lines.append(fmt_row([display[c][r] for c in range(ncols)],
+                             align_num=True))
+    return "\n".join(lines)
+
+
 class MarkdownSerializer:
-    def __init__(self, doc: Doc):
+    def __init__(self, doc: Doc, layers=("body",)):
         self.doc = doc
+        self.layers = frozenset(layers)
         self._in_cell = False
 
     def serialize(self) -> str:
@@ -109,11 +156,15 @@ class MarkdownSerializer:
         doc = self.doc
         blocks: list[str] = []
 
-        if item.content_layer == "furniture":
+        if item.content_layer not in self.layers:
             return []
 
         if isinstance(item, GroupItem):
-            if item.label == "inline":
+            if item.label == "sheet":
+                # Excel sheets render as level-2 headings over their content
+                blocks.append(f"## {item.name}")
+                blocks.extend(self._serialize_children(item, list_depth))
+            elif item.label == "inline":
                 s = self._inline_text(item)
                 if s:
                     blocks.append(s)
@@ -142,7 +193,12 @@ class MarkdownSerializer:
             meta = item.meta or {}
             preds = (meta.get("classification") or {}).get("predictions") or []
             if preds and preds[0].get("class_name"):
-                blocks.append(preds[0]["class_name"].capitalize())
+                # "line_chart" -> "Line chart" (docling-core humanization)
+                blocks.append(
+                    preds[0]["class_name"].replace("_", " ").capitalize())
+                chart = (meta.get("tabular_chart") or {}).get("chart_data")
+                if chart:
+                    blocks.append(_tabulate_grid(chart))
             else:
                 blocks.extend(self._serialize_children(item, list_depth))
             return blocks
@@ -334,8 +390,8 @@ class MarkdownSerializer:
         return "\n".join(lines)
 
 
-def to_markdown(doc: Doc) -> str:
-    return MarkdownSerializer(doc).serialize()
+def to_markdown(doc: Doc, layers=("body",)) -> str:
+    return MarkdownSerializer(doc, layers=layers).serialize()
 
 
 # ------------------------------------------------------------ indented text

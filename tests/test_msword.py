@@ -15,15 +15,12 @@ from docling_spark.serialize import to_indented_text, to_markdown
 SRC = pathlib.Path("/root/reference/tests/data/docx/sources")
 GT = pathlib.Path("/root/reference/tests/data/docx/groundtruth")
 
-# fixtures whose md is expected byte-identical. The two exclusions:
-# - drawingml: golden embeds LibreOffice-rasterized shape PNGs and a
-#   native-chart data table (tabulate-style md) - renderer absent here;
-#   its itxt DOES match and is asserted below.
+# fixtures whose md is expected byte-identical. The one exclusion:
 # - textbox: the golden silently drops 4 of 13 textboxes because the
 #   reference tracks processed elements by id() of ephemeral lxml
 #   proxies, which the GC reuses; our output is a strict superset.
-OUT_OF_SCOPE = {"textbox", "drawingml"}
-ITXT_ALSO_OK = {"drawingml"}
+OUT_OF_SCOPE = {"textbox"}
+ITXT_ALSO_OK = set()
 
 
 def _names():
