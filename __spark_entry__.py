@@ -326,6 +326,21 @@ def _q_extract_xlsx(spark, sf_dir):
                       F.md5("md").alias("md_md5"))
 
 
+def _q_extract_pptx(spark, sf_dir):
+    """PPTX backend through the Spark engine: the reference's own pptx
+    fixtures as (url, bytes) rows -> extraction envelopes (rows-only;
+    byte-identity vs goldens is pinned by tests/test_mspptx.py)."""
+    import pathlib
+    _ensure_shipped(spark)
+    src = pathlib.Path("/root/reference/tests/data/pptx/sources")
+    rows = [(f"https://fixtures.test/pptx/{p.name}", p.read_bytes())
+            for p in sorted(src.glob("*.pptx"))]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").limit(500)
     # plant near-duplicates: append a tail to a copy of each 25th doc
@@ -446,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fixture_pages": _q_extract_fixtures,
         "extract_docx_fixtures": _q_extract_docx,
         "extract_xlsx_fixtures": _q_extract_xlsx,
+        "extract_pptx_fixtures": _q_extract_pptx,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_dups,

@@ -80,6 +80,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .formats import (convert_asciidoc, convert_csv, convert_email,
                           convert_epub, convert_markdown, convert_vtt)
     from .msexcel import convert_xlsx
+    from .mspptx import convert_pptx
     from .msword import convert_docx
     from .serialize import to_indented_text, to_json, to_markdown
 
@@ -135,6 +136,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                        filename=tail, binary_hash=bh)
                 elif ext in ("xlsx", "xlsm"):
                     doc = convert_xlsx(raw, name=name,
+                                       filename=tail, binary_hash=bh)
+                elif ext == "pptx":
+                    doc = convert_pptx(raw, name=name,
                                        filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,

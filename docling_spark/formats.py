@@ -476,6 +476,10 @@ class MarkdownConverter:
             group = stack[-1][1]
 
             clean = _unescape(re.sub(r"\s+", " ", body).strip())
+            # text that would re-parse as an enumerator gets a protective
+            # space at PARSE time ("2\. x" -> "2 . x", per the
+            # mixed_without_h1 groundtruth doc dump)
+            clean = re.sub(r"^(\d+)\.", r"\1 .", clean)
             runs = _parse_inline(body)
             if len(runs) > 1:
                 item = doc.add_list_item(

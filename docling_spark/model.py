@@ -408,25 +408,30 @@ class Doc:
                              formatting=formatting, hyperlink=hyperlink)
 
     def add_heading(self, text, orig=None, level=1, parent=None,
-                    content_layer=BODY, formatting=None, hyperlink=None):
+                    content_layer=BODY, formatting=None, hyperlink=None,
+                    prov=None):
         ref = f"#/texts/{len(self.texts)}"
         pref = self._parent_ref(parent, content_layer)
         item = SectionHeaderItem(ref, pref, "section_header", text, orig=orig,
                                  formatting=formatting, hyperlink=hyperlink,
                                  content_layer=content_layer, level=level)
+        if prov:
+            item.prov = list(prov)
         self.texts.append(item)
         self._attach(item, pref)
         return item
 
     def add_list_item(self, text, enumerated=False, marker="", orig=None,
                       parent=None, content_layer=BODY, formatting=None,
-                      hyperlink=None):
+                      hyperlink=None, prov=None):
         ref = f"#/texts/{len(self.texts)}"
         pref = self._parent_ref(parent, content_layer)
         item = ListItemItem(ref, pref, "list_item", text, orig=orig,
                             formatting=formatting, hyperlink=hyperlink,
                             content_layer=content_layer,
                             enumerated=enumerated, marker=marker)
+        if prov:
+            item.prov = list(prov)
         self.texts.append(item)
         self._attach(item, pref)
         return item

@@ -285,9 +285,6 @@ class MarkdownSerializer:
                 else:
                     marker = "-"
                 body = _fmt_inline(child)
-                # text that would re-parse as an enumerator gets a
-                # protective space ("2. x" -> "2 . x"), per groundtruth
-                body = re.sub(r"^(\d+)\.", r"\1 .", body)
                 # nested children: inline groups join the marker line;
                 # nested lists/pictures/tables become their own lines
                 inline_parts: list[str] = []
@@ -316,7 +313,7 @@ class MarkdownSerializer:
                         if s:
                             inline_parts.append(s)
                 text = " ".join(p for p in [body] + inline_parts if p)
-                lines.append(f"{indent}{marker} {text}".rstrip())
+                lines.append(f"{indent}{marker} {text}")
                 lines.extend(tail_lines)
             elif isinstance(child, GroupItem) and child.label == "list":
                 lines.extend(self._serialize_list(child, depth=depth + 1))
