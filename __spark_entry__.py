@@ -341,6 +341,21 @@ def _q_extract_pptx(spark, sf_dir):
                       F.md5("md").alias("md_md5"))
 
 
+def _q_extract_odf(spark, sf_dir):
+    """ODF backends (odt/ods/odp) through the Spark engine (rows-only;
+    byte-identity vs goldens is pinned by tests/test_odf.py)."""
+    import pathlib
+    _ensure_shipped(spark)
+    src = pathlib.Path("/root/reference/tests/data/odf/sources")
+    rows = [(f"https://fixtures.test/odf/{p.name}", p.read_bytes())
+            for p in sorted(src.iterdir())
+            if p.suffix in (".odt", ".ods", ".odp")]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").limit(500)
     # plant near-duplicates: append a tail to a copy of each 25th doc
@@ -462,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docx_fixtures": _q_extract_docx,
         "extract_xlsx_fixtures": _q_extract_xlsx,
         "extract_pptx_fixtures": _q_extract_pptx,
+        "extract_odf_fixtures": _q_extract_odf,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_dups,

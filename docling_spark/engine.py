@@ -82,6 +82,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .msexcel import convert_xlsx
     from .mspptx import convert_pptx
     from .msword import convert_docx
+    from .odf import convert_odf
     from .serialize import to_indented_text, to_json, to_markdown
 
     tc = TaskContext.get()
@@ -140,6 +141,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif ext == "pptx":
                     doc = convert_pptx(raw, name=name,
                                        filename=tail, binary_hash=bh)
+                elif ext in ("odt", "ods", "odp"):
+                    doc = convert_odf(raw, name=name,
+                                      filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,
                                             filename=name + ".html",
