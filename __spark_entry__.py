@@ -356,6 +356,21 @@ def _q_extract_odf(spark, sf_dir):
                       F.md5("md").alias("md_md5"))
 
 
+def _q_extract_jats(spark, sf_dir):
+    """JATS scientific-article backend through the Spark engine (rows-only;
+    byte-identity vs goldens is pinned by tests/test_jats.py)."""
+    import pathlib
+    _ensure_shipped(spark)
+    src = pathlib.Path("/root/reference/tests/data/jats/sources")
+    rows = [(f"https://fixtures.test/jats/{p.name}", p.read_bytes())
+            for p in sorted(src.iterdir())
+            if p.suffix in (".xml", ".nxml")]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").limit(500)
     # plant near-duplicates: append a tail to a copy of each 25th doc
@@ -478,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_xlsx_fixtures": _q_extract_xlsx,
         "extract_pptx_fixtures": _q_extract_pptx,
         "extract_odf_fixtures": _q_extract_odf,
+        "extract_jats_fixtures": _q_extract_jats,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_dups,

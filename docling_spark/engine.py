@@ -79,6 +79,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .extractor import HtmlExtractor
     from .formats import (convert_asciidoc, convert_csv, convert_email,
                           convert_epub, convert_markdown, convert_vtt)
+    from .jats import convert_jats, looks_like_jats
     from .msexcel import convert_xlsx
     from .mspptx import convert_pptx
     from .msword import convert_docx
@@ -144,6 +145,10 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif ext in ("odt", "ods", "odp"):
                     doc = convert_odf(raw, name=name,
                                       filename=tail, binary_hash=bh)
+                elif ext in ("nxml", "jats") or (
+                        ext == "xml" and looks_like_jats(raw)):
+                    doc = convert_jats(raw, name=name,
+                                       filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,
                                             filename=name + ".html",

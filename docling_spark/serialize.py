@@ -187,8 +187,10 @@ class MarkdownSerializer:
         if isinstance(item, PictureItem):
             for cref in item.captions:
                 cap = doc.resolve(cref)
+                # captions render escaped but unstyled (no hyperlink marks:
+                # hyperlink_05 golden; escaped angle brackets: JATS goldens)
                 if cap.text:
-                    blocks.append(cap.text)
+                    blocks.append(_escape_md(cap.text))
             blocks.append("<!-- image -->")
             meta = item.meta or {}
             preds = (meta.get("classification") or {}).get("predictions") or []
@@ -394,11 +396,11 @@ def to_markdown(doc: Doc, layers=("body",)) -> str:
 # ------------------------------------------------------------ indented text
 
 def _truncate(text: str, max_len: int = 70) -> str:
-    # split points per the groundtruth itxt exports: 32 head / 39 tail chars
-    # around " ... " for max_len=70
-    # empirical thresholds from the groundtruth corpus: texts up to 72 chars
-    # stay whole; longer ones become 32 head + " ... " + 38 tail
-    if len(text) <= max_len + 2:
+    # split points per the groundtruth itxt exports: 32 head + " ... " +
+    # 38 tail for max_len=70. Texts up to max_len+4 chars stay whole
+    # (73-74-char JATS formulas keep full), length max_len+5 and above
+    # truncate (75-char wiki_duck/pptx list items truncate).
+    if len(text) <= max_len + 4:
         return text
     head = max_len // 2 - 3
     tail = max_len - head
@@ -421,9 +423,11 @@ def to_indented_text(doc: Doc, max_text_len: int = 70) -> str:
             lines.append(f"{indent}item-{counter} at level {level}: picture")
             for cref in item.captions:
                 cap = doc.resolve(cref)
+                # caption lines print untruncated (JATS goldens carry
+                # 1000+-char figure captions verbatim)
                 lines.append(
                     f"{indent}  item-{counter} at level {level + 1}: "
-                    f"caption: {_truncate(cap.text, max_text_len)}")
+                    f"caption: {cap.text}")
         elif isinstance(item, (FieldRegionItem, FieldItemItem)):
             # groundtruth quirk: these lines print one extra indent level
             # while keeping the true level number, and the text 'ignored'
@@ -439,7 +443,7 @@ def to_indented_text(doc: Doc, max_text_len: int = 70) -> str:
                 cap = doc.resolve(cref)
                 lines.append(
                     f"{indent}  item-{counter} at level {level + 1}: "
-                    f"caption: {_truncate(cap.text, max_text_len)}")
+                    f"caption: {cap.text}")
         elif isinstance(item, TextItem):
             lines.append(
                 f"{indent}item-{counter} at level {level}: {item.label}: "
