@@ -371,6 +371,20 @@ def _q_extract_jats(spark, sf_dir):
                       F.md5("md").alias("md_md5"))
 
 
+def _q_extract_uspto(spark, sf_dir):
+    """USPTO patent backends (4 formats) through the Spark engine
+    (rows-only; byte-identity vs goldens pinned by tests/test_uspto.py)."""
+    import pathlib
+    _ensure_shipped(spark)
+    src = pathlib.Path("/root/reference/tests/data/uspto/sources")
+    rows = [(f"https://fixtures.test/uspto/{p.name}", p.read_bytes())
+            for p in sorted(src.iterdir()) if p.is_file()]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").limit(500)
     # plant near-duplicates: append a tail to a copy of each 25th doc
@@ -494,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pptx_fixtures": _q_extract_pptx,
         "extract_odf_fixtures": _q_extract_odf,
         "extract_jats_fixtures": _q_extract_jats,
+        "extract_uspto_fixtures": _q_extract_uspto,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_dups,

@@ -80,6 +80,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .formats import (convert_asciidoc, convert_csv, convert_email,
                           convert_epub, convert_markdown, convert_vtt)
     from .jats import convert_jats, looks_like_jats
+    from .uspto import convert_uspto, looks_like_uspto
     from .msexcel import convert_xlsx
     from .mspptx import convert_pptx
     from .msword import convert_docx
@@ -149,6 +150,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         ext == "xml" and looks_like_jats(raw)):
                     doc = convert_jats(raw, name=name,
                                        filename=tail, binary_hash=bh)
+                elif ext in ("xml", "txt") and looks_like_uspto(raw):
+                    doc = convert_uspto(raw, name=tail,
+                                        filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,
                                             filename=name + ".html",

@@ -395,7 +395,10 @@ def to_markdown(doc: Doc, layers=("body",)) -> str:
 
 # ------------------------------------------------------------ indented text
 
-def _truncate(text: str, max_len: int = 70) -> str:
+def _truncate(text: str, max_len=70) -> str:
+    if max_len is None:
+        # USPTO goldens are exported untruncated
+        return text
     # split points per the groundtruth itxt exports: 32 head + " ... " +
     # 38 tail for max_len=70. Texts up to max_len+4 chars stay whole
     # (73-74-char JATS formulas keep full), length max_len+5 and above
