@@ -79,6 +79,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .extractor import HtmlExtractor
     from .formats import (convert_asciidoc, convert_csv, convert_email,
                           convert_epub, convert_markdown, convert_vtt)
+    from .boxnote import convert_boxnote
     from .jats import convert_jats, looks_like_jats
     from .uspto import convert_uspto, looks_like_uspto
     from .msexcel import convert_xlsx
@@ -153,6 +154,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif ext in ("xml", "txt") and looks_like_uspto(raw):
                     doc = convert_uspto(raw, name=tail,
                                         filename=tail, binary_hash=bh)
+                elif ext == "boxnote":
+                    doc = convert_boxnote(raw, name=name,
+                                          filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,
                                             filename=name + ".html",

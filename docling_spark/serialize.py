@@ -329,6 +329,10 @@ class MarkdownSerializer:
                 t = self._serialize_table(child)
                 if t:
                     lines.append(t)
+            elif isinstance(child, TextItem) and child.label in (
+                    "checkbox_unselected", "checkbox_selected"):
+                mark = "x" if child.label == "checkbox_selected" else " "
+                lines.append(f"{indent}- [{mark}] {_fmt_inline(child)}")
             else:
                 s = self._inline_text(child)
                 if s:
