@@ -57,16 +57,24 @@ def uppercase_ratio(col="text") -> Column:
     return F.when(total == 0, 0.0).otherwise(uppers / total)
 
 
+def _word_tokens(col="text") -> Column:
+    """Maximal \\w-runs of the lowercased text (equivalent to word-boundary
+    matching for ASCII stopwords)."""
+    return F.split(F.lower(F.col(col)), r"[^0-9a-z_]+")
+
+
 def stopword_hits(col="text", lang: str = "en") -> Column:
-    """Count of stopword occurrences (word-boundary matched, lowercase)."""
-    lowered = F.lower(F.col(col))
-    total = F.lit(0)
-    for w in STOPWORDS[lang]:
-        pattern = r"\b" + w + r"\b"
-        # occurrences = (len - len(removed)) / len(word)
-        removed = F.regexp_replace(lowered, pattern, "")
-        total = total + (F.length(lowered) - F.length(removed)) / len(w)
-    return total.cast("long")
+    """Count of stopword occurrences (word-boundary matched, lowercase).
+
+    One split + one array filter instead of 10 regexp_replace passes:
+    identical counts (a stopword occurrence as a maximal word-run is
+    exactly a \\b-delimited match), but the generated code stays inside
+    the 64KB whole-stage-codegen budget even when four languages are
+    combined in one projection (the old form tripped janino's fallback).
+    """
+    words = _word_tokens(col)
+    return F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS[lang]))).cast("long")
 
 
 def quality_score(col="text") -> Column:
