@@ -402,10 +402,11 @@ class Doc:
         return item
 
     def add_title(self, text, orig=None, parent=None, content_layer=BODY,
-                  formatting=None, hyperlink=None):
+                  formatting=None, hyperlink=None, prov=None):
         return self.add_text(label="title", text=text, orig=orig,
                              parent=parent, content_layer=content_layer,
-                             formatting=formatting, hyperlink=hyperlink)
+                             formatting=formatting, hyperlink=hyperlink,
+                             prov=prov)
 
     def add_heading(self, text, orig=None, level=1, parent=None,
                     content_layer=BODY, formatting=None, hyperlink=None,
