@@ -81,6 +81,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                           convert_epub, convert_markdown, convert_vtt)
     from .boxnote import convert_boxnote
     from .jats import convert_jats, looks_like_jats
+    from .latex import convert_latex
     from .uspto import convert_uspto, looks_like_uspto
     from .msexcel import convert_xlsx
     from .mspptx import convert_pptx
@@ -157,6 +158,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 elif ext == "boxnote":
                     doc = convert_boxnote(raw, name=name,
                                           filename=tail, binary_hash=bh)
+                elif ext == "tex":
+                    doc = convert_latex(raw, name=name,
+                                        filename=tail, binary_hash=bh)
                 else:
                     doc = extractor.convert(raw, name=name,
                                             filename=name + ".html",

@@ -1,0 +1,582 @@
+"""LaTeX backend (core subset): own walker + handlers -> Doc.
+
+PARTIAL this round: covers the document core — sectioning, \\maketitle
+(title/author from the preamble), paragraphs (blank-line splitting with
+the reference's buffer semantics), text formatting (bold/italic/mono/
+underline), itemize/enumerate, inline math (kept verbatim as ``$...$``
+text), display math / equation-family environments as formula items,
+``tabular`` tables (first row = header, ``&``/``\\\\`` grid, trailing
+empty row preserved), ``table``/``figure`` wrappers with captions
+emitted as trailing text items, ``\\cite``/``\\ref`` as ``[key]``,
+escaped characters, and a custom-\\newcommand pre-expansion pass.
+
+The reference builds on pylatexenc (``/root/reference/docling/backend/
+latex/``); this walker implements the subset of its node model that the
+handlers need: chars, comments, groups, macros with signature-driven
+argument parsing (unknown macros take no arguments), verbatim-bodied
+environments, and TeX math delimiters. Simple fixtures are
+byte-identical; the long arXiv fixtures need the full macro library and
+remain out of scope this round.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Union
+
+from .model import BODY, Doc, Formatting, TableCell, TableData
+
+# macro name -> number of mandatory {group} arguments (all also allow a
+# star and one leading [optional]); unknown macros take none, matching
+# pylatexenc's default-db behavior for unrecognized names
+_MACRO_ARGS = {
+    "section": 1, "subsection": 1, "subsubsection": 1, "chapter": 1,
+    "paragraph": 1, "subparagraph": 1,
+    "title": 1, "author": 1, "date": 1, "thanks": 1,
+    "textbf": 1, "textit": 1, "emph": 1, "texttt": 1, "textsc": 1,
+    "textrm": 1, "textsf": 1, "underline": 1, "textsuperscript": 1,
+    "textsubscript": 1, "mbox": 1, "hbox": 1,
+    "cite": 1, "citep": 1, "citet": 1, "ref": 1, "eqref": 1,
+    "autoref": 1, "cref": 1, "Cref": 1, "pageref": 1,
+    "label": 1, "caption": 1, "footnote": 1, "url": 1, "href": 2,
+    "input": 1, "include": 1, "usepackage": 1, "documentclass": 1,
+    "bibliography": 1, "bibliographystyle": 1, "vspace": 1, "hspace": 1,
+    "includegraphics": 1, "newcommand": 2, "renewcommand": 2,
+    "providecommand": 2, "def": 0, "begin": 1, "end": 1,
+}
+
+_FORMAT_MACROS = {
+    "textbf": {"bold": True},
+    "textit": {"italic": True},
+    "emph": {"italic": True},
+    "underline": {"underline": True},
+}
+
+_HEADING_LEVEL = {"chapter": 1, "section": 1, "subsection": 2,
+                  "subsubsection": 3, "paragraph": 4, "subparagraph": 5}
+
+_REF_MACROS = {"cite", "citep", "citet", "ref", "eqref", "autoref",
+               "cref", "Cref", "pageref"}
+
+_ESCAPED = {"%": "%", "&": "&", "_": "_", "$": "$", "#": "#",
+            "{": "{", "}": "}", " ": " ", ",": " ", ";": " ",
+            "quad": " ", "qquad": " ", "\\": "\n", "~": "~", "^": "^"}
+
+_IGNORED_MACROS = {"label", "vspace", "hspace", "centering", "noindent",
+                   "raggedright", "raggedleft", "small", "large", "Large",
+                   "LARGE", "huge", "Huge", "footnotesize", "tiny",
+                   "normalsize", "maketitle", "tableofcontents",
+                   "newpage", "clearpage", "pagebreak", "linebreak",
+                   "usepackage", "documentclass", "bibliographystyle",
+                   "hline", "toprule", "midrule", "bottomrule", "indent",
+                   "smallskip", "medskip", "bigskip", "item"}
+
+_MATH_ENVS = {"equation", "equation*", "align", "align*", "eqnarray",
+              "eqnarray*", "displaymath", "gather", "gather*",
+              "multline", "multline*", "math"}
+
+_VERBATIM_ENVS = {"verbatim", "verbatim*", "lstlisting", "minted"}
+
+
+# ---------------------------------------------------------------------------
+# node model + walker
+# ---------------------------------------------------------------------------
+
+class Chars:
+    __slots__ = ("chars",)
+
+    def __init__(self, chars):
+        self.chars = chars
+
+
+class Macro:
+    __slots__ = ("name", "star", "optarg", "args")
+
+    def __init__(self, name, star=False, optarg=None, args=None):
+        self.name = name
+        self.star = star
+        self.optarg = optarg          # raw string or None
+        self.args = args or []        # list of node lists
+
+
+class Group:
+    __slots__ = ("nodelist",)
+
+    def __init__(self, nodelist):
+        self.nodelist = nodelist
+
+
+class Math:
+    __slots__ = ("display", "content")
+
+    def __init__(self, display, content):
+        self.display = display
+        self.content = content
+
+
+class Environment:
+    __slots__ = ("name", "optarg", "nodelist", "verbatim")
+
+    def __init__(self, name, optarg=None, nodelist=None, verbatim=""):
+        self.name = name
+        self.optarg = optarg
+        self.nodelist = nodelist or []
+        self.verbatim = verbatim      # raw body (always captured)
+
+
+class Walker:
+    """Minimal TeX tokenizer: chars / comments / groups / macros with
+    signature-driven args / math / environments."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.n = len(text)
+
+    def parse(self) -> list:
+        nodes, _ = self._parse_nodes(0, stop=None)
+        return nodes
+
+    def _parse_nodes(self, i: int, stop: Optional[str]) -> tuple[list, int]:
+        nodes: list = []
+        buf: list[str] = []
+
+        def flush():
+            if buf:
+                nodes.append(Chars("".join(buf)))
+                buf.clear()
+
+        text, n = self.text, self.n
+        while i < n:
+            ch = text[i]
+            if stop == "}" and ch == "}":
+                flush()
+                return nodes, i + 1
+            if ch == "%":
+                # comment to end of line (incl. the newline)
+                j = text.find("\n", i)
+                i = n if j == -1 else j + 1
+                continue
+            if ch == "{":
+                flush()
+                inner, i = self._parse_nodes(i + 1, stop="}")
+                nodes.append(Group(inner))
+                continue
+            if ch == "}":
+                # stray close (tolerant)
+                i += 1
+                continue
+            if ch == "$":
+                flush()
+                if text.startswith("$$", i):
+                    j = text.find("$$", i + 2)
+                    j = n if j == -1 else j
+                    nodes.append(Math(True, text[i + 2:j].strip()))
+                    i = min(n, j + 2)
+                else:
+                    j = text.find("$", i + 1)
+                    j = n if j == -1 else j
+                    nodes.append(Math(False, text[i + 1:j].strip()))
+                    i = min(n, j + 1)
+                continue
+            if ch == "\\":
+                nxt = text[i + 1:i + 2]
+                if nxt and not nxt.isalpha():
+                    # control symbol (\%, \\, \,, ...)
+                    flush()
+                    nodes.append(Macro(nxt))
+                    i += 2
+                    continue
+                m = re.match(r"\\([a-zA-Z]+)\*?", text[i:])
+                if not m:
+                    i += 1
+                    continue
+                name = m.group(1)
+                star = text[i + 1 + len(name):i + 2 + len(name)] == "*"
+                i += 1 + len(name) + (1 if star else 0)
+                flush()
+                if name == "begin":
+                    env_name, i = self._read_group_raw(i)
+                    node, i = self._parse_environment(env_name, i)
+                    nodes.append(node)
+                    continue
+                if name == "end" and stop == "env":
+                    _, i = self._read_group_raw(i)
+                    return nodes, i
+                if name in ("[",):
+                    pass
+                node, i = self._parse_macro(name, star, i)
+                nodes.append(node)
+                continue
+            if text.startswith("\\[", i):
+                pass
+            buf.append(ch)
+            i += 1
+        flush()
+        return nodes, i
+
+    def _skip_ws(self, i: int) -> int:
+        text = self.text
+        while i < self.n and text[i] in " \t":
+            i += 1
+        return i
+
+    def _read_group_raw(self, i: int) -> tuple[str, int]:
+        """Read a brace group verbatim (for env names / macro defs)."""
+        i = self._skip_ws(i)
+        if i >= self.n or self.text[i] != "{":
+            return "", i
+        depth = 0
+        j = i
+        while j < self.n:
+            if self.text[j] == "{":
+                depth += 1
+            elif self.text[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    return self.text[i + 1:j], j + 1
+            j += 1
+        return self.text[i + 1:], self.n
+
+    def _read_optarg(self, i: int) -> tuple[Optional[str], int]:
+        i2 = self._skip_ws(i)
+        if i2 < self.n and self.text[i2] == "[":
+            j = self.text.find("]", i2)
+            if j != -1:
+                return self.text[i2 + 1:j], j + 1
+        return None, i
+
+    def _parse_macro(self, name: str, star: bool, i: int):
+        n_args = _MACRO_ARGS.get(name, 0)
+        optarg, i = self._read_optarg(i)
+        args = []
+        for _ in range(n_args):
+            i2 = self._skip_ws(i)
+            if i2 < self.n and self.text[i2] == "{":
+                inner, i = self._parse_nodes(i2 + 1, stop="}")
+                args.append(inner)
+            else:
+                break
+        return Macro(name, star, optarg, args), i
+
+    def _parse_environment(self, env_name: str, i: int):
+        optarg, i = self._read_optarg(i)
+        end_marker = f"\\end{{{env_name}}}"
+        j = self.text.find(end_marker, i)
+        raw = self.text[i:j] if j != -1 else self.text[i:]
+        end_pos = (j + len(end_marker)) if j != -1 else self.n
+        if env_name in _MATH_ENVS or env_name in _VERBATIM_ENVS \
+                or env_name in ("tabular", "tabular*", "array"):
+            return Environment(env_name, optarg, [], raw), end_pos
+        sub = Walker(raw)
+        nodelist = sub.parse()
+        return Environment(env_name, optarg, nodelist, raw), end_pos
+
+
+# ---------------------------------------------------------------------------
+# converter
+# ---------------------------------------------------------------------------
+
+class LatexConverter:
+    def __init__(self, doc: Doc):
+        self.doc = doc
+        self.meta: dict[str, str] = {}
+
+    # -- plain-text flattening ----------------------------------------------
+    def nodes_to_text(self, nodes) -> str:
+        parts: list[str] = []
+        for node in nodes:
+            if isinstance(node, Chars):
+                parts.append(node.chars)
+            elif isinstance(node, Group):
+                parts.append(self.nodes_to_text(node.nodelist))
+            elif isinstance(node, Math):
+                parts.append(f"${node.content}$")
+            elif isinstance(node, Macro):
+                parts.append(self.macro_to_text(node))
+            elif isinstance(node, Environment):
+                parts.append(self.nodes_to_text(node.nodelist))
+        return "".join(parts)
+
+    def macro_to_text(self, node: Macro) -> str:
+        name = node.name
+        if name in _ESCAPED and not node.args:
+            return _ESCAPED[name]
+        if name in _REF_MACROS:
+            return f"[{self.nodes_to_text(node.args[0])}]" if node.args \
+                else ""
+        if name in _FORMAT_MACROS or name in ("texttt", "textsc", "textrm",
+                                              "textsf", "mbox", "hbox",
+                                              "textsuperscript",
+                                              "textsubscript"):
+            return self.nodes_to_text(node.args[0]) if node.args else ""
+        if name == "url":
+            return self.nodes_to_text(node.args[0]) if node.args else ""
+        if name == "href" and len(node.args) == 2:
+            return self.nodes_to_text(node.args[1])
+        if name in _IGNORED_MACROS:
+            return ""
+        return ""
+
+    # -- main walk -------------------------------------------------------------
+    def process(self, nodes, parent=None, formatting=None,
+                text_label: Optional[str] = None) -> None:
+        doc = self.doc
+        buffer: list[str] = []
+
+        def flush():
+            combined = "".join(buffer).strip()
+            buffer.clear()
+            if combined:
+                doc.add_text(parent=parent, label=text_label or "text",
+                             text=combined, formatting=formatting)
+
+        for node in nodes:
+            if isinstance(node, Chars):
+                text = node.chars
+                if "\n\n" in text:
+                    # reference semantics: the pre-break run joins the
+                    # buffer and flushes; every post-break part is emitted
+                    # immediately as its own paragraph
+                    parts = text.split("\n\n")
+                    first = parts[0].strip()
+                    if first:
+                        buffer.append(first)
+                    flush()
+                    for part in parts[1:]:
+                        stripped = part.strip()
+                        if stripped:
+                            doc.add_text(parent=parent,
+                                         label=text_label or "paragraph",
+                                         text=stripped,
+                                         formatting=formatting)
+                else:
+                    buffer.append(text)
+            elif isinstance(node, Math):
+                if node.display:
+                    flush()
+                    doc.add_text(parent=parent, label="formula",
+                                 text=node.content)
+                else:
+                    buffer.append(f"${node.content}$")
+            elif isinstance(node, Group):
+                stripped = self.nodes_to_text(node.nodelist)
+                buffer.append(stripped)
+            elif isinstance(node, Macro):
+                self._handle_macro(node, parent, formatting, text_label,
+                                   buffer, flush)
+            elif isinstance(node, Environment):
+                flush()
+                self._handle_environment(node, parent, formatting,
+                                         text_label)
+        flush()
+
+    def _handle_macro(self, node: Macro, parent, formatting, text_label,
+                      buffer, flush) -> None:
+        doc = self.doc
+        name = node.name
+        if name in _HEADING_LEVEL and node.args:
+            flush()
+            text = self.nodes_to_text(node.args[0]).strip()
+            if text:
+                doc.add_heading(text=text, level=_HEADING_LEVEL[name],
+                                parent=parent)
+        elif name in ("title", "author", "date", "thanks") and node.args:
+            self.meta[name] = self.nodes_to_text(node.args[0]).strip()
+        elif name == "maketitle":
+            flush()
+            if self.meta.get("title"):
+                doc.add_title(text=self.meta["title"], parent=parent)
+            if self.meta.get("author"):
+                doc.add_text(label="text", text=self.meta["author"],
+                             parent=parent)
+        elif name in _FORMAT_MACROS and node.args:
+            # formatting flattens into the running text (the reference
+            # keeps headings/paragraph flows as single text items)
+            buffer.append(self.nodes_to_text(node.args[0]))
+        elif name in _REF_MACROS:
+            buffer.append(self.macro_to_text(node))
+        elif name in _ESCAPED and not node.args:
+            buffer.append(_ESCAPED[name])
+        elif name in ("texttt", "textsc", "textrm", "textsf", "mbox",
+                      "hbox", "url", "textsuperscript", "textsubscript"):
+            buffer.append(self.macro_to_text(node))
+        elif name == "href" and len(node.args) == 2:
+            buffer.append(self.nodes_to_text(node.args[1]))
+        elif name == "footnote" and node.args:
+            buffer.append(f" ({self.nodes_to_text(node.args[0]).strip()})")
+        elif name == "includegraphics":
+            flush()
+            doc.add_picture(parent=parent)
+        elif name == "caption" and node.args:
+            flush()
+            doc.add_text(label=text_label or "text",
+                         text=self.nodes_to_text(node.args[0]).strip(),
+                         parent=parent)
+        # everything else (ignored macros, unknown) contributes nothing
+
+    def _handle_environment(self, node: Environment, parent, formatting,
+                            text_label) -> None:
+        doc = self.doc
+        name = node.name
+        if name in _MATH_ENVS:
+            content = node.verbatim.strip()
+            if content:
+                doc.add_text(label="formula", text=content, parent=parent)
+        elif name in _VERBATIM_ENVS:
+            if node.verbatim.strip():
+                doc.add_code(text=node.verbatim.strip("\n"), parent=parent)
+        elif name in ("itemize", "enumerate", "description"):
+            self._handle_list(node, parent, name == "enumerate")
+        elif name in ("tabular", "tabular*", "array"):
+            data = parse_tabular(node.verbatim, self)
+            if data is not None:
+                doc.add_table(data=data, parent=parent)
+        elif name in ("table", "table*", "figure", "figure*", "center",
+                      "minipage", "abstract", "document", "quote",
+                      "quotation"):
+            if name == "abstract":
+                doc.add_heading(text="Abstract", level=1, parent=parent)
+            self.process(node.nodelist, parent, formatting, text_label)
+        else:
+            # unknown environment: walk its content
+            self.process(node.nodelist, parent, formatting, text_label)
+
+    def _handle_list(self, env: Environment, parent, enumerated: bool):
+        doc = self.doc
+        group = doc.add_list_group(name="list", parent=parent)
+        # split the environment body on \item macros
+        current: list = []
+        items: list[list] = []
+        for node in env.nodelist:
+            if isinstance(node, Macro) and node.name == "item":
+                items.append(current)
+                current = []
+            else:
+                current.append(node)
+        items.append(current)
+        for item_nodes in items[1:]:
+            text = re.sub(r"\s+", " ", self.nodes_to_text(
+                [n for n in item_nodes
+                 if not isinstance(n, Environment)])).strip()
+            nested = [n for n in item_nodes
+                      if isinstance(n, Environment)
+                      and n.name in ("itemize", "enumerate")]
+            if not text and not nested:
+                continue
+            # the reference emits items as plain list_item texts (never
+            # enumerated), so ordered lists render with dashes too
+            item = doc.add_list_item(text=text, enumerated=False,
+                                     marker="", parent=group) if text \
+                else group
+            for sub in nested:
+                self._handle_list(sub, item, sub.name == "enumerate")
+
+
+def parse_tabular(body: str, conv: LatexConverter) -> Optional[TableData]:
+    """``tabular`` body -> grid (first row = column header; rows split on
+    ``\\\\``, cells on unescaped ``&``; rules stripped; a trailing empty
+    segment after the final ``\\\\`` stays as an empty row, per the
+    reference goldens)."""
+    # drop the column spec (first brace group)
+    body = body.strip()
+    if body.startswith("{"):
+        depth = 0
+        for idx, ch in enumerate(body):
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth -= 1
+                if depth == 0:
+                    body = body[idx + 1:]
+                    break
+    body = re.sub(r"\\(?:hline|toprule|midrule|bottomrule)", "", body)
+    body = re.sub(r"\\cline\{[^}]*\}", "", body)
+    rows_raw = re.split(r"\\\\", body)
+    rows: list[list[str]] = []
+    for raw in rows_raw:
+        cells = [c for c in re.split(r"(?<!\\)&", raw)]
+        texts = []
+        for cell in cells:
+            frag = Walker(cell).parse()
+            texts.append(re.sub(r"\s+", " ",
+                                conv.nodes_to_text(frag)).strip())
+        if len(texts) == 1 and not texts[0] and raw is not rows_raw[-1]:
+            continue  # blank line between rules
+        rows.append(texts)
+    # drop fully-empty leading rows; keep a trailing empty row (golden)
+    while rows and not any(rows[0]):
+        rows.pop(0)
+    if not rows:
+        return None
+    num_cols = max(len(r) for r in rows)
+    data = TableData(num_rows=len(rows), num_cols=num_cols)
+    for r_idx, row in enumerate(rows):
+        for c_idx in range(num_cols):
+            text = row[c_idx] if c_idx < len(row) else ""
+            data.table_cells.append(TableCell(
+                text=text, row_span=1, col_span=1,
+                start_row_offset_idx=r_idx, end_row_offset_idx=r_idx + 1,
+                start_col_offset_idx=c_idx, end_col_offset_idx=c_idx + 1,
+                column_header=False))
+    return data
+
+
+def _expand_newcommands(text: str) -> str:
+    """Pre-expand zero-arg \\newcommand definitions (reference
+    _preprocess_custom_macros subset)."""
+    defs = {}
+    for m in re.finditer(
+            r"\\(?:re)?newcommand\*?\{\\(\w+)\}(?:\[(\d+)\])?\{", text):
+        if m.group(2):
+            continue  # arg-taking macros: out of scope this round
+        start = m.end()
+        depth = 1
+        i = start
+        while i < len(text) and depth:
+            if text[i] == "{":
+                depth += 1
+            elif text[i] == "}":
+                depth -= 1
+            i += 1
+        defs[m.group(1)] = text[start:i - 1]
+    if not defs:
+        return text
+
+    def sub(m):
+        return defs.get(m.group(1), m.group(0))
+
+    # remove the definitions, then expand uses
+    text = re.sub(
+        r"\\(?:re)?newcommand\*?\{\\\w+\}(?:\[\d+\])?\{(?:[^{}]|\{[^{}]*\})*\}",
+        "", text)
+    return re.sub(r"\\(\w+)(?![a-zA-Z])", lambda m: defs.get(
+        m.group(1), m.group(0)), text)
+
+
+def convert_latex(data: bytes, name: str = "file", filename: str = "",
+                  binary_hash: int = 0) -> Doc:
+    """LaTeX bytes -> Doc (core subset; see module docstring)."""
+    text = data.decode("utf-8", errors="replace")
+    text = _expand_newcommands(text)
+    # the reference's latex backend builds the doc without a
+    # DocumentOrigin, so the json export has no origin key
+    doc = Doc(name, filename=filename or f"{name}.tex",
+              binary_hash=binary_hash, mimetype=None)
+    nodes = Walker(text).parse()
+    conv = LatexConverter(doc)
+    # find the document environment; preamble macros (title/author) are
+    # captured by walking everything before it
+    doc_env = None
+    pre_nodes = []
+    for node in nodes:
+        if isinstance(node, Environment) and node.name == "document":
+            doc_env = node
+            break
+        pre_nodes.append(node)
+    for node in pre_nodes:
+        if isinstance(node, Macro) and node.name in ("title", "author",
+                                                     "date", "thanks") \
+                and node.args:
+            conv.meta[node.name] = conv.nodes_to_text(node.args[0]).strip()
+    conv.process(doc_env.nodelist if doc_env is not None else nodes)
+    return doc

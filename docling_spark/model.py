@@ -533,11 +533,12 @@ class Doc:
             "schema_name": SCHEMA_NAME,
             "version": SCHEMA_VERSION,
             "name": self.name,
-            "origin": {
+            # docs built without an origin (latex path) omit the key
+            **({"origin": {
                 "mimetype": self.mimetype,
                 "binary_hash": self.binary_hash,
                 "filename": self.filename,
-            },
+            }} if self.mimetype is not None else {}),
             "furniture": {
                 "self_ref": "#/furniture",
                 "children": [{"$ref": r} for r in self.furniture.children],

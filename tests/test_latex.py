@@ -1,0 +1,83 @@
+"""LaTeX backend tests (PARTIAL backend: core subset).
+
+The two synthetic fixtures are byte-identical in md+itxt+json; the six
+arXiv-paper fixtures need the full macro library (custom multi-arg
+macros, \\input resolution, bibliographies) and are round-3 scope.
+"""
+
+import json
+import pathlib
+
+import pytest
+
+from docling_spark.latex import (
+    Walker, Chars, Environment, Macro, Math, convert_latex, parse_tabular,
+    LatexConverter)
+from docling_spark.model import Doc
+from docling_spark.serialize import to_indented_text, to_json, to_markdown
+
+SRC = pathlib.Path("/root/reference/tests/data/latex/sources")
+GT = pathlib.Path("/root/reference/tests/data/latex/groundtruth")
+
+IN_SCOPE = ["example_01", "example_02"]
+
+
+@pytest.mark.parametrize("stem", IN_SCOPE)
+def test_latex_goldens_byte_identical(stem):
+    doc = convert_latex((SRC / f"{stem}.tex").read_bytes(), name=stem,
+                        filename=f"{stem}.tex")
+    assert to_markdown(doc) == (GT / f"{stem}.tex.md").read_text()
+    assert to_indented_text(doc) == (GT / f"{stem}.tex.itxt").read_text()
+    assert json.loads(to_json(doc)) == json.load(
+        open(GT / f"{stem}.tex.json"))
+
+
+def test_walker_nodes():
+    nodes = Walker("a \\textbf{b} $x^2$ % comment\n"
+                   "\\begin{itemize}\\item one\\end{itemize}").parse()
+    kinds = [type(n).__name__ for n in nodes]
+    assert kinds == ["Chars", "Macro", "Chars", "Math", "Chars",
+                     "Environment"]
+    assert nodes[1].name == "textbf"
+    assert isinstance(nodes[1].args[0][0], Chars)
+    assert nodes[3].content == "x^2"
+    assert nodes[5].name == "itemize"
+
+
+def test_display_math_and_inline_math():
+    doc = convert_latex(b"\\begin{document}Inline $a+b$ here.\n\n"
+                        b"$$c=d$$\n\\end{document}", name="m")
+    labels = [(t.label, t.text) for t in doc.texts]
+    # parts[0].strip() eats the space after the math run - faithful to
+    # the reference's chars-node handling
+    assert ("text", "Inline $a+b$here.") in labels
+    assert ("formula", "c=d") in labels
+
+
+def test_tabular_trailing_empty_row():
+    conv = LatexConverter(Doc("t"))
+    data = parse_tabular(
+        "{|c|c|}\n\\hline\nA & B \\\\\n\\hline\n1 & 2 \\\\\n\\hline\n",
+        conv)
+    assert data.num_rows == 3 and data.num_cols == 2  # incl. empty tail
+    assert not data.table_cells[0].column_header  # reference: never set
+
+
+def test_cite_and_ref_bracketed():
+    doc = convert_latex(
+        b"\\begin{document}See \\cite{a} and \\ref{b}.\\end{document}",
+        name="c")
+    assert doc.texts[0].text == "See [a] and [b]."
+
+
+def test_newcommand_expansion():
+    doc = convert_latex(
+        b"\\newcommand{\\foo}{WORLD}\\begin{document}"
+        b"Hello \\foo!\\end{document}", name="n")
+    assert doc.texts[0].text == "Hello WORLD!"
+
+
+def test_never_raises_on_garbage():
+    for junk in (b"", b"\\begin{document", b"$unclosed",
+                 b"}}}\\end{nothing}"):
+        convert_latex(junk, name="junk")
