@@ -385,6 +385,23 @@ def _q_extract_uspto(spark, sf_dir):
                       F.md5("md").alias("md_md5"))
 
 
+def _q_extract_misc(spark, sf_dir):
+    """BoxNote + LaTeX + DeepSeek-OCR through the Spark engine (rows-only;
+    byte-identity pinned by tests/test_boxnote_ebcdic.py, test_latex.py,
+    test_deepseekocr.py)."""
+    import pathlib
+    _ensure_shipped(spark)
+    rows = []
+    for folder, pattern in (("boxnote", "*.boxnote"), ("latex", "*.tex")):
+        src = pathlib.Path(f"/root/reference/tests/data/{folder}/sources")
+        rows += [(f"https://fixtures.test/{folder}/{p.name}",
+                  p.read_bytes()) for p in sorted(src.glob(pattern))]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
 def _q_minhash_near_dups(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents").limit(500)
     # plant near-duplicates: append a tail to a copy of each 25th doc
@@ -509,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_odf_fixtures": _q_extract_odf,
         "extract_jats_fixtures": _q_extract_jats,
         "extract_uspto_fixtures": _q_extract_uspto,
+        "extract_misc_fixtures": _q_extract_misc,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_dups,

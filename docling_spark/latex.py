@@ -59,8 +59,7 @@ _REF_MACROS = {"cite", "citep", "citet", "ref", "eqref", "autoref",
                "cref", "Cref", "pageref"}
 
 _ESCAPED = {"%": "%", "&": "&", "_": "_", "$": "$", "#": "#",
-            "{": "{", "}": "}", " ": " ", ",": " ", ";": " ",
-            "quad": " ", "qquad": " ", "\\": "\n", "~": "~", "^": "^"}
+            "{": "{", "}": "}", " ": " ", "~": "~", "^": "^"}
 
 _IGNORED_MACROS = {"label", "vspace", "hspace", "centering", "noindent",
                    "raggedright", "raggedleft", "small", "large", "Large",
@@ -104,6 +103,17 @@ class Group:
 
     def __init__(self, nodelist):
         self.nodelist = nodelist
+
+
+class Specials:
+    """pylatexenc-style specials (~, --, ---, quote ligatures): parsed as
+    their own nodes and silently dropped by every handler, exactly like
+    the reference (its node walk has no specials branch)."""
+
+    __slots__ = ("chars",)
+
+    def __init__(self, chars):
+        self.chars = chars
 
 
 class Math:
@@ -165,6 +175,22 @@ class Walker:
                 # stray close (tolerant)
                 i += 1
                 continue
+            for sp in ("---", "--", "``", "''", "~"):
+                if text.startswith(sp, i):
+                    flush()
+                    nodes.append(Specials(sp))
+                    i += len(sp)
+                    if sp in ("--", "---"):
+                        # dropped dash ligatures absorb following blanks
+                        # (golden: "13B -- Chat" -> "13B Chat",
+                        #  "sizes'' of" keeps its space)
+                        while i < n and text[i] in " \t":
+                            i += 1
+                    break
+            else:
+                sp = None
+            if sp is not None:
+                continue
             if ch == "$":
                 flush()
                 if text.startswith("$$", i):
@@ -193,6 +219,20 @@ class Walker:
                 name = m.group(1)
                 star = text[i + 1 + len(name):i + 2 + len(name)] == "*"
                 i += 1 + len(name) + (1 if star else 0)
+                # a control word gobbles following whitespace (TeX rule /
+                # pylatexenc post_space) - but never a paragraph break
+                j = i
+                while j < n and text[j] in " \t":
+                    j += 1
+                if j < n and text[j] == "\n" and not text.startswith("\n", j + 1):
+                    k = j + 1
+                    while k < n and text[k] in " \t":
+                        k += 1
+                    if k < n and text[k] != "\n":
+                        j = k
+                    i = j
+                else:
+                    i = j
                 flush()
                 if name == "begin":
                     env_name, i = self._read_group_raw(i)
@@ -359,8 +399,15 @@ class LatexConverter:
                 else:
                     buffer.append(f"${node.content}$")
             elif isinstance(node, Group):
-                stripped = self.nodes_to_text(node.nodelist)
-                buffer.append(stripped)
+                if any(isinstance(sub, Environment)
+                       for sub in node.nodelist):
+                    # block content inside a brace group (\resizebox{...
+                    # {\begin{tabular}...}}): flush and walk it
+                    flush()
+                    self.process(node.nodelist, parent, formatting,
+                                 text_label)
+                else:
+                    buffer.append(self.nodes_to_text(node.nodelist))
             elif isinstance(node, Macro):
                 self._handle_macro(node, parent, formatting, text_label,
                                    buffer, flush)
@@ -403,10 +450,19 @@ class LatexConverter:
         elif name == "href" and len(node.args) == 2:
             buffer.append(self.nodes_to_text(node.args[1]))
         elif name == "footnote" and node.args:
-            buffer.append(f" ({self.nodes_to_text(node.args[0]).strip()})")
+            # structural in the reference: flushes the running text and
+            # emits the footnote as its own item
+            flush()
+            text = self.nodes_to_text(node.args[0]).strip()
+            if text:
+                doc.add_text(label="footnote", text=text, parent=parent)
         elif name == "includegraphics":
             flush()
-            doc.add_picture(parent=parent)
+            path = self.nodes_to_text(node.args[0]).strip() if node.args \
+                else ""
+            caption = doc.add_text(label="caption",
+                                   text=f"Image: {path}") if path else None
+            doc.add_picture(parent=parent, caption=caption)
         elif name == "caption" and node.args:
             flush()
             doc.add_text(label=text_label or "text",
