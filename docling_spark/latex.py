@@ -42,6 +42,8 @@ _MACRO_ARGS = {
     "input": 1, "include": 1, "usepackage": 1, "documentclass": 1,
     "bibliography": 1, "bibliographystyle": 1, "vspace": 1, "hspace": 1,
     "includegraphics": 1, "newcommand": 2, "renewcommand": 2,
+    "setlength": 2, "addtolength": 2, "setcounter": 2, "captionof": 2,
+    "resizebox": 3, "scalebox": 2, "textcolor": 2, "colorbox": 2,
     "providecommand": 2, "def": 0, "begin": 1, "end": 1,
 }
 
@@ -59,7 +61,7 @@ _REF_MACROS = {"cite", "citep", "citet", "ref", "eqref", "autoref",
                "cref", "Cref", "pageref"}
 
 _ESCAPED = {"%": "%", "&": "&", "_": "_", "$": "$", "#": "#",
-            "{": "{", "}": "}", " ": " ", "~": "~", "^": "^"}
+            "{": "{", "}": "}", " ": " ", "~": " ", "^": "^"}
 
 _IGNORED_MACROS = {"label", "vspace", "hspace", "centering", "noindent",
                    "raggedright", "raggedleft", "small", "large", "Large",
@@ -68,7 +70,8 @@ _IGNORED_MACROS = {"label", "vspace", "hspace", "centering", "noindent",
                    "newpage", "clearpage", "pagebreak", "linebreak",
                    "usepackage", "documentclass", "bibliographystyle",
                    "hline", "toprule", "midrule", "bottomrule", "indent",
-                   "smallskip", "medskip", "bigskip", "item"}
+                   "smallskip", "medskip", "bigskip", "item",
+                   "setlength", "addtolength", "setcounter"}
 
 _MATH_ENVS = {"equation", "equation*", "align", "align*", "eqnarray",
               "eqnarray*", "displaymath", "gather", "gather*",
@@ -323,6 +326,9 @@ class LatexConverter:
 
     # -- plain-text flattening ----------------------------------------------
     def nodes_to_text(self, nodes) -> str:
+        """Reference ``_nodes_to_text``: flatten to one string, ``\\\\``
+        as a newline, runs of spaces and blank lines collapsed, ends
+        stripped."""
         parts: list[str] = []
         for node in nodes:
             if isinstance(node, Chars):
@@ -332,10 +338,16 @@ class LatexConverter:
             elif isinstance(node, Math):
                 parts.append(f"${node.content}$")
             elif isinstance(node, Macro):
-                parts.append(self.macro_to_text(node))
+                if node.name == "\\":
+                    parts.append("\n")
+                else:
+                    parts.append(self.macro_to_text(node))
             elif isinstance(node, Environment):
                 parts.append(self.nodes_to_text(node.nodelist))
-        return "".join(parts)
+        result = "".join(parts)
+        result = re.sub(r" +", " ", result)
+        result = re.sub(r"\n\n+", "\n\n", result)
+        return result.strip()
 
     def macro_to_text(self, node: Macro) -> str:
         name = node.name
@@ -353,6 +365,9 @@ class LatexConverter:
             return self.nodes_to_text(node.args[0]) if node.args else ""
         if name == "href" and len(node.args) == 2:
             return self.nodes_to_text(node.args[1])
+        if name in ("resizebox", "scalebox", "textcolor", "colorbox") \
+                and node.args:
+            return self.nodes_to_text(node.args[-1])
         if name in _IGNORED_MACROS:
             return ""
         return ""
@@ -399,15 +414,14 @@ class LatexConverter:
                 else:
                     buffer.append(f"${node.content}$")
             elif isinstance(node, Group):
-                if any(isinstance(sub, Environment)
-                       for sub in node.nodelist):
+                if _is_text_only(node.nodelist):
+                    buffer.append(self.nodes_to_text(node.nodelist))
+                else:
                     # block content inside a brace group (\resizebox{...
                     # {\begin{tabular}...}}): flush and walk it
                     flush()
                     self.process(node.nodelist, parent, formatting,
                                  text_label)
-                else:
-                    buffer.append(self.nodes_to_text(node.nodelist))
             elif isinstance(node, Macro):
                 self._handle_macro(node, parent, formatting, text_label,
                                    buffer, flush)
@@ -456,6 +470,14 @@ class LatexConverter:
             text = self.nodes_to_text(node.args[0]).strip()
             if text:
                 doc.add_text(label="footnote", text=text, parent=parent)
+        elif name in ("resizebox", "scalebox", "textcolor",
+                      "colorbox") and node.args:
+            content = node.args[-1]
+            if _is_text_only(content):
+                buffer.append(self.nodes_to_text(content))
+            else:
+                flush()
+                self.process(content, parent, formatting, text_label)
         elif name == "includegraphics":
             flush()
             path = self.nodes_to_text(node.args[0]).strip() if node.args \
@@ -526,6 +548,27 @@ class LatexConverter:
                 else group
             for sub in nested:
                 self._handle_list(sub, item, sub.name == "enumerate")
+
+
+_STRUCTURAL_NAMES = frozenset(_HEADING_LEVEL) | {
+    "maketitle", "footnote", "includegraphics", "caption"}
+
+
+def _is_text_only(nodes) -> bool:
+    """Reference ``_is_text_only_group``: no environments or structural
+    macros anywhere in the subtree."""
+    for node in nodes:
+        if isinstance(node, Environment):
+            return False
+        if isinstance(node, Macro):
+            if node.name in _STRUCTURAL_NAMES:
+                return False
+            if any(not _is_text_only(arg) for arg in node.args):
+                return False
+        elif isinstance(node, Group):
+            if not _is_text_only(node.nodelist):
+                return False
+    return True
 
 
 def parse_tabular(body: str, conv: LatexConverter) -> Optional[TableData]:
