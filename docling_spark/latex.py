@@ -290,7 +290,11 @@ class Walker:
 
     def _parse_macro(self, name: str, star: bool, i: int):
         n_args = _MACRO_ARGS.get(name, 0)
-        optarg, i = self._read_optarg(i)
+        optarg = None
+        if name in _MACRO_ARGS:
+            # only signature-known macros consume an [optional] argument
+            # (pylatexenc leaves "[...]" after unknown macros as chars)
+            optarg, i = self._read_optarg(i)
         args = []
         for _ in range(n_args):
             i2 = self._skip_ws(i)
@@ -303,8 +307,27 @@ class Walker:
 
     def _parse_environment(self, env_name: str, i: int):
         optarg, i = self._read_optarg(i)
+        begin_marker = f"\\begin{{{env_name}}}"
         end_marker = f"\\end{{{env_name}}}"
-        j = self.text.find(end_marker, i)
+        # nesting-aware: same-name environments can nest (tabular cells
+        # holding tabulars)
+        depth = 1
+        pos = i
+        j = -1
+        while True:
+            e = self.text.find(end_marker, pos)
+            if e == -1:
+                break
+            b = self.text.find(begin_marker, pos)
+            if b != -1 and b < e:
+                depth += 1
+                pos = b + len(begin_marker)
+                continue
+            depth -= 1
+            if depth == 0:
+                j = e
+                break
+            pos = e + len(end_marker)
         raw = self.text[i:j] if j != -1 else self.text[i:]
         end_pos = (j + len(end_marker)) if j != -1 else self.n
         if env_name in _MATH_ENVS or env_name in _VERBATIM_ENVS \
@@ -490,7 +513,14 @@ class LatexConverter:
             doc.add_text(label=text_label or "text",
                          text=self.nodes_to_text(node.args[0]).strip(),
                          parent=parent)
-        # everything else (ignored macros, unknown) contributes nothing
+        elif name in _IGNORED_MACROS or name in (
+                "input", "include", "newcommand",
+                "renewcommand", "providecommand", "label"):
+            pass
+        elif node.args:
+            buffer.append("".join(self.nodes_to_text(a)
+                                  for a in node.args))
+        # everything else (unknown without args) contributes nothing
 
     def _handle_environment(self, node: Environment, parent, formatting,
                             text_label) -> None:
