@@ -73,6 +73,13 @@ _IGNORED_MACROS = {"label", "vspace", "hspace", "centering", "noindent",
                    "smallskip", "medskip", "bigskip", "item",
                    "setlength", "addtolength", "setcounter"}
 
+# macros whose TeX signature includes a leading [optional] argument;
+# all others leave "[...]" in the text (pylatexenc behavior - \author's
+# orcid optarg leaks as chars in the goldens)
+_OPTARG_MACROS = frozenset(_HEADING_LEVEL) | {
+    "includegraphics", "item", "captionof",
+    "cite", "citep", "citet"}
+
 _MATH_ENVS = {"equation", "equation*", "align", "align*", "eqnarray",
               "eqnarray*", "displaymath", "gather", "gather*",
               "multline", "multline*", "math"}
@@ -291,9 +298,9 @@ class Walker:
     def _parse_macro(self, name: str, star: bool, i: int):
         n_args = _MACRO_ARGS.get(name, 0)
         optarg = None
-        if name in _MACRO_ARGS:
-            # only signature-known macros consume an [optional] argument
-            # (pylatexenc leaves "[...]" after unknown macros as chars)
+        if name in _OPTARG_MACROS:
+            # only macros whose signature has an [optional] argument
+            # consume one (pylatexenc leaves other "[...]" as chars)
             optarg, i = self._read_optarg(i)
         args = []
         for _ in range(n_args):
@@ -391,6 +398,10 @@ class LatexConverter:
         if name in ("resizebox", "scalebox", "textcolor", "colorbox") \
                 and node.args:
             return self.nodes_to_text(node.args[-1])
+        if name == "label" and node.args:
+            # the reference's text flattening has no label branch, so the
+            # label key leaks into heading text ("RWRelated Work" golden)
+            return " ".join(self.nodes_to_text(a) for a in node.args)
         if name in _IGNORED_MACROS:
             return ""
         return ""
@@ -464,15 +475,18 @@ class LatexConverter:
             if text:
                 doc.add_heading(text=text, level=_HEADING_LEVEL[name],
                                 parent=parent)
-        elif name in ("title", "author", "date", "thanks") and node.args:
-            self.meta[name] = self.nodes_to_text(node.args[0]).strip()
-        elif name == "maketitle":
+        elif name == "title" and node.args:
             flush()
-            if self.meta.get("title"):
-                doc.add_title(text=self.meta["title"], parent=parent)
-            if self.meta.get("author"):
-                doc.add_text(label="text", text=self.meta["author"],
-                             parent=parent)
+            text = self.nodes_to_text(node.args[0]).strip()
+            if text:
+                doc.add_title(text=text, parent=parent)
+        elif name in ("author", "date") and node.args:
+            flush()
+            text = self.nodes_to_text(node.args[0]).strip()
+            if text:
+                doc.add_text(label="text", text=text, parent=parent)
+        elif name in ("thanks", "maketitle"):
+            pass
         elif name in _FORMAT_MACROS and node.args:
             # formatting flattens into the running text (the reference
             # keeps headings/paragraph flows as single text items)
@@ -510,8 +524,12 @@ class LatexConverter:
             doc.add_picture(parent=parent, caption=caption)
         elif name == "caption" and node.args:
             flush()
+            # figure/table captions drop embedded \label macros (heading
+            # text leaks them, captions don't - both golden-pinned)
+            body = [n for n in node.args[0]
+                    if not (isinstance(n, Macro) and n.name == "label")]
             doc.add_text(label=text_label or "text",
-                         text=self.nodes_to_text(node.args[0]).strip(),
+                         text=self.nodes_to_text(body).strip(),
                          parent=parent)
         elif name in _IGNORED_MACROS or name in (
                 "input", "include", "newcommand",
@@ -704,8 +722,11 @@ def convert_latex(data: bytes, name: str = "file", filename: str = "",
         pre_nodes.append(node)
     for node in pre_nodes:
         if isinstance(node, Macro) and node.name in ("title", "author",
-                                                     "date", "thanks") \
-                and node.args:
-            conv.meta[node.name] = conv.nodes_to_text(node.args[0]).strip()
+                                                     "date") and node.args:
+            text = conv.nodes_to_text(node.args[0]).strip()
+            if text and node.name == "title":
+                doc.add_title(text=text)
+            elif text:
+                doc.add_text(label="text", text=text)
     conv.process(doc_env.nodelist if doc_env is not None else nodes)
     return doc
