@@ -308,6 +308,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would split components (dedup keeps docs
+        # it should drop); make it loud instead of partially merged.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"rounds ({changed} labels still changing); raise max_iters "
+            "for graphs with diameter > ~2^max_iters.")
     return labels.select("node", F.col("label").alias("group_id"))
 
 

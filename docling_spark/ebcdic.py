@@ -189,6 +189,12 @@ def _parse_records(layout: Layout, decoder: FieldDecoder, data: bytes,
             raise EbcdicDecodeError(
                 f"Record length {length} is shorter than the "
                 f"{layout.prefix_size}-byte record prefix.")
+        if size == 0 and layout.prefix_size == 0:
+            # No length prefix advanced the offset and the record body is
+            # empty: the loop would spin forever appending empty rows.
+            raise EbcdicDecodeError(
+                f"Record {record.name!r} has zero effective size and no "
+                "length prefix; parsing cannot advance.")
         body = _take(data, offset, size, end, record.name)
         values = []
         field_offset = 0

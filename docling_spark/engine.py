@@ -298,14 +298,25 @@ class CheckpointedExtraction:
 
     def run(self, pages: DataFrame, skew_threshold: int = 1 << 20) -> dict:
         done = self.committed_buckets()
-        pending = [b for b in range(self.num_buckets) if b not in done]
         bucketed = pages.withColumn(
             "bucket", F.pmod(F.xxhash64("url"), F.lit(self.num_buckets)))
         processed = []
-        for i in range(0, len(pending), self.group_size):
-            group = pending[i:i + self.group_size]
-            gid = group[0]
-            part = bucketed.where(F.col("bucket").isin(group)).drop("bucket")
+        # Groups are a FIXED partition of range(num_buckets) — never derived
+        # from the order-dependent pending list — so a retried group always
+        # lands on the same grp=<gid> directory even after a partial commit
+        # (a torn manifest write must not shift group boundaries).
+        for gid in range(0, self.num_buckets, self.group_size):
+            full_group = list(range(gid, min(gid + self.group_size,
+                                             self.num_buckets)))
+            group = [b for b in full_group if b not in done]
+            if not group:
+                continue
+            # Re-extract the WHOLE fixed group, not just its pending subset:
+            # grp=<gid> is overwritten as a unit, so it must always hold the
+            # full group's rows or a torn manifest would silently drop the
+            # already-committed buckets' output on resume.
+            part = bucketed.where(
+                F.col("bucket").isin(full_group)).drop("bucket")
             results = extract_pages(part, skew_threshold=skew_threshold)
             # Idempotent commit protocol: each group's results land in a
             # key=value subdirectory with overwrite semantics, so a crash
@@ -324,7 +335,11 @@ class CheckpointedExtraction:
                 f"{self.metrics_path}/grp={gid}")
             manifest = self.spark.createDataFrame(
                 [(b, time.time()) for b in group], "bucket int, committed_at double")
-            manifest.write.mode("append").parquet(self.manifest_path)
+            # coalesce(1): the group commit is ONE parquet file, so it is
+            # atomic-enough on posix rename semantics — a crash can lose the
+            # whole group's manifest row-set but never half of it.
+            manifest.coalesce(1).write.mode("append").parquet(
+                self.manifest_path)
             processed.extend(group)
         return {
             "resumed_from": sorted(done),

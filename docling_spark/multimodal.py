@@ -89,6 +89,12 @@ def decode_image_header(payload: bytes):
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
+            if marker in (0xD9, 0xDA, 0x00):
+                # EOI / SOS / byte-stuffed 0xFF00: past the marker segments.
+                # A well-formed frame places SOFn before SOS, so if we got
+                # here without one the dimensions are unknowable — walking
+                # into entropy-coded data would read bogus segment lengths.
+                return None
             seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
             if (0xC0 <= marker <= 0xCF
                     and marker not in (0xC4, 0xC8, 0xCC)):

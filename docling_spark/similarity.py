@@ -82,30 +82,43 @@ def lsh_bucket(embeddings: DataFrame, dim: int, n_planes: int = 16,
     return embeddings.withColumn("bucket", bucket)
 
 
-def _sketch_keys_udf(dim: int, n_planes: int, seeds: list, masks=None):
+def _sketch_keys_udf(dim, n_planes: int, seeds: list, masks=None):
     """Vectorized LSH sketch keys: a pandas UDF computing, per Arrow
     batch, one numpy matmul against all tables' hyperplanes at once and
     packing sign bits into composite ``(table << n_planes) | bucket``
-    keys (optionally expanded by XOR probe masks)."""
+    keys (optionally expanded by XOR probe masks).
+
+    ``dim=None`` infers the dimension from the first Arrow batch inside
+    the UDF — hyperplanes are deterministic given (dim, n_planes, seed),
+    so every executor lazily builds the identical matrix and no driver
+    ``.first()`` action is needed to discover the width."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    planes = np.array(
-        [random_hyperplanes(dim, n_planes, s) for s in seeds],
-        dtype=np.float64)                       # (T, P, dim)
     n_tables = len(seeds)
-    w = planes.reshape(-1, dim).T               # (dim, T*P)
     bit_weights = (1 << np.arange(n_planes)).astype(np.int64)
     table_offsets = (np.arange(n_tables, dtype=np.int64) << n_planes)
     mask_arr = (np.array(masks, dtype=np.int64)
                 if masks else np.zeros(1, dtype=np.int64))
+    cache: dict = {}
+
+    def _w(d: int):
+        if d not in cache:
+            planes = np.array(
+                [random_hyperplanes(d, n_planes, s) for s in seeds],
+                dtype=np.float64)               # (T, P, dim)
+            cache[d] = planes.reshape(-1, d).T  # (dim, T*P)
+        return cache[d]
+
+    if dim is not None:
+        _w(dim)
 
     @pandas_udf("array<long>")
     def keys(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:
             return pd.Series([], dtype=object)
         mat = np.array(emb.tolist(), dtype=np.float64)      # (n, dim)
-        signs = (mat @ w) > 0                                # (n, T*P)
+        signs = (mat @ _w(mat.shape[1])) > 0                 # (n, T*P)
         buckets = (signs.reshape(len(mat), n_tables, n_planes)
                    @ bit_weights)                            # (n, T)
         # probe expansion: bucket ^ mask, then table offset
@@ -127,7 +140,8 @@ def _probe_masks(n_planes: int, radius: int) -> list:
     return masks
 
 
-def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
+def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
+                    dim: int | None = None,
                     k: int = 5, n_planes: int = 8, seed: int = 42,
                     n_tables: int = 1, probe_hamming: int = 1) -> DataFrame:
     """Approximate top-k: compare only within the query's LSH bucket(s).

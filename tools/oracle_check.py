@@ -22,18 +22,38 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def norm_val(v):
+    """Type-TAGGED normalization: a float64 3.0 and an int64 3 must NOT
+    collapse to the same token, or oracle-side type artifacts (e.g.
+    DuckDB HUGEINT fetched as float64) hide here while the driver's
+    dtype-sensitive hasher flags them (round-2 verdict, event_sessions).
+    Floats keep full repr precision, not a lossy %.6g."""
     import datetime
-    if v is None:
+
+    import numpy as np
+    if v is None or v is getattr(np, "nan", None):
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, float) or isinstance(v, np.floating):
+        fv = float(v)
+        if math.isnan(fv):
+            return "f:NaN"
+        return f"f:{fv!r}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm_val(x) for x in v) + "]"
     if isinstance(v, datetime.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
-    return str(v)
+        return "t:" + v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    try:
+        import pandas as pd
+        if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, pd.Timestamp):
+            return "t:" + v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    except Exception:
+        pass
+    return "s:" + str(v)
 
 
 def frame_repr(cols, rows):
@@ -43,6 +63,14 @@ def frame_repr(cols, rows):
         out.append("|".join(norm_val(row[i]) for i in order))
     out.sort()
     return out
+
+
+def pandas_rows(df):
+    """(cols, rows) from a pandas frame, preserving dtypes per cell —
+    the same representation the driver's canonicalizer sees."""
+    cols = list(df.columns)
+    rows = [tuple(rec) for rec in df.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def main():
@@ -76,8 +104,8 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            # Pandas fetch, like the driver — dtype artifacts must surface.
+            scols, srows = pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"{name:32s} SPARK ERROR: {type(e).__name__}: {e}")
             failed += 1
@@ -88,9 +116,7 @@ def main():
             rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols, orows = pandas_rows(con.execute(oracles[name]).fetchdf())
         except Exception as e:
             print(f"{name:32s} ORACLE ERROR: {type(e).__name__}: {e}")
             failed += 1
