@@ -438,13 +438,16 @@ class Doc:
         return item
 
     def add_code(self, text, code_language="unknown", orig=None, parent=None,
-                 content_layer=BODY, formatting=None, hyperlink=None):
+                 content_layer=BODY, formatting=None, hyperlink=None,
+                 prov=None):
         ref = f"#/texts/{len(self.texts)}"
         pref = self._parent_ref(parent, content_layer)
         item = CodeItem(ref, pref, "code", text, orig=orig,
                         formatting=formatting, hyperlink=hyperlink,
                         content_layer=content_layer,
                         code_language=code_language)
+        if prov:
+            item.prov = list(prov)
         self.texts.append(item)
         self._attach(item, pref)
         return item

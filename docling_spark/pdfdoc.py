@@ -1,0 +1,295 @@
+"""PDF -> Doc assembly: deterministic layout heuristics over text cells.
+
+The reference's PDF pipeline runs an ML layout model between parsing and
+assembly (``docling/pipeline/standard_pdf_pipeline.py``); its deterministic
+stages (cluster postprocess, reading order, sanitize) live in our
+``layout.py``. This module supplies the deterministic *replacement* for the
+ML step: font-size/position heuristics that fold line cells into paragraph
+clusters and classify them (title / section_header / text / list_item /
+page_header / page_footer / code), then reuses the shared sanitize +
+reading-order machinery, so the whole PDF path is reproducible in a Spark
+worker with no model weights.
+
+Provenance mirrors docling-core: every item carries
+``{page_no, bbox {l,t,r,b coord_origin=BOTTOMLEFT}, charspan}``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .layout import BBox, merge_split_text, sanitize_text
+from .model import Doc
+from .pdftext import TextCell, extract_page_cells
+
+__all__ = ["convert_pdf", "looks_like_pdf"]
+
+_BULLET_RE = re.compile(r"^\s*(?:[•‣◦⁃∙·•‣▪–—*-]|"
+                        r"\(?\d{1,3}[.)]|\(?[a-z][.)])\s+")
+_NUMBERED_HEADING_RE = re.compile(r"^\s*\d+(?:\.\d+)*\.?\s+\S")
+_MARKER_ONLY_RE = re.compile(r"^[•‣◦⁃∙·▪–—*-]$|^\(?\d{1,3}[.)]$")
+_CODE_HINT_RE = re.compile(
+    r"(?:^\s{4,}|[{};]\s*$|^\s*(?:def|class|function|var|let|const|import|"
+    r"return|if|for|while)\b)")
+
+
+def looks_like_pdf(raw: bytes) -> bool:
+    return raw[:5] == b"%PDF-" or b"%PDF-" in raw[:1024]
+
+
+class _Block:
+    __slots__ = ("cells", "label")
+
+    def __init__(self, cell: TextCell):
+        self.cells = [cell]
+        self.label = "text"
+
+    @property
+    def font_size(self) -> float:
+        return max(c.font_size for c in self.cells)
+
+    @property
+    def bold(self) -> bool:
+        return all(c.bold for c in self.cells)
+
+    def bbox(self) -> tuple[float, float, float, float]:
+        return (min(c.l for c in self.cells), min(c.t for c in self.cells),
+                max(c.r for c in self.cells), max(c.b for c in self.cells))
+
+
+def _body_font_size(cells: list[TextCell]) -> float:
+    """Char-weighted median font size = the page's body size."""
+    weighted: list[float] = []
+    for c in cells:
+        weighted.extend([c.font_size] * max(1, min(len(c.text), 200)))
+    weighted.sort()
+    return weighted[len(weighted) // 2] if weighted else 10.0
+
+
+def _merge_into_blocks(cells: list[TextCell], body_size: float
+                       ) -> list[_Block]:
+    """Fold consecutive line cells into paragraph blocks.
+
+    Join rule: next line starts within 1.9x line-height below the current
+    block, with a compatible font size and horizontal overlap - the
+    deterministic analog of layout-model text clusters.
+    """
+    blocks: list[_Block] = []
+    for cell in cells:
+        merged = False
+        # a line opening with a list enumerator/bullet at (or left of) the
+        # block's left edge starts a NEW block - otherwise consecutive
+        # numbered items fold into one paragraph
+        starts_item = bool(_BULLET_RE.match(cell.text))
+        if blocks and starts_item:
+            last = blocks[-1].cells[-1]
+            if cell.t > last.b - 2.0:  # a new line, not a row continuation
+                blocks.append(_Block(cell))
+                continue
+        if blocks:
+            blk = blocks[-1]
+            last = blk.cells[-1]
+            line_h = max(last.b - last.t, 1.0)
+            v_gap = cell.t - last.b
+            v_overlap = min(cell.b, last.b) - max(cell.t, last.t)
+            same_size = abs(cell.font_size - last.font_size) <= max(
+                0.15 * last.font_size, 0.6)
+            # bullet glyphs render in a symbol font at a different size;
+            # a marker-only block must still absorb its same-row text
+            if _MARKER_ONLY_RE.match("".join(
+                    c.text for c in blk.cells).strip()):
+                same_size = True
+            # same visual row, continuing rightward (sentence-gap splits)
+            same_row = (v_overlap > 0.5 * line_h
+                        and cell.l >= last.r - 2.0
+                        and cell.l - last.r < 3.0 * max(cell.font_size,
+                                                        last.font_size))
+            h_overlap = (min(cell.r, max(c.r for c in blk.cells))
+                         - max(cell.l, min(c.l for c in blk.cells)))
+            near = -0.4 * line_h <= v_gap <= 0.9 * line_h
+            # a first-line indent starts a new paragraph (docling's layout
+            # model separates indented paragraphs; the indent is the only
+            # deterministic signal). List markers are excluded from the
+            # block's left edge, and an indent beyond ~2.2em is layout
+            # (code, centering), not a paragraph indent. Monospace blocks
+            # never indent-split - code indentation is structure.
+            text_lefts = [c.l for c in blk.cells
+                          if not _MARKER_ONLY_RE.match(c.text.strip())]
+            blk_left = min(text_lefts) if text_lefts else min(
+                c.l for c in blk.cells)
+            both_mono = cell.mono and last.mono
+            em = cell.font_size
+            # hanging-indent continuations of a list item are not
+            # paragraph indents
+            is_list_blk = bool(_BULLET_RE.match(blk.cells[0].text))
+            indented = (not same_row and not both_mono and not is_list_blk
+                        and 0.7 * em < cell.l - blk_left <= 2.2 * em)
+            # outdent: the new line starts well LEFT of a single-line
+            # block (centered/indented material - a formula, a caption);
+            # multi-line blocks with an indented first line are ordinary
+            # paragraphs and must keep flowing
+            blk_single_line = all(
+                abs(c.t - blk.cells[0].t) <= 2.0 for c in blk.cells)
+            # threshold 3em: an indented paragraph FIRST line outdents by
+            # ~1-1.5em to its own body and must keep flowing; centered
+            # formulas/captions sit several em right of the column edge
+            outdented = (not same_row and not both_mono and blk_single_line
+                         and blk_left - cell.l > 3.0 * em)
+            indented = indented or outdented
+            if same_size and not indented and (same_row or (near and (
+                    h_overlap > -2.0 or abs(cell.l - last.l) < 2.0
+                    or both_mono))):
+                blk.cells.append(cell)
+                merged = True
+        if not merged:
+            blocks.append(_Block(cell))
+    return blocks
+
+
+_MATH_RE = re.compile(r"^[\w\s()\[\]{}+\-*/=<>.,^_|≤≥≈≠±×÷∑∏∫√∞αβγδεθλμπσφω]+$")
+
+
+def _classify(blocks: list[_Block], body_size: float, page_no: int,
+              page_height: float, page_width: float,
+              is_first_page: bool) -> None:
+    for i, blk in enumerate(blocks):
+        text = " ".join(c.text for c in blk.cells)
+        size = blk.font_size
+        l, t, r, b = blk.bbox()
+        # visual lines, not cells - bold/style splits put several cells on
+        # one baseline
+        n_lines = 1 + sum(
+            1 for j in range(1, len(blk.cells))
+            if blk.cells[j].t - blk.cells[j - 1].t > 2.0)
+        if t < 0.045 * page_height and len(text) < 120 and n_lines == 1:
+            blk.label = "page_header"
+            continue
+        if b > 0.955 * page_height and len(text) < 120 and n_lines <= 2:
+            blk.label = "page_footer"
+            continue
+        # bare page number in the bottom margin
+        if (b > 0.8 * page_height and n_lines == 1 and len(text) <= 8
+                and text.strip().isdigit()):
+            blk.label = "page_footer"
+            continue
+        # display math: a centered standalone line with an equation shape
+        center = (l + r) / 2.0
+        if (n_lines == 1 and "=" in text and len(text) < 80
+                and abs(center - page_width / 2.0) < 0.12 * page_width
+                and l > 0.22 * page_width
+                and _MATH_RE.match(text)
+                and sum(ch.isalpha() for ch in text) <
+                    max(4, len(text) // 3)):
+            blk.label = "formula"
+            continue
+        # NOTE: no "title" label on the PDF path - the reference's layout
+        # model emits section_header for top headings (every pdf
+        # groundtruth md starts with "##"), so we match that.
+        if (size > 1.08 * body_size and n_lines <= 2 and len(text) < 150
+                and not text.rstrip().endswith((".", ",", ";", ":"))):
+            blk.label = "section_header"
+            continue
+        # bold-at-body-size headings (the layout model keys on weight)
+        if (blk.bold and size >= body_size - 0.1 and n_lines <= 2
+                and len(text) < 120 and len(text.split()) <= 14
+                and not text.rstrip().endswith((".", ",", ";", ":"))
+                and not _BULLET_RE.match(text)):
+            blk.label = "section_header"
+            continue
+        if (_NUMBERED_HEADING_RE.match(text) and n_lines == 1
+                and size >= body_size and len(text) < 90
+                and not text.rstrip().endswith(".")):
+            # same-size numbered headings ("5.1 Hyper Parameter ...")
+            words = text.split()
+            if len(words) <= 10 and sum(
+                    1 for w in words[1:] if w[:1].isupper()) >= max(
+                        1, (len(words) - 1) // 2):
+                blk.label = "section_header"
+                continue
+        if _BULLET_RE.match(text) and n_lines <= 6:
+            blk.label = "list_item"
+            continue
+        mono_cells = sum(1 for c in blk.cells if c.mono)
+        if mono_cells * 2 > len(blk.cells):
+            blk.label = "code"
+            continue
+        code_hits = sum(1 for c in blk.cells if _CODE_HINT_RE.search(c.text))
+        if n_lines >= 2 and code_hits >= max(2, n_lines // 2):
+            blk.label = "code"
+
+
+_CAPTION_RE = re.compile(r"^(?:Listing|Figure|Fig\.|Table|Algorithm)\s+\d+",
+                         re.I)
+
+
+def _captions_after_code(blocks: list[_Block]) -> list[_Block]:
+    """A caption line directly above a code block exports after it
+    (docling attaches captions to the item; md serializes item first)."""
+    out = list(blocks)
+    for i in range(len(out) - 1):
+        if (out[i].label == "text" and out[i + 1].label == "code"
+                and len(out[i].cells) == 1
+                and _CAPTION_RE.match(out[i].cells[0].text)):
+            out[i], out[i + 1] = out[i + 1], out[i]
+    return out
+
+
+def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
+                binary_hash: int = 0, page_range=None) -> Doc:
+    """PDF bytes -> Doc with per-item provenance.
+
+    Pure function of the bytes (Spark UDF contract). ``page_range``
+    mirrors the reference's page-range pushdown
+    (``pdf_backend.py:59-105``).
+    """
+    doc = Doc(name, filename=filename or f"{name}.pdf",
+              binary_hash=binary_hash, mimetype="application/pdf")
+    pages = extract_page_cells(raw, page_range=page_range)
+    for page_no, width, height, cells in pages:
+        doc.pages[page_no] = (width, height)
+        if not cells:
+            continue
+        body_size = _body_font_size(cells)
+        blocks = _merge_into_blocks(cells, body_size)
+        _classify(blocks, body_size, page_no, height, width,
+                  is_first_page=(page_no == pages[0][0]))
+        blocks = _captions_after_code(blocks)
+        list_group = None
+        for blk in blocks:
+            raw_lines = [c.text for c in blk.cells]
+            text = sanitize_text(raw_lines)
+            if not text:
+                continue
+            if blk.label != "list_item":
+                list_group = None
+            l, t, r, b = blk.bbox()
+            prov = [{
+                "page_no": page_no,
+                "bbox": {"l": round(l, 3), "t": round(height - t, 3),
+                         "r": round(r, 3), "b": round(height - b, 3),
+                         "coord_origin": "BOTTOMLEFT"},
+                "charspan": [0, len(text)],
+            }]
+            if blk.label == "title":
+                doc.add_title(text, prov=prov)
+            elif blk.label == "section_header":
+                doc.add_heading(text, level=1, prov=prov)
+            elif blk.label == "list_item":
+                marker_m = _BULLET_RE.match(text)
+                marker = marker_m.group(0).strip() if marker_m else ""
+                body = text[marker_m.end():] if marker_m else text
+                if list_group is None:
+                    list_group = doc.add_list_group()
+                doc.add_list_item(body, marker=marker,
+                                  enumerated=marker[:1].isdigit(),
+                                  parent=list_group, prov=prov)
+            elif blk.label == "code":
+                doc.add_code(text, prov=prov)
+            elif blk.label == "formula":
+                doc.add_text(label="formula", text="", orig="", prov=prov)
+            elif blk.label in ("page_header", "page_footer"):
+                doc.add_text(label=blk.label, text=text,
+                             content_layer="furniture", prov=prov)
+            else:
+                doc.add_text(label="text", text=text, prov=prov)
+    return doc

@@ -251,9 +251,13 @@ class MarkdownSerializer:
                     blocks.append(f"- [{mark}] {_escape_md(item.text)}")
                 return blocks
             if item.label == "formula":
-                # standalone (block-level) formula: display-math fences
+                # standalone (block-level) formula: display-math fences;
+                # an empty body means the formula was located but not
+                # decoded (reference pdf groundtruth placeholder)
                 if item.text:
                     blocks.append(f"$${item.text}$$")
+                else:
+                    blocks.append("<!-- formula-not-decoded -->")
                 blocks.extend(self._serialize_children(item, list_depth))
                 return blocks
             if isinstance(item, CodeItem):
