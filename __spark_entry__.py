@@ -394,9 +394,10 @@ def _q_extract_uspto(spark, sf_dir):
 
 
 def _q_extract_misc(spark, sf_dir):
-    """BoxNote + LaTeX + DeepSeek-OCR through the Spark engine (rows-only;
-    byte-identity pinned by tests/test_boxnote_ebcdic.py, test_latex.py,
-    test_deepseekocr.py)."""
+    """BoxNote + LaTeX + EBCDIC through the Spark engine (rows-only;
+    byte-identity pinned by tests/test_boxnote_ebcdic.py, test_latex.py).
+    EBCDIC rides the engine's broadcastable {basename: layout} mapping -
+    the Spark analog of the reference's sidecar .layout.json files."""
     import pathlib
     _ensure_shipped(spark)
     rows = []
@@ -404,6 +405,31 @@ def _q_extract_misc(spark, sf_dir):
         src = pathlib.Path(f"/root/reference/tests/data/{folder}/sources")
         rows += [(f"https://fixtures.test/{folder}/{p.name}",
                   p.read_bytes()) for p in sorted(src.glob(pattern))]
+    layouts = {}
+    ebc_src = pathlib.Path("/root/reference/tests/data/ebcdic/sources")
+    for p in sorted(ebc_src.glob("*.ebc")):
+        side = ebc_src / p.name.replace(".ebc", ".layout.json")
+        if side.exists():
+            rows.append((f"https://fixtures.test/ebcdic/{p.name}",
+                         p.read_bytes()))
+            layouts[p.stem] = side.read_text()
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False,
+                               ebcdic_layouts=layouts)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
+def _q_pdf_text_cells(spark, sf_dir):
+    """REAL PDF bytes through the Spark engine: the reference's own pdf
+    corpus as (url, bytes) rows -> extraction envelopes (rows-only;
+    markdown byte-identity vs 3 reference goldens pinned by
+    tests/test_pdf.py)."""
+    import pathlib
+    _ensure_shipped(spark)
+    src = pathlib.Path("/root/reference/tests/data/pdf/sources")
+    rows = [(f"https://fixtures.test/pdf/{p.name}", p.read_bytes())
+            for p in sorted(src.glob("*.pdf"))]
     pages = spark.createDataFrame(rows, "url string, html binary")
     res = engine.extract_pages(pages, repartition=False)
     return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
@@ -536,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_jats_fixtures": _q_extract_jats,
         "extract_uspto_fixtures": _q_extract_uspto,
         "extract_misc_fixtures": _q_extract_misc,
+        "pdf_text_cells": _q_pdf_text_cells,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_dups,

@@ -69,8 +69,16 @@ METRICS_SCHEMA = StructType([
 ])
 
 
-def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: one call per Arrow batch; per-doc error envelope."""
+def _extract_batches(batches: Iterable[pd.DataFrame],
+                     ebcdic_layouts: Optional[dict] = None
+                     ) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one call per Arrow batch; per-doc error envelope.
+
+    ``ebcdic_layouts`` maps a url basename (without extension) to its
+    copybook layout JSON - EBCDIC payloads are undecodable without one, so
+    the engine takes the mapping as a small broadcastable dict (the Spark
+    analog of the reference's sidecar ``.layout.json`` files).
+    """
     # Imports inside the function so the closure ships cleanly to executors.
     import hashlib
 
@@ -87,6 +95,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from .mspptx import convert_pptx
     from .msword import convert_docx
     from .odf import convert_odf
+    from .deepseekocr import convert_deepseekocr
+    from .ebcdic import convert_ebcdic
+    from .pdfdoc import convert_pdf
     from .serialize import to_indented_text, to_json, to_markdown
 
     tc = TaskContext.get()
@@ -118,7 +129,24 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     hashlib.sha256(raw).digest()[-8:], "big")
                 # format dispatch by extension (html default, the
                 # Common-Crawl case); md/csv share the model/serializers
-                if ext == "md":
+                if ext == "pdf" or raw[:5] == b"%PDF-":
+                    doc = convert_pdf(raw, name=name,
+                                      filename=tail, binary_hash=bh)
+                elif ext == "md" and (b"<|ref|>" in raw[:65536]
+                                      or b"<|det|>" in raw[:65536]):
+                    # DeepSeek-OCR annotated markdown (content sniff on
+                    # the grounding markers)
+                    doc = convert_deepseekocr(raw, name=name,
+                                              filename=tail, binary_hash=bh)
+                elif ext == "ebc" and ebcdic_layouts is not None:
+                    layout = (ebcdic_layouts.get(name)
+                              or ebcdic_layouts.get(tail))
+                    if layout is None:
+                        raise ValueError(
+                            f"no EBCDIC layout registered for {tail!r}")
+                    doc = convert_ebcdic(raw, layout, name=tail,
+                                         filename=tail, binary_hash=bh)
+                elif ext == "md":
                     doc = convert_markdown(raw, name=name,
                                            filename=tail, binary_hash=bh)
                 elif ext == "csv":
@@ -234,16 +262,24 @@ def extract_pages(
     num_partitions: Optional[int] = None,
     skew_threshold: int = 1 << 20,
     repartition: bool = True,
+    ebcdic_layouts: Optional[dict] = None,
 ) -> DataFrame:
     """The main job: pages(url, html, ...) -> extraction results.
 
     Column pruning: only (url, html) are shipped into the Python workers -
     Catalyst prunes the parquet scan down to those two columns.
+    ``ebcdic_layouts`` ({basename: layout json}) rides the UDF closure -
+    a driver-side dict small enough to broadcast with the task.
     """
     cols = pages.select("url", "html")
     if repartition:
         cols = partition_pages(cols, num_partitions, skew_threshold)
-    return cols.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    if ebcdic_layouts is None:
+        fn = _extract_batches
+    else:
+        def fn(batches, _lay=ebcdic_layouts):
+            return _extract_batches(batches, ebcdic_layouts=_lay)
+    return cols.mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 
 def partition_metrics(results: DataFrame) -> DataFrame:

@@ -244,25 +244,81 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
     """
     doc = Doc(name, filename=filename or f"{name}.pdf",
               binary_hash=binary_hash, mimetype="application/pdf")
-    pages = extract_page_cells(raw, page_range=page_range)
-    for page_no, width, height, cells in pages:
+    pages = extract_page_cells(raw, page_range=page_range, with_images=True)
+    for page_no, width, height, cells, image_rects in pages:
         doc.pages[page_no] = (width, height)
-        if not cells:
+        if not cells and not image_rects:
             continue
         body_size = _body_font_size(cells)
         blocks = _merge_into_blocks(cells, body_size)
         _classify(blocks, body_size, page_no, height, width,
                   is_first_page=(page_no == pages[0][0]))
         blocks = _captions_after_code(blocks)
+        # pictures interleave into reading order by top edge; dedup
+        # overlapping draws of the same bitmap (tiled/clipped repaints)
+        pics = sorted(_dedup_rects(image_rects), key=lambda r: (r[1], r[0]))
+        pi = 0
+
+        def _flush_pics(up_to_t, _list_reset):
+            nonlocal pi, list_group
+            while pi < len(pics) and pics[pi][1] <= up_to_t:
+                pl, pt, pr, pb = pics[pi]
+                doc.add_picture(prov=[{
+                    "page_no": page_no,
+                    "bbox": {"l": round(pl, 3), "t": round(height - pt, 3),
+                             "r": round(pr, 3), "b": round(height - pb, 3),
+                             "coord_origin": "BOTTOMLEFT"},
+                    "charspan": [0, 0],
+                }])
+                pi += 1
+                if _list_reset:
+                    list_group = None
+
         list_group = None
         for blk in blocks:
             raw_lines = [c.text for c in blk.cells]
             text = sanitize_text(raw_lines)
             if not text:
                 continue
+            l, t, r, b = blk.bbox()
+            # a "Figure N/Table N" line adjacent to a drawn bitmap is its
+            # caption: attach to the picture item (docling serializes the
+            # caption, then the <!-- image --> marker) instead of emitting
+            # a standalone paragraph + unmoored image
+            if (blk.label == "text" and _CAPTION_RE.match(text)
+                    and len(blk.cells) <= 2):
+                adj = None
+                for k, (pl, pt, pr, pb) in enumerate(pics[pi:], start=pi):
+                    if (abs(t - pb) < 0.08 * height
+                            or abs(pt - b) < 0.08 * height):
+                        adj = k
+                        break
+                if adj is not None:
+                    pl, pt, pr, pb = pics.pop(adj)
+                    cap_item = doc.add_text(label="caption", text=text,
+                                            prov=[{
+                        "page_no": page_no,
+                        "bbox": {"l": round(l, 3),
+                                 "t": round(height - t, 3),
+                                 "r": round(r, 3),
+                                 "b": round(height - b, 3),
+                                 "coord_origin": "BOTTOMLEFT"},
+                        "charspan": [0, len(text)],
+                    }])
+                    doc.add_picture(caption=cap_item, prov=[{
+                        "page_no": page_no,
+                        "bbox": {"l": round(pl, 3),
+                                 "t": round(height - pt, 3),
+                                 "r": round(pr, 3),
+                                 "b": round(height - pb, 3),
+                                 "coord_origin": "BOTTOMLEFT"},
+                        "charspan": [0, 0],
+                    }])
+                    list_group = None
+                    continue
+            _flush_pics(blk.bbox()[1], blk.label != "list_item")
             if blk.label != "list_item":
                 list_group = None
-            l, t, r, b = blk.bbox()
             prov = [{
                 "page_no": page_no,
                 "bbox": {"l": round(l, 3), "t": round(height - t, 3),
@@ -292,4 +348,21 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                              content_layer="furniture", prov=prov)
             else:
                 doc.add_text(label="text", text=text, prov=prov)
+        _flush_pics(float("inf"), True)
     return doc
+
+
+def _dedup_rects(rects):
+    """Collapse near-identical image rects (repeated draws of one
+    bitmap through clip regions)."""
+    out = []
+    for r in rects:
+        dup = False
+        for o in out:
+            if (abs(r[0] - o[0]) < 3 and abs(r[1] - o[1]) < 3
+                    and abs(r[2] - o[2]) < 3 and abs(r[3] - o[3]) < 3):
+                dup = True
+                break
+        if not dup:
+            out.append(r)
+    return out

@@ -496,14 +496,22 @@ class PdfTextExtractor:
         return got
 
     def page_glyphs(self, page: dict) -> list[tuple]:
+        glyphs, _ = self.page_glyphs_and_images(page)
+        return glyphs
+
+    def page_glyphs_and_images(self, page: dict):
+        """-> (glyphs, images); each image is a device-space rect
+        (x0, y0, x1, y1) of a drawn Image XObject (bitmap_resources in
+        docling-parse terms)."""
         content = self.doc.page_content(page)
         resources = self.doc.resolve(page.get("Resources")) or {}
         glyphs: list[tuple] = []
-        self._run(content, resources, _ID, glyphs, 0)
-        return glyphs
+        images: list[tuple] = []
+        self._run(content, resources, _ID, glyphs, 0, images)
+        return glyphs, images
 
     def _run(self, content: bytes, resources: dict, base_ctm,
-             glyphs: list, depth: int):
+             glyphs: list, depth: int, images: list | None = None):
         r = self.doc.resolve
         lex = Lexer(content, 0)
         stack: list = []
@@ -604,7 +612,7 @@ class PdfTextExtractor:
                         ctm = gstack.pop()
                 elif op == b"Do" and stack and depth < self.max_form_depth:
                     self._do_xobject(str(stack[-1]), resources, ctm,
-                                     glyphs, depth)
+                                     glyphs, depth, images)
                 elif op == b"BI":
                     # inline image: skip to EI at whitespace boundary
                     m = re.compile(rb"\sEI[\s\x00]").search(
@@ -616,13 +624,24 @@ class PdfTextExtractor:
                 pass
             stack.clear()
 
-    def _do_xobject(self, name, resources, ctm, glyphs, depth):
+    def _do_xobject(self, name, resources, ctm, glyphs, depth,
+                    images=None):
         r = self.doc.resolve
         xobjs = r(resources.get("XObject")) if resources else None
         xo = r(xobjs.get(name)) if isinstance(xobjs, dict) else None
         if not isinstance(xo, Stream):
             return
-        if r(xo.dict.get("Subtype")) != "Form":
+        subtype = r(xo.dict.get("Subtype"))
+        if subtype == "Image":
+            if images is not None:
+                # image space unit square through the CTM
+                xs = (ctm[4], ctm[0] + ctm[4], ctm[2] + ctm[4],
+                      ctm[0] + ctm[2] + ctm[4])
+                ys = (ctm[5], ctm[1] + ctm[5], ctm[3] + ctm[5],
+                      ctm[1] + ctm[3] + ctm[5])
+                images.append((min(xs), min(ys), max(xs), max(ys)))
+            return
+        if subtype != "Form":
             return
         mat = r(xo.dict.get("Matrix"))
         inner = ctm
@@ -633,7 +652,7 @@ class PdfTextExtractor:
             body = decode_stream(xo, r)
         except PdfError:
             return
-        self._run(body, inner_res, inner, glyphs, depth + 1)
+        self._run(body, inner_res, inner, glyphs, depth + 1, images)
 
     def _show(self, raw, font: Font, tfs, tc, tw, th, ts, tm, ctm,
               tmode, glyphs: list) -> tuple:
@@ -715,6 +734,10 @@ def _line_text(run: list[tuple]) -> str:
             if (gap > max(0.18 * size, 1.0) and out and out[-1] != " "
                     and u not in ".,;!?)]}"):
                 out.append(" ")
+        # a space glyph directly before punctuation is dropped (pdfium
+        # behavior the groundtruth bakes: "alike ." -> "alike.")
+        if u in ".,;:!?" and out and out[-1] == " ":
+            out.pop()
         out.append(u)
         prev_end = x + w if w > 0 else x
     text = "".join(out)
@@ -773,7 +796,9 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
             size = max(g[3], prev[3], 1.0)
             style_break = (g[5] != prev[5] and g[4].strip()
                            and prev[4].strip())
-            if g[0] - prev_end > split_gap_em * size * 0.5 or style_break:
+            gap_split = (g[0] - prev_end > split_gap_em * size * 0.5
+                         and g[4] not in ".,;:!?)]}")
+            if gap_split or style_break:
                 runs.append([g])
             else:
                 runs[-1].append(g)
@@ -826,9 +851,10 @@ def page_size(doc: PdfDocument, page: dict) -> tuple[float, float]:
     return w, h
 
 
-def extract_page_cells(data: bytes, page_range=None
-                       ) -> list[tuple[int, float, float, list[TextCell]]]:
-    """PDF bytes -> [(page_no 1-based, width, height, cells)].
+def extract_page_cells(data: bytes, page_range=None, with_images=False):
+    """PDF bytes -> [(page_no 1-based, width, height, cells)] or, with
+    ``with_images``, [(page_no, width, height, cells, image_rects)] where
+    image_rects are top-left-origin (l, t, r, b) of drawn bitmaps.
 
     ``page_range=(lo, hi)`` is the reference's page-range pushdown
     (``pdf_backend.py:59-105``): pages outside it are never parsed.
@@ -844,9 +870,14 @@ def extract_page_cells(data: bytes, page_range=None
                 continue
         w, h = page_size(doc, page)
         try:
-            glyphs = extractor.page_glyphs(page)
+            glyphs, imgs = extractor.page_glyphs_and_images(page)
         except (PdfError, RecursionError):
-            glyphs = []
+            glyphs, imgs = [], []
         cells = glyphs_to_cells(glyphs, h)
-        out.append((page_no, w, h, cells))
+        if with_images:
+            rects = [(x0, h - y1, x1, h - y0) for (x0, y0, x1, y1) in imgs
+                     if (x1 - x0) * (y1 - y0) >= 32 * 32]
+            out.append((page_no, w, h, cells, rects))
+        else:
+            out.append((page_no, w, h, cells))
     return out
