@@ -420,6 +420,34 @@ def _q_extract_misc(spark, sf_dir):
                       F.md5("md").alias("md_md5"))
 
 
+def _q_extract_xbrl(spark, sf_dir):
+    """XBRL instances + in-memory taxonomy packages through the Spark
+    engine (rows-only; md/itxt byte-identity pinned by tests/test_xbrl.py,
+    one documented reference artifact)."""
+    import pathlib
+    _ensure_shipped(spark)
+    src = pathlib.Path("/root/reference/tests/data/xbrl/sources")
+    rows, taxes = [], {}
+    for inst in sorted(src.glob("*.xml")):
+        stem = inst.stem
+        taxdir = src / (stem.split("_")[0].split("-")[0] + "-taxonomy")
+        if not taxdir.exists():
+            cands = [d for d in src.iterdir() if d.is_dir()
+                     and d.name.endswith("-taxonomy")
+                     and d.name.split("-")[0] in stem]
+            taxdir = cands[0] if cands else None
+        rows.append((f"https://fixtures.test/xbrl/{inst.name}",
+                     inst.read_bytes()))
+        if taxdir is not None:
+            taxes[stem] = {f.name: f.read_bytes()
+                           for f in taxdir.iterdir() if f.is_file()}
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False,
+                               xbrl_taxonomies=taxes)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
 def _q_pdf_text_cells(spark, sf_dir):
     """REAL PDF bytes through the Spark engine: the reference's own pdf
     corpus as (url, bytes) rows -> extraction envelopes (rows-only;
@@ -563,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_uspto_fixtures": _q_extract_uspto,
         "extract_misc_fixtures": _q_extract_misc,
         "pdf_text_cells": _q_pdf_text_cells,
+        "extract_xbrl_fixtures": _q_extract_xbrl,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_dups,

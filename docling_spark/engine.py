@@ -70,7 +70,8 @@ METRICS_SCHEMA = StructType([
 
 
 def _extract_batches(batches: Iterable[pd.DataFrame],
-                     ebcdic_layouts: Optional[dict] = None
+                     ebcdic_layouts: Optional[dict] = None,
+                     xbrl_taxonomies: Optional[dict] = None
                      ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one call per Arrow batch; per-doc error envelope.
 
@@ -78,6 +79,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
     copybook layout JSON - EBCDIC payloads are undecodable without one, so
     the engine takes the mapping as a small broadcastable dict (the Spark
     analog of the reference's sidecar ``.layout.json`` files).
+    ``xbrl_taxonomies`` maps a url basename to a {path: bytes} taxonomy
+    mapping (the reference's taxonomy-package directory option).
     """
     # Imports inside the function so the closure ships cleanly to executors.
     import hashlib
@@ -98,6 +101,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
     from .deepseekocr import convert_deepseekocr
     from .ebcdic import convert_ebcdic
     from .pdfdoc import convert_pdf
+    from .xbrl import convert_xbrl, looks_like_xbrl
     from .serialize import to_indented_text, to_json, to_markdown
 
     tc = TaskContext.get()
@@ -176,6 +180,11 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 elif ext in ("odt", "ods", "odp"):
                     doc = convert_odf(raw, name=name,
                                       filename=tail, binary_hash=bh)
+                elif ext == "xml" and looks_like_xbrl(raw):
+                    tax = ((xbrl_taxonomies or {}).get(name)
+                           or (xbrl_taxonomies or {}).get(tail) or {})
+                    doc = convert_xbrl(raw, taxonomy=tax, name=name,
+                                       filename=tail, binary_hash=bh)
                 elif ext in ("nxml", "jats") or (
                         ext == "xml" and looks_like_jats(raw)):
                     doc = convert_jats(raw, name=name,
@@ -263,6 +272,7 @@ def extract_pages(
     skew_threshold: int = 1 << 20,
     repartition: bool = True,
     ebcdic_layouts: Optional[dict] = None,
+    xbrl_taxonomies: Optional[dict] = None,
 ) -> DataFrame:
     """The main job: pages(url, html, ...) -> extraction results.
 
@@ -274,11 +284,12 @@ def extract_pages(
     cols = pages.select("url", "html")
     if repartition:
         cols = partition_pages(cols, num_partitions, skew_threshold)
-    if ebcdic_layouts is None:
+    if ebcdic_layouts is None and xbrl_taxonomies is None:
         fn = _extract_batches
     else:
-        def fn(batches, _lay=ebcdic_layouts):
-            return _extract_batches(batches, ebcdic_layouts=_lay)
+        def fn(batches, _lay=ebcdic_layouts, _tax=xbrl_taxonomies):
+            return _extract_batches(batches, ebcdic_layouts=_lay,
+                                    xbrl_taxonomies=_tax)
     return cols.mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 

@@ -700,10 +700,55 @@ def _expand_newcommands(text: str) -> str:
         m.group(1), m.group(0)), text)
 
 
+_INPUT_RE = re.compile(r"\\(input|include)\s*\{([^}]*)\}")
+
+
+def _splice_inputs(text: str, inputs: dict, depth: int = 0,
+                   stack: frozenset = frozenset()) -> str:
+    """Textual \\input/\\include resolution (TeX semantics) from an
+    in-memory {filename: bytes|str} mapping - the blob-friendly analog of
+    the reference's filesystem resolution
+    (``backend/latex/handlers/macros.py:370-410``: .tex default suffix,
+    circular guard, depth limit 10). Comment-aware: a macro behind an
+    unescaped % stays unexpanded."""
+    if depth >= 10 or not inputs:
+        return text
+    out_lines = []
+    for line in text.split("\n"):
+        # find unescaped comment start; splice only before it
+        cut = None
+        i = 0
+        while i < len(line):
+            if line[i] == "%" and (i == 0 or line[i - 1] != "\\"):
+                cut = i
+                break
+            i += 1
+        live = line if cut is None else line[:cut]
+        tail = "" if cut is None else line[cut:]
+
+        def sub(m):
+            fname = m.group(2).strip()
+            for cand in (fname, fname + ".tex"):
+                if cand in inputs and cand not in stack:
+                    raw = inputs[cand]
+                    if isinstance(raw, bytes):
+                        raw = raw.decode("utf-8", errors="replace")
+                    return _splice_inputs(raw, inputs, depth + 1,
+                                          stack | {cand})
+            return ""
+
+        out_lines.append(_INPUT_RE.sub(sub, live) + tail)
+    return "\n".join(out_lines)
+
+
 def convert_latex(data: bytes, name: str = "file", filename: str = "",
-                  binary_hash: int = 0) -> Doc:
-    """LaTeX bytes -> Doc (core subset; see module docstring)."""
+                  binary_hash: int = 0, inputs: dict | None = None) -> Doc:
+    """LaTeX bytes -> Doc (core subset; see module docstring).
+
+    ``inputs``: optional {filename: content} mapping for \\input files."""
     text = data.decode("utf-8", errors="replace")
+    if inputs:
+        text = _splice_inputs(text, inputs)
     text = _expand_newcommands(text)
     # the reference's latex backend builds the doc without a
     # DocumentOrigin, so the json export has no origin key

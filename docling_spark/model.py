@@ -339,6 +339,31 @@ AnyItem = Union[GroupItem, TextItem, PictureItem, TableItem,
                 FieldRegionItem, FieldItemItem]
 
 
+class KeyValueRegionItem(NodeItem):
+    """GraphData key-value region (docling-core KeyValueItem): cells are
+    key/value nodes, links connect them (XBRL fact graphs)."""
+
+    __slots__ = ("label", "graph", "captions", "references", "footnotes")
+
+    def __init__(self, self_ref, parent_ref, graph=None, content_layer=BODY):
+        super().__init__(self_ref, parent_ref, content_layer)
+        self.label = "key_value_region"
+        self.graph = graph or {"cells": [], "links": []}
+        self.captions: list[str] = []
+        self.references: list[str] = []
+        self.footnotes: list[str] = []
+
+    def to_dict(self) -> dict:
+        d = self.base_dict()
+        d["label"] = self.label
+        d["prov"] = list(self.prov)
+        d["captions"] = [{"$ref": r} for r in self.captions]
+        d["references"] = [{"$ref": r} for r in self.references]
+        d["footnotes"] = [{"$ref": r} for r in self.footnotes]
+        d["graph"] = self.graph
+        return d
+
+
 class Doc:
     """DoclingDocument-equivalent container with the ``add_*`` API used by
     the extractor (semantics per docling-core as observed in the reference's
@@ -360,6 +385,7 @@ class Doc:
         self.pictures: list[PictureItem] = []
         self.field_regions: list[FieldRegionItem] = []
         self.field_items: list[FieldItemItem] = []
+        self.key_value_items: list[KeyValueRegionItem] = []
         # page_no -> (width, height) for paginated backends (xlsx)
         self.pages: dict[int, tuple] = {}
 
@@ -485,6 +511,51 @@ class Doc:
     def add_table_cell(self, table_item: TableItem, cell: TableCell) -> None:
         table_item.data.table_cells.append(cell)
 
+    def add_key_values(self, graph: dict, parent=None, content_layer=BODY):
+        ref = f"#/key_value_items/{len(self.key_value_items)}"
+        pref = self._parent_ref(parent, content_layer)
+        item = KeyValueRegionItem(ref, pref, graph=graph,
+                                  content_layer=content_layer)
+        self.key_value_items.append(item)
+        self._attach(item, pref)
+        return item
+
+    def extend_from(self, other: "Doc") -> None:
+        """Concatenate another Doc's body tree into this one
+        (DoclingDocument.concatenate semantics): items are re-referenced
+        with this doc's index offsets and appended under this body."""
+        offsets = {kind: len(getattr(self, kind))
+                   for kind in ("texts", "groups", "tables", "pictures",
+                                "field_regions", "field_items",
+                                "key_value_items")}
+
+        def remap(ref: str) -> str:
+            if ref in ("#/body", "#/furniture"):
+                return "#/body"
+            _, kind, idx = ref.split("/")
+            return f"#/{kind}/{int(idx) + offsets[kind]}"
+
+        for kind in offsets:
+            for item in getattr(other, kind):
+                item.self_ref = remap(item.self_ref)
+                item.parent_ref = (remap(item.parent_ref)
+                                   if item.parent_ref else "#/body")
+                item.children = [remap(r) for r in item.children]
+                for attr in ("captions", "references", "footnotes",
+                             "comments"):
+                    if hasattr(item, attr):
+                        setattr(item, attr,
+                                [remap(r) for r in getattr(item, attr)])
+                # rich table cells point at group subtrees by ref
+                data = getattr(item, "data", None)
+                if data is not None and hasattr(data, "table_cells"):
+                    for cell in data.table_cells:
+                        if getattr(cell, "ref", None):
+                            cell.ref = remap(cell.ref)
+                getattr(self, kind).append(item)
+        for r in other.body.children:
+            self.body.children.append(remap(r))
+
     def add_field_region(self, parent=None, content_layer=BODY):
         ref = f"#/field_regions/{len(self.field_regions)}"
         pref = self._parent_ref(parent, content_layer)
@@ -560,7 +631,7 @@ class Doc:
             "texts": [t.to_dict() for t in self.texts],
             "pictures": [p.to_dict() for p in self.pictures],
             "tables": [t.to_dict() for t in self.tables],
-            "key_value_items": [],
+            "key_value_items": [k.to_dict() for k in self.key_value_items],
             "form_items": [],
             # reference exports include these keys only when populated
             **({"field_regions": [f.to_dict() for f in self.field_regions],

@@ -13,6 +13,7 @@ import re
 from typing import Optional
 
 from .model import (
+    KeyValueRegionItem,
     CodeItem,
     Doc,
     FieldItemItem,
@@ -181,6 +182,12 @@ class MarkdownSerializer:
             # form nodes have no text of their own; the reference's md
             # serializer emits a missing-text comment, then the children
             blocks.append("<!-- missing-text -->")
+            blocks.extend(self._serialize_children(item, list_depth))
+            return blocks
+
+        if isinstance(item, KeyValueRegionItem):
+            # graph regions have no md projection (xbrl groundtruth)
+            blocks.append("<!-- missing-key-value-item -->")
             blocks.extend(self._serialize_children(item, list_depth))
             return blocks
 
@@ -446,6 +453,10 @@ def to_indented_text(doc: Doc, max_text_len: int = 70) -> str:
                      else "field_item")
             lines.append(f"{indent}  item-{counter} at level {level}: "
                          f"{label}: ignored")
+        elif isinstance(item, KeyValueRegionItem):
+            # same extra-indent 'ignored' quirk (xbrl groundtruth)
+            lines.append(f"{indent}  item-{counter} at level {level}: "
+                         f"key_value_region: ignored")
         elif isinstance(item, TableItem):
             lines.append(
                 f"{indent}item-{counter} at level {level}: table with "
