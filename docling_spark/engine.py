@@ -100,6 +100,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
     from .odf import convert_odf
     from .deepseekocr import convert_deepseekocr
     from .ebcdic import convert_ebcdic
+    from .metsgbs import convert_metsgbs, looks_like_metsgbs
     from .pdfdoc import convert_pdf
     from .xbrl import convert_xbrl, looks_like_xbrl
     from .serialize import to_indented_text, to_json, to_markdown
@@ -180,6 +181,10 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 elif ext in ("odt", "ods", "odp"):
                     doc = convert_odf(raw, name=name,
                                       filename=tail, binary_hash=bh)
+                elif (ext in ("gz", "tgz") and raw[:2] == b"\x1f\x8b"
+                      and looks_like_metsgbs(raw)):
+                    doc = convert_metsgbs(raw, name=name,
+                                          filename=tail, binary_hash=bh)
                 elif ext == "xml" and looks_like_xbrl(raw):
                     tax = ((xbrl_taxonomies or {}).get(name)
                            or (xbrl_taxonomies or {}).get(tail) or {})

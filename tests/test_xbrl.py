@@ -132,3 +132,41 @@ def test_engine_dispatch_xbrl():
     assert out["status"][0] == "success", out["error"][0]
     expected = (GT / "mlac-20251231.xml.md").read_text()
     assert out["md"][0] == expected
+
+
+# ----------------------------------------------------------- METS-GBS
+
+METS_SRC = pathlib.Path(
+    "/root/reference/tests/data/mets_gbs/sources/"
+    "32044009881525_select.tar.gz")
+
+
+@pytest.mark.skipif(not METS_SRC.exists(), reason="no mets corpus")
+def test_metsgbs_page_count_and_text_in_rect():
+    """Mirrors the reference's own test assertions
+    (tests/test_backend_mets_gbs.py:27-56)."""
+    from docling_spark.metsgbs import MetsGbsDocument
+    m = MetsGbsDocument(METS_SRC.read_bytes())
+    assert m.page_count() == 3
+    t = m.get_text_in_rect(0, 275, 263, 1388, 311)
+    assert t.strip() == "recently become prevalent that he who speaks"
+
+
+@pytest.mark.skipif(not METS_SRC.exists(), reason="no mets corpus")
+def test_metsgbs_convert_and_engine_dispatch():
+    import pandas as pd
+
+    from docling_spark.engine import _extract_batches
+    from docling_spark.metsgbs import convert_metsgbs, looks_like_metsgbs
+    raw = METS_SRC.read_bytes()
+    assert looks_like_metsgbs(raw)
+    assert not looks_like_metsgbs(b"\x1f\x8bnot a tar")
+    doc = convert_metsgbs(raw, name="x")
+    assert len(doc.pages) == 3
+    assert len(doc.texts) > 50
+    assert all(t.prov for t in doc.texts)
+    df = pd.DataFrame({"url": ["https://x.test/32044009881525.tar.gz"],
+                       "html": [raw]})
+    out = next(_extract_batches([df]))
+    assert out["status"][0] == "success", out["error"][0]
+    assert out["n_texts"][0] > 50
