@@ -150,3 +150,61 @@ def test_is_rich_table_cell_grid():
                         f"table {idx_t} cell {n}"
                     n += 1
         assert n == len(gt[idx_t])
+
+
+# ------------------------------------------------- real media decoders
+
+def _make_png(arr, color, plte=None):
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += chunk(b"PLTE", plte.tobytes())
+    return png + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_pixel_roundtrip():
+    import numpy as np
+
+    from docling_spark.multimodal import decode_png_pixels
+    rng = np.random.RandomState(7)
+    for color, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        arr = rng.randint(0, 256, (11, 5, nch), dtype=np.uint8)
+        out = decode_png_pixels(_make_png(arr, color))
+        assert out is not None and (out == arr).all(), color
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, (6, 6, 1)).astype(np.uint8)
+    out = decode_png_pixels(_make_png(idx, 3, plte=pal))
+    assert (out == pal[idx[:, :, 0]]).all()
+
+
+def test_png_decoder_rejects_garbage():
+    from docling_spark.multimodal import decode_png_pixels
+    assert decode_png_pixels(b"\x89PNG\r\n\x1a\n" + b"\x00" * 40) is None
+    assert decode_png_pixels(b"not a png") is None
+
+
+def test_wav_and_tiff_headers():
+    import struct
+
+    from docling_spark.multimodal import (decode_image_header,
+                                          decode_wav_header)
+    wav = (b"RIFF" + struct.pack("<I", 36 + 8000) + b"WAVEfmt "
+           + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+           + b"data" + struct.pack("<I", 8000) + b"\x00" * 8000)
+    dur, rate, ch = decode_wav_header(wav)
+    assert abs(dur - 0.25) < 1e-9 and rate == 8000 and ch == 2
+    tif = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 2)
+           + struct.pack("<HHII", 256, 3, 1, 640)
+           + struct.pack("<HHII", 257, 4, 1, 480) + struct.pack("<I", 0))
+    assert decode_image_header(tif) == (640, 480, "tiff")
