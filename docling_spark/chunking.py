@@ -27,6 +27,7 @@ plain text corpus (DuckDB-oracle-checkable).
 from __future__ import annotations
 
 import json
+import re
 from typing import Iterable, Iterator, Optional
 
 from .model import (
@@ -137,8 +138,37 @@ def doc_from_json(s: str) -> Doc:
 # ------------------------------------------------------------ hierarchical
 
 def count_tokens(text: str) -> int:
-    """Whitespace token count (stand-in for the reference's HF tokenizer)."""
+    """Whitespace token count (used by the pure-column-algebra window
+    chunker and its DuckDB oracle twin)."""
     return len(text.split())
+
+
+# GPT-2-style pre-tokenization (the public regex shape: contraction
+# suffixes, letter runs, 1-3 digit groups, punctuation runs), followed by
+# a deterministic subword estimate - the container has no HF tokenizer,
+# so this stands in for the reference HybridChunker's pluggable tokenizer
+# with REPRODUCIBLE counts (not a hash stub): ~4 chars/token for words,
+# one token per 1-3 digit group, ~2 chars/token for punctuation runs.
+_BPE_PRETOK = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"|[A-Za-z\u00C0-\u024F\u0370-\u03FF\u0400-\u04FF]+"
+    r"|[0-9]{1,3}"
+    r"|[^\sA-Za-z0-9\u00C0-\u024F\u0370-\u03FF\u0400-\u04FF]+")
+
+
+def count_tokens_bpe(text: str) -> int:
+    """Deterministic BPE-ish token estimate (see _BPE_PRETOK)."""
+    n = 0
+    for m in _BPE_PRETOK.finditer(text):
+        piece = m.group(0)
+        c = piece[0]
+        if c.isdigit():
+            n += 1
+        elif c.isalpha() or c == "'":
+            n += (len(piece) + 3) // 4
+        else:
+            n += (len(piece.strip()) + 1) // 2 or 1
+    return n
 
 
 def _table_text(doc: Doc, item: TableItem) -> str:
@@ -270,26 +300,41 @@ def hierarchical_chunks(doc: Doc, merge_list_items: bool = True
     yield from walk(doc.body)
 
 
-def _split_oversized(chunk: dict, max_tokens: int) -> Iterator[dict]:
-    toks = chunk["text"].split()
-    if len(toks) <= max_tokens:
+def _split_oversized(chunk: dict, max_tokens: int,
+                     counter=count_tokens_bpe) -> Iterator[dict]:
+    """Greedy word-boundary split: each part carries as many words as fit
+    under max_tokens by the active counter."""
+    if counter(chunk["text"]) <= max_tokens:
         yield chunk
         return
-    for i in range(0, len(toks), max_tokens):
+    toks = chunk["text"].split()
+    cur: list[str] = []
+    for w in toks:
+        if cur and counter(" ".join(cur + [w])) > max_tokens:
+            part = dict(chunk)
+            part["text"] = " ".join(cur)
+            yield part
+            cur = [w]
+        else:
+            cur.append(w)
+    if cur:
         part = dict(chunk)
-        part["text"] = " ".join(toks[i:i + max_tokens])
+        part["text"] = " ".join(cur)
         yield part
 
 
 def hybrid_chunks(doc: Doc, max_tokens: int = 512,
                   merge_peers: bool = True,
-                  merge_list_items: bool = True) -> Iterator[dict]:
+                  merge_list_items: bool = True,
+                  counter=count_tokens_bpe) -> Iterator[dict]:
     """Hybrid = hierarchical + split-oversized pass + merge-peers pass
     (successive undersized chunks with identical headings AND captions).
+    ``counter`` is the pluggable tokenizer (reference HybridChunker takes
+    an HF tokenizer); default is the deterministic BPE-ish estimator.
     """
     pieces: list[dict] = []
     for chunk in hierarchical_chunks(doc, merge_list_items):
-        pieces.extend(_split_oversized(chunk, max_tokens))
+        pieces.extend(_split_oversized(chunk, max_tokens, counter))
     if not merge_peers:
         yield from pieces
         return
@@ -300,8 +345,8 @@ def hybrid_chunks(doc: Doc, max_tokens: int = 512,
             continue
         same_ctx = (pending["headings"] == chunk["headings"]
                     and pending["captions"] == chunk["captions"])
-        merged_len = (count_tokens(pending["text"])
-                      + count_tokens(chunk["text"]))
+        merged_len = (counter(pending["text"])
+                      + counter(chunk["text"]))
         if same_ctx and merged_len <= max_tokens:
             pending["text"] = pending["text"] + "\n" + chunk["text"]
             pending["doc_items"] = pending["doc_items"] + chunk["doc_items"]

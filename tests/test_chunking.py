@@ -95,10 +95,34 @@ def test_hierarchical_picture_caption_chunk():
 
 
 def test_hybrid_splits_oversized():
+    # hand-derived: each "wN" = letter token + digit-group token = 2 bpe
+    # tokens, so 25 words = 50 tokens; max 10 -> 5 parts of 5 words
     doc = _convert("<html><body><p>%s</p></body></html>"
                    % " ".join(f"w{i}" for i in range(25)))
     chunks = list(chunking.hybrid_chunks(doc, max_tokens=10))
-    assert [chunking.count_tokens(c["text"]) for c in chunks] == [10, 10, 5]
+    assert [chunking.count_tokens_bpe(c["text"]) for c in chunks] == [10] * 5
+    assert [len(c["text"].split()) for c in chunks] == [5] * 5
+
+
+def test_bpe_counter_hand_vectors():
+    # hand-derived: hello(5ch->2) world(5ch->2); it+'s+a+test = 1+1+1+1;
+    # 12345 -> 123|45 digit groups; ellipsis runs at ~2 chars/token
+    assert chunking.count_tokens_bpe("hello world") == 4
+    assert chunking.count_tokens_bpe("it's a test") == 4
+    assert chunking.count_tokens_bpe("x = 12345 + 7") == 6
+    assert chunking.count_tokens_bpe("internationalization") == 5
+    assert chunking.count_tokens_bpe("...---...") == 5
+    assert chunking.count_tokens_bpe("") == 0
+
+
+def test_hybrid_split_respects_bpe_budget():
+    # long words (12 chars = 3 bpe tokens each): 10 words = 30 tokens,
+    # max 9 -> greedy packs 3 words per part
+    words = ["abcdefghijkl"] * 10
+    doc = _convert("<html><body><p>%s</p></body></html>" % " ".join(words))
+    chunks = list(chunking.hybrid_chunks(doc, max_tokens=9))
+    assert [len(c["text"].split()) for c in chunks] == [3, 3, 3, 1]
+    assert all(chunking.count_tokens_bpe(c["text"]) <= 9 for c in chunks)
 
 
 def test_hybrid_merges_peers_same_headings():
