@@ -89,6 +89,40 @@ def main() -> None:
     extras["docs_per_sec"] = round(agg["docs"] / t_extract, 2)
     extras["html_mb_per_sec"] = round(html_bytes / 1e6 / t_extract, 2)
 
+    # ---- headline 2: PDF extraction throughput (pure-Python parse) ------
+    import pathlib as _pl
+    pdf_src = _pl.Path("/root/reference/tests/data/pdf/sources")
+    if pdf_src.exists():
+        fixtures = [(p.name, p.read_bytes())
+                    for p in sorted(pdf_src.glob("*.pdf"))]
+        n_pdf = max(len(fixtures), int(2600 * sf))
+        reps = (n_pdf + len(fixtures) - 1) // len(fixtures)
+        rows = [(f"https://bench.test/pdf/{i}/{name}", raw)
+                for i in range(reps) for (name, raw) in fixtures][:n_pdf]
+        pdf_pages_n = {"2305.03393v1-pg9.pdf": 1, "amt_handbook_sample.pdf": 1,
+                       "code_and_formula.pdf": 2, "multi_page.pdf": 5,
+                       "normal_4pages.pdf": 4,
+                       "picture_classification.pdf": 2,
+                       "redp5110_sampled.pdf": 18, "right_to_left_01.pdf": 1,
+                       "right_to_left_02.pdf": 1, "right_to_left_03.pdf": 1,
+                       "skipped_1page.pdf": 3, "skipped_2pages.pdf": 4,
+                       "table_mislabeled_as_picture.pdf": 1}
+        total_pages = sum(pdf_pages_n[u.rsplit("/", 1)[-1]]
+                          for (u, _) in rows)
+        pdf_df = spark.createDataFrame(rows, "url string, html binary") \
+            .repartition(CPUS)
+        t0 = time.perf_counter()
+        pagg = engine.extract_pages(pdf_df, repartition=False).selectExpr(
+            "count(*) docs",
+            "sum(case when status='success' then 1 else 0 end) ok"
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        timings["extract_pdf"] = round(dt, 3)
+        extras["pdf_docs"] = pagg["docs"]
+        extras["pdf_ok"] = pagg["ok"]
+        extras["pdf_pages_per_sec"] = round(total_pages / dt, 2)
+        extras["pdf_docs_per_sec"] = round(pagg["docs"] / dt, 2)
+
     # ---- operator queries over the sf tables -----------------------------
     qs = entrymod.queries()
     bench_queries = [

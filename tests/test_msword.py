@@ -101,3 +101,35 @@ def test_omml_to_latex_units():
     assert run("<m:d><m:dPr/><m:e><m:r><m:t>x</m:t></m:r></m:e></m:d>") \
         == "\\left(x\\right)"
     assert run("<m:r><m:t>π</m:t></m:r>").strip() == "\\pi"
+
+
+def test_textbox_superset_of_golden_documented_reference_bug():
+    """The textbox golden silently drops 4 of 13 textboxes: the reference
+    dedups processed elements by id() of EPHEMERAL lxml proxies
+    (msword_backend.py:718-771 - `element_id = id(element)` and
+    `self.processed_textbox_elements.append(id(tb_element))`), and CPython
+    reuses freed proxy addresses, so later textboxes can false-positive as
+    already processed. Our output is pinned as a STRICT SUPERSET: every
+    golden line is present, and the only additions are the four dropped
+    textbox contents."""
+    import difflib
+    raw = (SRC / "textbox.docx").read_bytes()
+    doc = convert_docx(raw, name="textbox", filename="textbox.docx")
+    ours = to_markdown(doc).splitlines()
+    golden = (GT / "textbox.docx.md").read_text().splitlines()
+    added, removed = [], []
+    for ln in difflib.unified_diff(golden, ours, lineterm=""):
+        if ln.startswith("+") and not ln.startswith("+++"):
+            added.append(ln[1:])
+        elif ln.startswith("-") and not ln.startswith("---"):
+            removed.append(ln[1:])
+    assert not [ln for ln in removed if ln.strip()], removed
+    dropped_markers = [
+        "Campus Safety and Disaster Prevention Information Network",
+        "Department of Education:",
+        "reporting and specimen collection",
+        "No",
+    ]
+    content = [ln for ln in added if ln.strip()]
+    for marker in dropped_markers:
+        assert any(marker in ln for ln in content), marker
