@@ -68,7 +68,7 @@ _IGNORED_MACROS = {"label", "vspace", "hspace", "centering", "noindent",
                    "LARGE", "huge", "Huge", "footnotesize", "tiny",
                    "normalsize", "maketitle", "tableofcontents",
                    "newpage", "clearpage", "pagebreak", "linebreak",
-                   "usepackage", "documentclass", "bibliographystyle",
+                   "usepackage", "documentclass",
                    "hline", "toprule", "midrule", "bottomrule", "indent",
                    "smallskip", "medskip", "bigskip", "item",
                    "setlength", "addtolength", "setcounter"}
@@ -373,7 +373,21 @@ class LatexConverter:
                 else:
                     parts.append(self.macro_to_text(node))
             elif isinstance(node, Environment):
-                parts.append(self.nodes_to_text(node.nodelist))
+                if node.name in ("tabular", "tabular*", "array"):
+                    # reference artifact (pylatexenc parses the colspec as
+                    # a ONE-TOKEN arg): with "[pos]{spec}" the consumed
+                    # token is just "[", so "pos]" and the brace-flattened
+                    # spec leak into the text ("c]@c@Chatbot Arena...");
+                    # with a bare "{spec}" the whole group is consumed
+                    src = node.verbatim
+                    if node.optarg is not None:
+                        src = node.optarg + "]" + src
+                    else:
+                        src = re.sub(r"^\s*\{(?:[^{}]|\{[^{}]*\})*\}",
+                                     "", src, count=1)
+                    parts.append(self.nodes_to_text(Walker(src).parse()))
+                else:
+                    parts.append(self.nodes_to_text(node.nodelist))
         result = "".join(parts)
         result = re.sub(r" +", " ", result)
         result = re.sub(r"\n\n+", "\n\n", result)
@@ -619,6 +633,55 @@ def _is_text_only(nodes) -> bool:
     return True
 
 
+def _split_table_level(text: str, sep: str) -> list[str]:
+    """Split on a table separator (``\\\\`` or ``&``) only at nesting
+    level 0 - a ``\\\\`` inside a nested ``\\begin{tabular}...`` cell or a
+    brace group belongs to that cell, not to the outer grid (the reference
+    splits on NODES, so nested environments are opaque to the outer
+    table)."""
+    parts: list[str] = []
+    buf: list[str] = []
+    i = 0
+    n = len(text)
+    brace = 0
+    env = 0
+    while i < n:
+        if text.startswith("\\begin{", i):
+            env += 1
+            buf.append(text[i:i + 7])
+            i += 7
+            continue
+        if text.startswith("\\end{", i):
+            env = max(0, env - 1)
+            buf.append(text[i:i + 5])
+            i += 5
+            continue
+        ch = text[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = text[i + 1]
+            if sep == "\\\\" and nxt == "\\" and brace == 0 and env == 0:
+                parts.append("".join(buf))
+                buf = []
+                i += 2
+                continue
+            buf.append(text[i:i + 2])
+            i += 2
+            continue
+        if ch == "{":
+            brace += 1
+        elif ch == "}":
+            brace = max(0, brace - 1)
+        elif ch == sep and sep == "&" and brace == 0 and env == 0:
+            parts.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def parse_tabular(body: str, conv: LatexConverter) -> Optional[TableData]:
     """``tabular`` body -> grid (first row = column header; rows split on
     ``\\\\``, cells on unescaped ``&``; rules stripped; a trailing empty
@@ -638,15 +701,15 @@ def parse_tabular(body: str, conv: LatexConverter) -> Optional[TableData]:
                     break
     body = re.sub(r"\\(?:hline|toprule|midrule|bottomrule)", "", body)
     body = re.sub(r"\\cline\{[^}]*\}", "", body)
-    rows_raw = re.split(r"\\\\", body)
+    rows_raw = _split_table_level(body, "\\\\")
     rows: list[list[str]] = []
     for raw in rows_raw:
-        cells = [c for c in re.split(r"(?<!\\)&", raw)]
+        cells = _split_table_level(raw, "&")
         texts = []
         for cell in cells:
             frag = Walker(cell).parse()
-            texts.append(re.sub(r"\s+", " ",
-                                conv.nodes_to_text(frag)).strip())
+            flat = conv.nodes_to_text(frag)  # collapses spaces, keeps \n
+            texts.append(flat.replace("\n", " ").strip())
         if len(texts) == 1 and not texts[0] and raw is not rows_raw[-1]:
             continue  # blank line between rules
         rows.append(texts)
