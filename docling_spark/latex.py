@@ -31,11 +31,14 @@ from .model import BODY, Doc, Formatting, TableCell, TableData
 # pylatexenc's default-db behavior for unrecognized names
 _MACRO_ARGS = {
     "section": 1, "subsection": 1, "subsubsection": 1, "chapter": 1,
-    "paragraph": 1, "subparagraph": 1,
+    # paragraph/subparagraph args are NOT consumed - the goldens show the
+    # reference's walker leaks their brace group inline ("Encoder:The
+    # encoder is composed...")
     "title": 1, "author": 1, "date": 1, "thanks": 1,
     "textbf": 1, "textit": 1, "emph": 1, "texttt": 1, "textsc": 1,
     "textrm": 1, "textsf": 1, "underline": 1, "textsuperscript": 1,
     "textsubscript": 1, "mbox": 1, "hbox": 1,
+    "color": 1, "definecolor": 3, "colorlet": 2, "pagecolor": 1,
     "cite": 1, "citep": 1, "citet": 1, "ref": 1, "eqref": 1,
     "autoref": 1, "cref": 1, "Cref": 1, "pageref": 1,
     "label": 1, "caption": 1, "footnote": 1, "url": 1, "href": 2,
@@ -55,7 +58,7 @@ _FORMAT_MACROS = {
 }
 
 _HEADING_LEVEL = {"chapter": 1, "section": 1, "subsection": 2,
-                  "subsubsection": 3, "paragraph": 4, "subparagraph": 5}
+                  "subsubsection": 3}
 
 _REF_MACROS = {"cite", "citep", "citet", "ref", "eqref", "autoref",
                "cref", "Cref", "pageref"}
@@ -80,6 +83,8 @@ _OPTARG_MACROS = frozenset(_HEADING_LEVEL) | {
     "includegraphics", "item", "captionof",
     "cite", "citep", "citet"}
 
+_ENV_MATH_CLEAN = {"equation", "equation*", "displaymath", "math",
+                   "eqnarray", "eqnarray*", "dmath", "dmath*"}
 _MATH_ENVS = {"equation", "equation*", "align", "align*", "eqnarray",
               "eqnarray*", "displaymath", "gather", "gather*",
               "multline", "multline*", "math"}
@@ -190,12 +195,10 @@ class Walker:
                     flush()
                     nodes.append(Specials(sp))
                     i += len(sp)
-                    if sp in ("--", "---"):
-                        # dropped dash ligatures absorb following blanks
-                        # (golden: "13B -- Chat" -> "13B Chat",
-                        #  "sizes'' of" keeps its space)
-                        while i < n and text[i] in " \t":
-                            i += 1
+                    # dropped dash ligatures keep surrounding blanks:
+                    # "13B -- Chat" -> "13B  Chat" in main-walk items
+                    # (no space collapse there), -> "13B Chat" in
+                    # nodes_to_text contexts (collapse applies)
                     break
             else:
                 sp = None
@@ -308,6 +311,20 @@ class Walker:
             if i2 < self.n and self.text[i2] == "{":
                 inner, i = self._parse_nodes(i2 + 1, stop="}")
                 args.append(inner)
+            elif (i2 + 1 < self.n and self.text[i2] == "\\"
+                  and self.text[i2 + 1].isalpha()):
+                # TeX single-token argument: a bare control word
+                # (\setlength\tabcolsep{2pt})
+                m2 = re.match(r"\\[a-zA-Z]+", self.text[i2:])
+                args.append([Macro(m2.group(0)[1:])])
+                i = i2 + m2.end()
+            elif i2 < self.n and self.text[i2] not in "}]&$%":
+                # pylatexenc one-TOKEN mandatory arg: a single character
+                # when no brace group follows (\title[mode=title]{...}
+                # consumes just "[", leaking "mode = title]" as chars -
+                # the goldens bake this)
+                args.append([Chars(self.text[i2])])
+                i = i2 + 1
             else:
                 break
         return Macro(name, star, optarg, args), i
@@ -350,9 +367,57 @@ class Walker:
 # ---------------------------------------------------------------------------
 
 class LatexConverter:
-    def __init__(self, doc: Doc):
+    def __init__(self, doc: Doc, custom: dict | None = None):
         self.doc = doc
         self.meta: dict[str, str] = {}
+        # \newcommand registry: name -> (definition source, arg count);
+        # the reference expands these at NODE level (raw definition text
+        # for zero-arg macros, #i-substituted + re-parsed for arg-taking
+        # ones) - never a textual pre-pass, so \def macros stay unknown
+        # and drop (macros.py:185-196, :620-633)
+        self.custom: dict = custom or {}
+        # {filename: content} for node-level \input/\include (the
+        # reference resolves inputs as STRUCTURAL macros whose file is
+        # parsed and processed with a FRESH buffer - macros.py:370-410 -
+        # so a blank line before \input never merges with the file's
+        # first paragraph)
+        self.inputs: dict = {}
+        self._input_stack: set = set()
+
+    def _consume_custom(self, name: str, following: list) -> tuple:
+        """-> (text, n_following_consumed) for a custom macro invocation
+        (reference _expand_custom_macro_invocation semantics)."""
+        definition, nargs = self.custom[name]
+        if nargs <= 0:
+            return definition, 0
+        args: list[str] = []
+        consumed = 0
+        for nxt in following:
+            if len(args) >= nargs:
+                break
+            if isinstance(nxt, Chars) and not nxt.chars.strip():
+                consumed += 1
+                continue
+            if isinstance(nxt, Group):
+                args.append(self.nodes_to_text(nxt.nodelist))
+                consumed += 1
+                continue
+            break
+        if len(args) < nargs:
+            return definition, 0
+        expansion = definition
+        for idx in range(len(args), 0, -1):
+            expansion = expansion.replace(f"#{idx}", args[idx - 1])
+        return self.nodes_to_text(Walker(expansion).parse()), consumed
+
+    def _expand_in_math(self, verbatim: str) -> str:
+        """Zero-arg custom macros expand TEXTUALLY inside math verbatim
+        (reference _expand_macros)."""
+        for mname, (mdef, nargs) in self.custom.items():
+            if nargs == 0:
+                verbatim = re.sub(r"\\" + re.escape(mname) + r"(?![a-zA-Z])",
+                                  mdef.replace("\\", "\\\\"), verbatim)
+        return verbatim
 
     # -- plain-text flattening ----------------------------------------------
     def nodes_to_text(self, nodes) -> str:
@@ -360,16 +425,26 @@ class LatexConverter:
         as a newline, runs of spaces and blank lines collapsed, ends
         stripped."""
         parts: list[str] = []
-        for node in nodes:
+        idx = 0
+        nodes = list(nodes)
+        while idx < len(nodes):
+            node = nodes[idx]
+            skip = 0
             if isinstance(node, Chars):
                 parts.append(node.chars)
             elif isinstance(node, Group):
                 parts.append(self.nodes_to_text(node.nodelist))
             elif isinstance(node, Math):
-                parts.append(f"${node.content}$")
+                parts.append(
+                    f"${self._expand_in_math(node.content)}$")
             elif isinstance(node, Macro):
                 if node.name == "\\":
                     parts.append("\n")
+                elif node.name in self.custom and not node.args:
+                    text, skip = self._consume_custom(
+                        node.name, nodes[idx + 1:])
+                    if text:
+                        parts.append(text)
                 else:
                     parts.append(self.macro_to_text(node))
             elif isinstance(node, Environment):
@@ -388,6 +463,7 @@ class LatexConverter:
                     parts.append(self.nodes_to_text(Walker(src).parse()))
                 else:
                     parts.append(self.nodes_to_text(node.nodelist))
+            idx += 1 + skip
         result = "".join(parts)
         result = re.sub(r" +", " ", result)
         result = re.sub(r"\n\n+", "\n\n", result)
@@ -416,8 +492,15 @@ class LatexConverter:
             # the reference's text flattening has no label branch, so the
             # label key leaks into heading text ("RWRelated Work" golden)
             return " ".join(self.nodes_to_text(a) for a in node.args)
+        if name in ("color", "definecolor", "colorlet"):
+            return ""
         if name in _IGNORED_MACROS:
             return ""
+        if name == "thanks" and node.args:
+            return self.nodes_to_text(node.args[0])
+        if node.args:
+            # reference generic fallback: every arg's text, space-joined
+            return " ".join(self.nodes_to_text(a) for a in node.args)
         return ""
 
     # -- main walk -------------------------------------------------------------
@@ -430,10 +513,18 @@ class LatexConverter:
             combined = "".join(buffer).strip()
             buffer.clear()
             if combined:
-                doc.add_text(parent=parent, label=text_label or "text",
-                             text=combined, formatting=formatting)
+                if text_label == "list_item":
+                    doc.add_list_item(text=combined, enumerated=False,
+                                      marker="", parent=parent)
+                else:
+                    doc.add_text(parent=parent, label=text_label or "text",
+                                 text=combined, formatting=formatting)
 
-        for node in nodes:
+        nodes = list(nodes)
+        idx = 0
+        while idx < len(nodes):
+            node = nodes[idx]
+            skip = 0
             if isinstance(node, Chars):
                 text = node.chars
                 if "\n\n" in text:
@@ -447,7 +538,16 @@ class LatexConverter:
                     flush()
                     for part in parts[1:]:
                         stripped = part.strip()
-                        if stripped:
+                        if not stripped:
+                            continue
+                        if text_label == "list_item":
+                            # a paragraph break inside a list item makes
+                            # the next paragraph its own item (reference
+                            # _process_chars_node under LIST_ITEM label)
+                            doc.add_list_item(text=stripped,
+                                              enumerated=False, marker="",
+                                              parent=parent)
+                        else:
                             doc.add_text(parent=parent,
                                          label=text_label or "paragraph",
                                          text=stripped,
@@ -460,7 +560,8 @@ class LatexConverter:
                     doc.add_text(parent=parent, label="formula",
                                  text=node.content)
                 else:
-                    buffer.append(f"${node.content}$")
+                    buffer.append(
+                        f"${self._expand_in_math(node.content)}$")
             elif isinstance(node, Group):
                 if _is_text_only(node.nodelist):
                     buffer.append(self.nodes_to_text(node.nodelist))
@@ -471,12 +572,21 @@ class LatexConverter:
                     self.process(node.nodelist, parent, formatting,
                                  text_label)
             elif isinstance(node, Macro):
-                self._handle_macro(node, parent, formatting, text_label,
-                                   buffer, flush)
+                if node.name in self.custom and not node.args:
+                    # reference main-walk custom expansion: raw definition
+                    # text for zero-arg macros, parsed text otherwise
+                    text, skip = self._consume_custom(
+                        node.name, nodes[idx + 1:])
+                    if text:
+                        buffer.append(text)
+                else:
+                    self._handle_macro(node, parent, formatting,
+                                       text_label, buffer, flush)
             elif isinstance(node, Environment):
                 flush()
                 self._handle_environment(node, parent, formatting,
                                          text_label)
+            idx += 1 + skip
         flush()
 
     def _handle_macro(self, node: Macro, parent, formatting, text_label,
@@ -499,6 +609,33 @@ class LatexConverter:
             text = self.nodes_to_text(node.args[0]).strip()
             if text:
                 doc.add_text(label="text", text=text, parent=parent)
+        elif name in ("color", "definecolor", "colorlet"):
+            pass  # dropped with arguments (reference MACROS_COLOR)
+        elif name == "item":
+            if node.optarg is not None:
+                buffer.append(f"{node.optarg}: ")
+        elif name in ("input", "include") and node.args:
+            fname = self.nodes_to_text(node.args[0]).strip()
+            for cand in (fname, fname + ".tex"):
+                if cand in self.inputs and cand not in self._input_stack \
+                        and len(self._input_stack) < 10:
+                    raw = self.inputs[cand]
+                    if isinstance(raw, bytes):
+                        raw = raw.decode("utf-8", errors="replace")
+                    _, raw = _collect_newcommands(raw)
+                    flush()
+                    self._input_stack.add(cand)
+                    try:
+                        self.process(Walker(raw).parse(), parent,
+                                     formatting, text_label)
+                    finally:
+                        self._input_stack.discard(cand)
+                    break
+        elif name == "bibliography" and node.args:
+            # structural in the reference: flush, then the arg re-enters
+            # the walk with its own buffer -> its own text item
+            flush()
+            self.process(node.args[0], parent, formatting, text_label)
         elif name in ("thanks", "maketitle"):
             pass
         elif name in _FORMAT_MACROS and node.args:
@@ -533,6 +670,10 @@ class LatexConverter:
             flush()
             path = self.nodes_to_text(node.args[0]).strip() if node.args \
                 else ""
+            # the caption rides at BODY level (reference creates it with
+            # no parent: macros.py includegraphics branch), the picture
+            # under the current parent - inside a figure group the caption
+            # therefore prints AFTER the group
             caption = doc.add_text(label="caption",
                                    text=f"Image: {path}") if path else None
             doc.add_picture(parent=parent, caption=caption)
@@ -559,7 +700,17 @@ class LatexConverter:
         doc = self.doc
         name = node.name
         if name in _MATH_ENVS:
-            content = node.verbatim.strip()
+            # reference _clean_math: the \begin/\end wrapper is stripped
+            # ONLY for ENV_MATH_CLEAN members; align/gather/multline keep
+            # it verbatim inside the formula text. Labels drop, zero-arg
+            # custom macros expand textually.
+            if name in _ENV_MATH_CLEAN:
+                content = node.verbatim
+            else:
+                content = (f"\\begin{{{name}}}{node.verbatim}"
+                           f"\\end{{{name}}}")
+            content = re.sub(r"\\label\{.*?\}", "", content)
+            content = self._expand_in_math(content).strip()
             if content:
                 doc.add_text(label="formula", text=content, parent=parent)
         elif name in _VERBATIM_ENVS:
@@ -571,7 +722,13 @@ class LatexConverter:
             data = parse_tabular(node.verbatim, self)
             if data is not None:
                 doc.add_table(data=data, parent=parent)
-        elif name in ("table", "table*", "figure", "figure*", "center",
+        elif name in ("figure", "figure*"):
+            # reference _process_figure: a SECTION group named "figure"
+            # wraps the environment's content
+            group = doc.add_group(label="section", name="figure",
+                                  parent=parent)
+            self.process(node.nodelist, group, formatting, text_label)
+        elif name in ("table", "table*", "center",
                       "minipage", "abstract", "document", "quote",
                       "quotation"):
             if name == "abstract":
@@ -582,34 +739,28 @@ class LatexConverter:
             self.process(node.nodelist, parent, formatting, text_label)
 
     def _handle_list(self, env: Environment, parent, enumerated: bool):
+        """Reference _process_list: items re-enter the main walk with
+        text_label=list_item, so inline macros, single newlines, and
+        paragraph breaks inside an item behave exactly like body text
+        (a \\n\\n inside an item mints a NEW item)."""
         doc = self.doc
         group = doc.add_list_group(name="list", parent=parent)
-        # split the environment body on \item macros
         current: list = []
         items: list[list] = []
         for node in env.nodelist:
             if isinstance(node, Macro) and node.name == "item":
-                items.append(current)
+                if current:
+                    items.append(current)
                 current = []
+                if node.optarg is not None:
+                    current.append(node)
             else:
                 current.append(node)
-        items.append(current)
-        for item_nodes in items[1:]:
-            text = re.sub(r"\s+", " ", self.nodes_to_text(
-                [n for n in item_nodes
-                 if not isinstance(n, Environment)])).strip()
-            nested = [n for n in item_nodes
-                      if isinstance(n, Environment)
-                      and n.name in ("itemize", "enumerate")]
-            if not text and not nested:
-                continue
-            # the reference emits items as plain list_item texts (never
-            # enumerated), so ordered lists render with dashes too
-            item = doc.add_list_item(text=text, enumerated=False,
-                                     marker="", parent=group) if text \
-                else group
-            for sub in nested:
-                self._handle_list(sub, item, sub.name == "enumerate")
+        if current:
+            items.append(current)
+        for item_nodes in items:
+            self.process(item_nodes, parent=group,
+                         text_label="list_item")
 
 
 _STRUCTURAL_NAMES = frozenset(_HEADING_LEVEL) | {
@@ -700,7 +851,9 @@ def parse_tabular(body: str, conv: LatexConverter) -> Optional[TableData]:
                     body = body[idx + 1:]
                     break
     body = re.sub(r"\\(?:hline|toprule|midrule|bottomrule)", "", body)
-    body = re.sub(r"\\cline\{[^}]*\}", "", body)
+    # \cline's rule-span group leaks into the next row's first cell
+    # (pylatexenc does not know \cline, so {4-6} survives as a group)
+    body = re.sub(r"\\cline\s*\{([^}]*)\}", r"\1", body)
     rows_raw = _split_table_level(body, "\\\\")
     rows: list[list[str]] = []
     for raw in rows_raw:
@@ -731,14 +884,17 @@ def parse_tabular(body: str, conv: LatexConverter) -> Optional[TableData]:
     return data
 
 
-def _expand_newcommands(text: str) -> str:
-    """Pre-expand zero-arg \\newcommand definitions (reference
-    _preprocess_custom_macros subset)."""
-    defs = {}
+def _collect_newcommands(text: str) -> tuple[dict, str]:
+    """-> ({name: (definition, nargs)}, text with the DEFINITION
+    statements removed). Only \\newcommand/\\renewcommand register
+    (the reference ignores \\def/\\let: macros.py:88 scans
+    MACROS_NEWCOMMAND only); uses stay in the stream as macro nodes and
+    expand at NODE level in the converter."""
+    defs: dict = {}
+    spans = []
     for m in re.finditer(
-            r"\\(?:re)?newcommand\*?\{\\(\w+)\}(?:\[(\d+)\])?\{", text):
-        if m.group(2):
-            continue  # arg-taking macros: out of scope this round
+            r"\\(?:re)?newcommand\*?\s*\{?\\(\w+)\}?(?:\[(\d+)\])?\{",
+            text):
         start = m.end()
         depth = 1
         i = start
@@ -748,19 +904,18 @@ def _expand_newcommands(text: str) -> str:
             elif text[i] == "}":
                 depth -= 1
             i += 1
-        defs[m.group(1)] = text[start:i - 1]
-    if not defs:
-        return text
-
-    def sub(m):
-        return defs.get(m.group(1), m.group(0))
-
-    # remove the definitions, then expand uses
-    text = re.sub(
-        r"\\(?:re)?newcommand\*?\{\\\w+\}(?:\[\d+\])?\{(?:[^{}]|\{[^{}]*\})*\}",
-        "", text)
-    return re.sub(r"\\(\w+)(?![a-zA-Z])", lambda m: defs.get(
-        m.group(1), m.group(0)), text)
+        defs[m.group(1)] = (text[start:i - 1],
+                            int(m.group(2)) if m.group(2) else 0)
+        spans.append((m.start(), i))
+    if not spans:
+        return defs, text
+    out = []
+    last = 0
+    for a, b in spans:
+        out.append(text[last:a])
+        last = b
+    out.append(text[last:])
+    return defs, "".join(out)
 
 
 _INPUT_RE = re.compile(r"\\(input|include)\s*\{([^}]*)\}")
@@ -810,15 +965,18 @@ def convert_latex(data: bytes, name: str = "file", filename: str = "",
 
     ``inputs``: optional {filename: content} mapping for \\input files."""
     text = data.decode("utf-8", errors="replace")
-    if inputs:
-        text = _splice_inputs(text, inputs)
-    text = _expand_newcommands(text)
+    # custom-macro registry sees the whole project (main + inputs); the
+    # walk itself processes \input at NODE level with fresh buffers
+    custom, _ = _collect_newcommands(
+        _splice_inputs(text, inputs) if inputs else text)
+    _, text = _collect_newcommands(text)
     # the reference's latex backend builds the doc without a
     # DocumentOrigin, so the json export has no origin key
     doc = Doc(name, filename=filename or f"{name}.tex",
               binary_hash=binary_hash, mimetype=None)
     nodes = Walker(text).parse()
-    conv = LatexConverter(doc)
+    conv = LatexConverter(doc, custom=custom)
+    conv.inputs = inputs or {}
     # find the document environment; preamble macros (title/author) are
     # captured by walking everything before it
     doc_env = None
