@@ -177,9 +177,23 @@ class Walker:
                 flush()
                 return nodes, i + 1
             if ch == "%":
-                # comment to end of line (incl. the newline)
+                # pylatexenc comment semantics: a NODE BOUNDARY (pending
+                # chars flush); the comment's post-space eats its newline +
+                # following indent ONLY when the next line is not blank -
+                # a comment inside a paragraph break leaves "\n\n" visible
+                # ("%comment\nIBM" joins; "%comment\n\nAttention" splits)
+                flush()
                 j = text.find("\n", i)
-                i = n if j == -1 else j + 1
+                if j == -1:
+                    i = n
+                    continue
+                k = j + 1
+                while k < n and text[k] in " \t":
+                    k += 1
+                if k < n and text[k] == "\n":
+                    i = j  # blank line follows: keep the break visible
+                else:
+                    i = k  # eat newline + indent
                 continue
             if ch == "{":
                 flush()
