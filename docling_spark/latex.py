@@ -204,7 +204,7 @@ class Walker:
                 # stray close (tolerant)
                 i += 1
                 continue
-            for sp in ("---", "--", "``", "''", "~"):
+            for sp in ("---", "--", "``", "''", "~", "&"):
                 if text.startswith(sp, i):
                     flush()
                     nodes.append(Specials(sp))
@@ -317,8 +317,11 @@ class Walker:
         optarg = None
         if name in _OPTARG_MACROS:
             # only macros whose signature has an [optional] argument
-            # consume one (pylatexenc leaves other "[...]" as chars)
+            # consume one (pylatexenc leaves other "[...]" as chars);
+            # natbib citation macros take TWO ([pre][post])
             optarg, i = self._read_optarg(i)
+            if name in _REF_MACROS:
+                _opt2, i = self._read_optarg(i)
         args = []
         for _ in range(n_args):
             i2 = self._skip_ws(i)
@@ -343,8 +346,18 @@ class Walker:
                 break
         return Macro(name, star, optarg, args), i
 
+    _ENV_OPTARG = frozenset((
+        "figure", "figure*", "table", "table*", "tabular", "tabular*",
+        "array", "equation", "align", "gather", "itemize", "enumerate",
+        "description"))
+
     def _parse_environment(self, env_name: str, i: int):
-        optarg, i = self._read_optarg(i)
+        optarg = None
+        if env_name in self._ENV_OPTARG:
+            # unknown environments leak their "[t]"-style placement args
+            # as chars (pylatexenc behavior the goldens bake: minipage
+            # emits "[t]0.5" paragraphs)
+            optarg, i = self._read_optarg(i)
         begin_marker = f"\\begin{{{env_name}}}"
         end_marker = f"\\end{{{env_name}}}"
         # nesting-aware: same-name environments can nest (tabular cells
@@ -625,6 +638,9 @@ class LatexConverter:
                 doc.add_text(label="text", text=text, parent=parent)
         elif name in ("color", "definecolor", "colorlet"):
             pass  # dropped with arguments (reference MACROS_COLOR)
+        elif name in ("centering", "newline", "hfill", "break"):
+            # STRUCTURAL in the reference: the running text flushes
+            flush()
         elif name == "item":
             if node.optarg is not None:
                 buffer.append(f"{node.optarg}: ")
@@ -979,11 +995,11 @@ def convert_latex(data: bytes, name: str = "file", filename: str = "",
 
     ``inputs``: optional {filename: content} mapping for \\input files."""
     text = data.decode("utf-8", errors="replace")
-    # custom-macro registry sees the whole project (main + inputs); the
-    # walk itself processes \input at NODE level with fresh buffers
-    custom, _ = _collect_newcommands(
-        _splice_inputs(text, inputs) if inputs else text)
-    _, text = _collect_newcommands(text)
+    # custom-macro registry scans the MAIN file only (the reference's
+    # init-time node scan never sees \input files, so their definitions
+    # stay unregistered and invocations drop); the walk processes
+    # \input at NODE level with fresh buffers
+    custom, text = _collect_newcommands(text)
     # the reference's latex backend builds the doc without a
     # DocumentOrigin, so the json export has no origin key
     doc = Doc(name, filename=filename or f"{name}.tex",

@@ -30,8 +30,11 @@ from .model import (
 
 
 def _escape_md(text: str) -> str:
-    return (text.replace("&", "&amp;").replace("<", "&lt;")
-            .replace(">", "&gt;").replace("_", "\\_"))
+    text = (text.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+    # escape underscores, but never double-escape one that already rides
+    # behind a backslash (math "\_" in LaTeX-sourced text)
+    return re.sub(r"(?<!\\)_", r"\\_", text)
 
 
 def _fmt_inline(item: TextItem) -> str:
