@@ -713,10 +713,9 @@ class TextCell:
 
 _RTL_RE = re.compile(r"[֐-ࣿיִ-﷿ﹰ-﻿]")
 _STRONG_LTR_RE = re.compile(r"[A-Za-zÀ-ɏ]")
-# maximal latin/digit segment (with internal word punctuation) inside a
-# flipped RTL line, to be un-reversed back to logical order
-_LTR_SEG_RE = re.compile(
-    r"[A-Za-z0-9À-ɏ](?:[A-Za-z0-9À-ɏ.,:/+%()\- ]*[A-Za-z0-9À-ɏ)])?")
+# a single glyph unit that belongs to an embedded LTR run inside an
+# RTL-dominant line (latin letters, digits, run-internal punctuation)
+_LTRISH_RE = re.compile(r"[A-Za-z0-9À-ɏ.,:/+%()\-]+")
 
 
 def _line_text(run: list[tuple]) -> str:
@@ -734,25 +733,65 @@ def _line_text(run: list[tuple]) -> str:
             if (gap > max(0.18 * size, 1.0) and out and out[-1] != " "
                     and u not in ".,;!?)]}"):
                 out.append(" ")
-        # a space glyph directly before punctuation is dropped (pdfium
-        # behavior the groundtruth bakes: "alike ." -> "alike.")
-        if u in ".,;:!?" and out and out[-1] == " ":
-            out.pop()
         out.append(u)
         prev_end = x + w if w > 0 else x
     text = "".join(out)
-    # pdfium maps em-dash to hyphen-minus in extracted text; the reference
-    # groundtruth bakes that ("typed content-an"), so the PDF path matches
-    text = text.replace("\u2014", "-")
-    # visual -> logical for RTL-dominant lines (docling-parse applies
-    # full bidi; this is the deterministic minimal version): reverse the
-    # whole visual line, then restore each embedded LTR segment (latin
-    # words, numbers) which the global flip turned backwards.
+    # visual -> logical for RTL-dominant lines, at GLYPH granularity
+    # (docling-parse applies full bidi): reversing per-glyph UNITS keeps
+    # multi-char ToUnicode expansions intact (a lam-alef ligature glyph
+    # mapped to two logical chars must not flip internally), then each
+    # embedded LTR run (latin words, digits, with interior spaces) is
+    # restored to reading order.
     rtl = len(_RTL_RE.findall(text))
     ltr = len(_STRONG_LTR_RE.findall(text))
+    if rtl <= ltr or rtl == 0:
+        # a space glyph directly before punctuation is dropped (pdfium
+        # behavior the groundtruth bakes: "alike ." -> "alike."); applied
+        # only on LTR lines - in RTL visual order the rule would eat the
+        # inter-sentence space
+        cleaned: list[str] = []
+        for u in out:
+            if u in ".,;:!?" and cleaned and cleaned[-1] == " ":
+                cleaned.pop()
+            cleaned.append(u)
+        out = cleaned
+        text = "".join(out)
     if rtl > ltr and rtl > 0:
-        text = _LTR_SEG_RE.sub(lambda m: m.group(0)[::-1], text[::-1])
-    return text
+        units = out[::-1]
+        logical: list[str] = []
+        i = 0
+
+        def _is_ltr(u: str) -> bool:
+            return bool(u) and bool(_LTRISH_RE.fullmatch(u))
+
+        while i < len(units):
+            if _is_ltr(units[i]):
+                j = i
+                while j < len(units) and (
+                        _is_ltr(units[j])
+                        or (units[j] == " " and j + 1 < len(units)
+                            and _is_ltr(units[j + 1]))):
+                    j += 1
+                logical.extend(units[i:j][::-1])
+                i = j
+            else:
+                logical.append(units[i])
+                i += 1
+        # bidi neutral resolution: a space is required between an RTL
+        # word and an embedded LTR word (pdfium emits one even when the
+        # visual space landed on the other side of the run)
+        spaced: list[str] = []
+        for u in logical:
+            if (spaced and spaced[-1] != " " and u != " "
+                    and u[:1].isalnum() and spaced[-1][-1:].isalnum()
+                    and bool(_RTL_RE.search(u)) != bool(
+                        _RTL_RE.search(spaced[-1]))):
+                spaced.append(" ")
+            spaced.append(u)
+        text = "".join(spaced)
+    # pdfium maps em-dash to hyphen-minus in extracted text; the reference
+    # groundtruth bakes that ("typed content-an"), so the PDF path matches
+    return text.replace("\u2014", "-")
 
 
 def glyphs_to_cells(glyphs: list[tuple], page_height: float,
