@@ -136,7 +136,12 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
             outdented = (not same_row and not both_mono and blk_single_line
                          and blk_left - cell.l > 3.0 * em)
             indented = indented or outdented
-            if same_size and not indented and (same_row or (near and (
+            # a bold/regular weight CHANGE between consecutive lines is a
+            # block boundary (bold headings at body size; the layout
+            # model separates them) - same-row continuations exempt
+            same_weight = (cell.bold == last.bold) or both_mono
+            if same_size and not indented and (same_row or (
+                    near and same_weight and (
                     h_overlap > -2.0 or abs(cell.l - last.l) < 2.0
                     or both_mono))):
                 blk.cells.append(cell)
@@ -162,6 +167,11 @@ def _classify(blocks: list[_Block], body_size: float, page_no: int,
             1 for j in range(1, len(blk.cells))
             if blk.cells[j].t - blk.cells[j - 1].t > 2.0)
         if t < 0.045 * page_height and len(text) < 120 and n_lines == 1:
+            blk.label = "page_header"
+            continue
+        # bare page number in the top margin (arXiv running heads)
+        if (t < 0.15 * page_height and n_lines == 1 and len(text) <= 4
+                and text.strip().isdigit()):
             blk.label = "page_header"
             continue
         if b > 0.955 * page_height and len(text) < 120 and n_lines <= 2:
@@ -250,10 +260,30 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
         if not cells and not image_rects:
             continue
         body_size = _body_font_size(cells)
-        blocks = _merge_into_blocks(cells, body_size)
+        table_regions, used = _detect_tables(cells, body_size)
+        flow_cells = [c for c in cells if id(c) not in used]
+        blocks = _merge_into_blocks(flow_cells, body_size)
         _classify(blocks, body_size, page_no, height, width,
                   is_first_page=(page_no == pages[0][0]))
         blocks = _captions_after_code(blocks)
+        tables = sorted(table_regions, key=lambda r: r[0])
+        ti = 0
+
+        def _flush_tables(up_to_t):
+            nonlocal ti, list_group
+            while ti < len(tables) and tables[ti][0] <= up_to_t:
+                tt, tb, tl, tr, tdata = tables[ti]
+                doc.add_table(data=tdata, prov=[{
+                    "page_no": page_no,
+                    "bbox": {"l": round(tl, 3),
+                             "t": round(height - tt, 3),
+                             "r": round(tr, 3),
+                             "b": round(height - tb, 3),
+                             "coord_origin": "BOTTOMLEFT"},
+                    "charspan": [0, 0],
+                }])
+                ti += 1
+                list_group = None
         # pictures interleave into reading order by top edge; dedup
         # overlapping draws of the same bitmap (tiled/clipped repaints)
         pics = sorted(_dedup_rects(image_rects), key=lambda r: (r[1], r[0]))
@@ -316,6 +346,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                     }])
                     list_group = None
                     continue
+            _flush_tables(blk.bbox()[1])
             _flush_pics(blk.bbox()[1], blk.label != "list_item")
             if blk.label != "list_item":
                 list_group = None
@@ -348,6 +379,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                              content_layer="furniture", prov=prov)
             else:
                 doc.add_text(label="text", text=text, prov=prov)
+        _flush_tables(float("inf"))
         _flush_pics(float("inf"), True)
     return doc
 
@@ -366,3 +398,114 @@ def _dedup_rects(rects):
         if not dup:
             out.append(r)
     return out
+
+
+# ------------------------------------------------- geometric tables
+
+def _detect_tables(cells, body_size):
+    """Deterministic table-structure recovery from cell geometry - the
+    non-ML stand-in for the reference's TableFormer stage (north-star
+    scope: 'TableFormer-style table-structure recovery').
+
+    A table region is >=3 consecutive baseline rows with >=3 cells each
+    (two-column page layouts produce 2-cell rows and stay prose).
+    Columns come from x-interval clustering of the region's cells.
+
+    Returns (regions, used) where regions = [(top, bottom, TableData)]
+    and used = set of cell ids consumed by a table.
+    """
+    from .model import TableCell, TableData
+
+    # baseline rows
+    rows = []
+    for c in sorted(cells, key=lambda c: (c.t + c.b) / 2.0):
+        if rows:
+            last = rows[-1]
+            top = min(x.t for x in last)
+            bot = max(x.b for x in last)
+            ov = min(bot, c.b) - max(top, c.t)
+            if ov > 0.5 * min(bot - top, c.b - c.t):
+                last.append(c)
+                continue
+        rows.append([c])
+    for r in rows:
+        r.sort(key=lambda c: c.l)
+
+    marked = [len(r) >= 3 for r in rows]
+    regions = []
+    used: set = set()
+    i = 0
+    while i < len(rows):
+        if not marked[i]:
+            i += 1
+            continue
+        # extend the region over marked rows, allowing up to 2 interleaved
+        # narrow rows (spanning labels, rowspan stubs) when another marked
+        # row follows within vertical reach
+        j = i
+        while j + 1 < len(rows):
+            nxt = None
+            for k in range(j + 1, min(j + 4, len(rows))):
+                gap = (min(c.t for c in rows[k])
+                       - max(c.b for c in rows[j]))
+                if gap > 2.5 * body_size:
+                    break
+                if marked[k]:
+                    nxt = k
+                    break
+            if nxt is None:
+                break
+            j = nxt
+        n_marked = sum(1 for k in range(i, j + 1) if marked[k])
+        n_rows = j - i + 1
+        if n_marked >= 3:
+            region_rows = rows[i:j + 1]
+            region_cells = [c for r in region_rows for c in r]
+            # column clustering by x-interval overlap
+            cols: list[list[float]] = []  # [l, r] running spans
+            for c in sorted(region_cells, key=lambda c: c.l):
+                placed = False
+                for span in cols:
+                    if min(span[1], c.r) - max(span[0], c.l) > 0:
+                        span[0] = min(span[0], c.l)
+                        span[1] = max(span[1], c.r)
+                        placed = True
+                        break
+                if not placed:
+                    cols.append([c.l, c.r])
+            cols.sort(key=lambda s: s[0])
+            n_cols = len(cols)
+            if n_cols >= 3:
+                def col_of(c):
+                    best, best_ov = 0, -1.0
+                    for k, span in enumerate(cols):
+                        ov = min(span[1], c.r) - max(span[0], c.l)
+                        if ov > best_ov:
+                            best, best_ov = k, ov
+                    return best
+
+                data = TableData(num_rows=n_rows, num_cols=n_cols)
+                grid_text = [["" for _ in range(n_cols)]
+                             for _ in range(n_rows)]
+                for ri, r in enumerate(region_rows):
+                    for c in r:
+                        k = col_of(c)
+                        grid_text[ri][k] = (grid_text[ri][k] + " " + c.text
+                                            ).strip()
+                for ri in range(n_rows):
+                    for k in range(n_cols):
+                        data.table_cells.append(TableCell(
+                            text=grid_text[ri][k], row_span=1, col_span=1,
+                            start_row_offset_idx=ri,
+                            end_row_offset_idx=ri + 1,
+                            start_col_offset_idx=k,
+                            end_col_offset_idx=k + 1,
+                            column_header=(ri == 0)))
+                top = min(c.t for c in region_cells)
+                bottom = max(c.b for c in region_cells)
+                left = min(c.l for c in region_cells)
+                right = max(c.r for c in region_cells)
+                regions.append((top, bottom, left, right, data))
+                used.update(id(c) for c in region_cells)
+        i = j + 1
+    return regions, used

@@ -346,9 +346,14 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
     f.base_font = str(r(fd.get("BaseFont")) or "")
     bf_low = f.base_font.lower()
     f.bold = ("bold" in bf_low or "black" in bf_low or "heavy" in bf_low
-              or bf_low.endswith("-bd"))
+              or bf_low.endswith("-bd")
+              # TeX Computer Modern family: cmbx/sfbx/lmbx = bold extended
+              or bool(re.search(r"bx\d", bf_low))
+              or "demibold" in bf_low or "semibold" in bf_low)
     f.mono = ("courier" in bf_low or "mono" in bf_low
-              or "consol" in bf_low)
+              or "consol" in bf_low
+              # TeX typewriter: cmtt/sftt/lmtt
+              or bool(re.search(r"tt\d", bf_low)))
     subtype = r(fd.get("Subtype"))
 
     tu = r(fd.get("ToUnicode"))

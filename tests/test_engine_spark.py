@@ -74,6 +74,39 @@ def test_checkpoint_resume(spark, tmp_path):
     assert spark.read.parquet(ck.results_path).count() == 40
 
 
+def test_checkpoint_torn_manifest_resume(spark, tmp_path):
+    """A crash that commits only SOME buckets of a group must not lose or
+    duplicate rows on resume: group ids come from a fixed bucket-range
+    partition and the whole fixed group is re-extracted + overwritten
+    (round-2 advice: order-dependent gids left stale grp dirs)."""
+    pages = _pages(spark, 40)
+    out = str(tmp_path / "torn")
+    ck = engine.CheckpointedExtraction(spark, out, num_buckets=4,
+                                       group_size=2)
+    ck.run(pages)
+    total = spark.read.parquet(ck.results_path).count()
+    assert total == 40
+    # simulate a torn commit: drop bucket 1's manifest row (group {0,1}
+    # is now half-committed) but leave the results directory intact
+    mf = spark.read.parquet(ck.manifest_path)
+    kept = mf.where("bucket <> 1")
+    import shutil
+    tmp_mf = str(tmp_path / "mf_tmp")
+    kept.coalesce(1).write.mode("overwrite").parquet(tmp_mf)
+    shutil.rmtree(ck.manifest_path)
+    shutil.move(tmp_mf, ck.manifest_path)
+    ck2 = engine.CheckpointedExtraction(spark, out, num_buckets=4,
+                                        group_size=2)
+    assert sorted(ck2.committed_buckets()) == [0, 2, 3]
+    r = ck2.run(pages)
+    # only the torn group's pending bucket is (re)committed...
+    assert r["processed"] == [1]
+    # ...and the results hold exactly one row per input, no dupes/loss
+    res = spark.read.parquet(ck.results_path)
+    assert res.count() == 40
+    assert res.select("url").distinct().count() == 40
+
+
 def test_parallelism_invariance(spark):
     """Per-url output must not depend on partition layout (north rule:
     determinism under two cluster sizes)."""

@@ -221,3 +221,23 @@ def test_engine_dispatch_deepseek_sniff():
     df = pd.DataFrame({"url": ["https://x.test/page.md"], "html": [raw]})
     out = next(_extract_batches([df]))
     assert out["status"][0] == "success", out["error"][0]
+
+
+@needs_corpus
+def test_geometric_table_reconstruction():
+    """Deterministic TableFormer stand-in: the pg9 HPO table must come
+    out as ONE structured table with the correct column count and
+    values (north-star scope: table-structure recovery)."""
+    doc = convert_pdf((SRC / "2305.03393v1-pg9.pdf").read_bytes(),
+                      name="pg9")
+    assert len(doc.tables) == 1
+    data = doc.tables[0].data
+    assert data.num_cols == 8
+    assert data.num_rows >= 10
+    texts = {c.text for c in data.table_cells}
+    # spot values from different columns/rows
+    for v in ("0.965", "5.39", "OTSL", "HTML", "1.22", "Language"):
+        assert v in texts, v
+    # prose pages must NOT sprout tables
+    doc2 = convert_pdf((SRC / "multi_page.pdf").read_bytes(), name="mp")
+    assert len(doc2.tables) == 0
