@@ -244,6 +244,69 @@ def _captions_after_code(blocks: list[_Block]) -> list[_Block]:
     return out
 
 
+def _order_columns(cells, page_width):
+    """Two-column reading order (reference: the reading-order model
+    resolves columns; this is the deterministic version): when cells
+    split cleanly left/right of the page midline, emit left column then
+    right column within each vertical zone delimited by full-width
+    (spanning) elements."""
+    if len(cells) < 10:
+        return cells
+    # find the column gutter dynamically: the x in the middle half of the
+    # page crossed by the fewest cells (two-column gutters are rarely at
+    # the exact page midline)
+    best_x, best_cross = None, len(cells)
+    lo = int(0.3 * page_width)
+    hi = int(0.7 * page_width)
+    step = max(2, (hi - lo) // 60)
+    for xi in range(lo, hi + 1, step):
+        cross = sum(1 for c in cells if c.l < xi < c.r)
+        if cross < best_cross or (
+                cross == best_cross
+                and abs(xi - page_width / 2) < abs(
+                    (best_x or 0) - page_width / 2)):
+            best_x, best_cross = xi, cross
+    mid = float(best_x if best_x is not None else page_width / 2.0)
+    left, right, spanning = [], [], []
+    slack = 0.08 * page_width
+    for c in cells:
+        if c.r <= mid + 2:
+            left.append(c)
+        elif c.l >= mid - 2:
+            right.append(c)
+        elif c.r - mid <= slack and c.l < mid:
+            # a justified line poking slightly past the gutter is still a
+            # column member, not a full-width zone break
+            left.append(c)
+        elif mid - c.l <= slack and c.r > mid:
+            right.append(c)
+        else:
+            spanning.append(c)
+    if (len(left) < 5 or len(right) < 5
+            or len(spanning) > 0.12 * len(cells)):
+        return cells
+    # vertical zones: spanning cells act as column breaks
+    breaks = sorted(spanning, key=lambda c: c.t)
+    zones = []
+    prev_bottom = float("-inf")
+    for b in breaks:
+        zones.append((prev_bottom, b.t, None))
+        zones.append((b.t, b.b, b))
+        prev_bottom = b.b
+    zones.append((prev_bottom, float("inf"), None))
+    out = []
+    for top, bottom, brk in zones:
+        if brk is not None:
+            out.append(brk)
+            continue
+        def _in(c):
+            cy = (c.t + c.b) / 2.0
+            return top <= cy < bottom
+        out.extend([c for c in left if _in(c)])
+        out.extend([c for c in right if _in(c)])
+    return out
+
+
 def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                 binary_hash: int = 0, page_range=None) -> Doc:
     """PDF bytes -> Doc with per-item provenance.
@@ -262,6 +325,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
         body_size = _body_font_size(cells)
         table_regions, used = _detect_tables(cells, body_size)
         flow_cells = [c for c in cells if id(c) not in used]
+        flow_cells = _order_columns(flow_cells, width)
         blocks = _merge_into_blocks(flow_cells, body_size)
         _classify(blocks, body_size, page_no, height, width,
                   is_first_page=(page_no == pages[0][0]))
