@@ -31,9 +31,10 @@ from .model import BODY, Doc, Formatting, TableCell, TableData
 # pylatexenc's default-db behavior for unrecognized names
 _MACRO_ARGS = {
     "section": 1, "subsection": 1, "subsubsection": 1, "chapter": 1,
-    # paragraph/subparagraph args are NOT consumed - the goldens show the
-    # reference's walker leaks their brace group inline ("Encoder:The
-    # encoder is composed...")
+    "subparagraph": 1,
+    # paragraph's arg is NOT consumed - the goldens show the reference's
+    # walker leaks its brace group inline ("Encoder:The encoder is
+    # composed..."); subparagraph IS consumed (heading, 2501 golden)
     "title": 1, "author": 1, "date": 1, "thanks": 1,
     "textbf": 1, "textit": 1, "emph": 1, "texttt": 1, "textsc": 1,
     "textrm": 1, "textsf": 1, "underline": 1, "textsuperscript": 1,
@@ -57,8 +58,10 @@ _FORMAT_MACROS = {
     "underline": {"underline": True},
 }
 
+# paragraph leaks its arg (pylatexenc gap); subparagraph IS a heading
+# (level 5 -> six hashes in md, per the 2501 groundtruth)
 _HEADING_LEVEL = {"chapter": 1, "section": 1, "subsection": 2,
-                  "subsubsection": 3}
+                  "subsubsection": 3, "subparagraph": 5}
 
 _REF_MACROS = {"cite", "citep", "citet", "ref", "eqref", "autoref",
                "cref", "Cref", "pageref"}
@@ -104,12 +107,14 @@ class Chars:
 
 
 class Macro:
-    __slots__ = ("name", "star", "optarg", "args")
+    __slots__ = ("name", "star", "optarg", "optargs", "args")
 
-    def __init__(self, name, star=False, optarg=None, args=None):
+    def __init__(self, name, star=False, optarg=None, args=None,
+                 optargs=None):
         self.name = name
         self.star = star
         self.optarg = optarg          # raw string or None
+        self.optargs = optargs        # all optargs (citations take two)
         self.args = args or []        # list of node lists
 
 
@@ -228,7 +233,10 @@ class Walker:
                 else:
                     j = text.find("$", i + 1)
                     j = n if j == -1 else j
-                    nodes.append(Math(False, text[i + 1:j].strip()))
+                    # inline math rides VERBATIM incl. interior spacing
+                    # (reference buffers node.latex_verbatim(): the
+                    # goldens keep "$... = 12 + $")
+                    nodes.append(Math(False, text[i + 1:j]))
                     i = min(n, j + 1)
                 continue
             if ch == "\\":
@@ -315,13 +323,17 @@ class Walker:
     def _parse_macro(self, name: str, star: bool, i: int):
         n_args = _MACRO_ARGS.get(name, 0)
         optarg = None
+        optargs = None
         if name in _OPTARG_MACROS:
             # only macros whose signature has an [optional] argument
             # consume one (pylatexenc leaves other "[...]" as chars);
             # natbib citation macros take TWO ([pre][post])
             optarg, i = self._read_optarg(i)
+            optargs = [optarg]
             if name in _REF_MACROS:
-                _opt2, i = self._read_optarg(i)
+                opt2, i = self._read_optarg(i)
+                optargs.append(opt2)
+            optargs = [o for o in optargs if o is not None]
         args = []
         for _ in range(n_args):
             i2 = self._skip_ws(i)
@@ -344,7 +356,7 @@ class Walker:
                 i = i2 + 1
             else:
                 break
-        return Macro(name, star, optarg, args), i
+        return Macro(name, star, optarg, args, optargs=optargs), i
 
     _ENV_OPTARG = frozenset((
         "figure", "figure*", "table", "table*", "tabular", "tabular*",
@@ -501,6 +513,14 @@ class LatexConverter:
         if name in _ESCAPED and not node.args:
             return _ESCAPED[name]
         if name in _REF_MACROS:
+            if getattr(self, "_cite_verbatim", False) and node.args:
+                # footnote flattening keeps citation macros VERBATIM
+                # incl. their natbib optional args (reference
+                # _nodes_to_text MACROS_CITATION branch)
+                opts = "".join(f"[{o}]" for o in (node.optargs or [])
+                               if o is not None)
+                return (f"\\{name}{opts}"
+                        f"{{{self.nodes_to_text(node.args[0])}}}")
             return f"[{self.nodes_to_text(node.args[0])}]" if node.args \
                 else ""
         if name in _FORMAT_MACROS or name in ("texttt", "textsc", "textrm",
@@ -681,11 +701,17 @@ class LatexConverter:
             buffer.append(self.macro_to_text(node))
         elif name == "href" and len(node.args) == 2:
             buffer.append(self.nodes_to_text(node.args[1]))
-        elif name == "footnote" and node.args:
+        elif name in ("footnote", "marginpar") and node.args:
             # structural in the reference: flushes the running text and
-            # emits the footnote as its own item
+            # emits the footnote as its own item; the flatten keeps
+            # citation macros verbatim (reference groundtruth:
+            # "Section\\ref{sec:results}")
             flush()
-            text = self.nodes_to_text(node.args[0]).strip()
+            self._cite_verbatim = True
+            try:
+                text = self.nodes_to_text(node.args[0]).strip()
+            finally:
+                self._cite_verbatim = False
             if text:
                 doc.add_text(label="footnote", text=text, parent=parent)
         elif name in ("resizebox", "scalebox", "textcolor",
@@ -716,9 +742,14 @@ class LatexConverter:
             doc.add_text(label=text_label or "text",
                          text=self.nodes_to_text(body).strip(),
                          parent=parent)
+        elif name == "label":
+            # STRUCTURAL in the reference: flushes the running text (a
+            # caption's trailing \label mints the paragraph boundary),
+            # emits nothing
+            flush()
         elif name in _IGNORED_MACROS or name in (
                 "input", "include", "newcommand",
-                "renewcommand", "providecommand", "label"):
+                "renewcommand", "providecommand"):
             pass
         elif node.args:
             buffer.append("".join(self.nodes_to_text(a)
@@ -793,8 +824,12 @@ class LatexConverter:
                          text_label="list_item")
 
 
+# mirror of the reference's MACROS_STRUCTURAL (constants.py:15-49)
 _STRUCTURAL_NAMES = frozenset(_HEADING_LEVEL) | {
-    "maketitle", "footnote", "includegraphics", "caption"}
+    "maketitle", "footnote", "includegraphics", "caption", "label",
+    "bibliography", "title", "author", "marginpar", "textcolor",
+    "colorbox", "item", "input", "include", "centering", "newline",
+    "hfill", "break"}
 
 
 def _is_text_only(nodes) -> bool:
