@@ -779,6 +779,26 @@ class LatexConverter:
                 doc.add_code(text=node.verbatim.strip("\n"), parent=parent)
         elif name in ("itemize", "enumerate", "description"):
             self._handle_list(node, parent, name == "enumerate")
+        elif name == "thebibliography":
+            # reference _process_bibliography: a References heading, then
+            # a list group; chunks split at \bibitem macros re-enter the
+            # walk as list items (the env's {widest-label} arg and each
+            # {key} group leak as item text - pylatexenc knows neither)
+            doc.add_heading(text="References", level=1, parent=parent)
+            group = doc.add_list_group(name="bibliography", parent=parent)
+            current: list = []
+            chunks: list[list] = []
+            for nd in node.nodelist:
+                if isinstance(nd, Macro) and nd.name == "bibitem":
+                    if current:
+                        chunks.append(current)
+                    current = []
+                else:
+                    current.append(nd)
+            if current:
+                chunks.append(current)
+            for ch in chunks:
+                self.process(ch, parent=group, text_label="list_item")
         elif name in ("tabular", "tabular*", "array"):
             data = parse_tabular(node.verbatim, self)
             if data is not None:
@@ -915,6 +935,9 @@ def parse_tabular(body: str, conv: LatexConverter) -> Optional[TableData]:
                 if depth == 0:
                     body = body[idx + 1:]
                     break
+    # comments are nodes (dropped) in the reference's table walk; the
+    # verbatim body here still carries them, incl. commented-out ROWS
+    body = re.sub(r"(?<!\\)%[^\n]*", "", body)
     body = re.sub(r"\\(?:hline|toprule|midrule|bottomrule)", "", body)
     # \cline's rule-span group leaks into the next row's first cell
     # (pylatexenc does not know \cline, so {4-6} survives as a group)
