@@ -99,14 +99,18 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
             if _MARKER_ONLY_RE.match("".join(
                     c.text for c in blk.cells).strip()):
                 same_size = True
-            # same visual row, continuing rightward (sentence-gap splits)
-            same_row = (v_overlap > 0.5 * line_h
+            # same visual row, continuing rightward (sentence-gap splits);
+            # never across a detected column boundary
+            same_col = (getattr(cell, "col", None)
+                        == getattr(last, "col", None))
+            same_row = (same_col and v_overlap > 0.5 * line_h
                         and cell.l >= last.r - 2.0
                         and cell.l - last.r < 3.0 * max(cell.font_size,
                                                         last.font_size))
             h_overlap = (min(cell.r, max(c.r for c in blk.cells))
                          - max(cell.l, min(c.l for c in blk.cells)))
-            near = -0.4 * line_h <= v_gap <= 0.9 * line_h
+            near = (same_col
+                    and -0.4 * line_h <= v_gap <= 0.9 * line_h)
             # a first-line indent starts a new paragraph (docling's layout
             # model separates indented paragraphs; the indent is the only
             # deterministic signal). List markers are excluded from the
@@ -294,6 +298,10 @@ def _order_columns(cells, page_width):
         zones.append((b.t, b.b, b))
         prev_bottom = b.b
     zones.append((prev_bottom, float("inf"), None))
+    for c in left:
+        c.col = 0
+    for c in right:
+        c.col = 1
     out = []
     for top, bottom, brk in zones:
         if brk is not None:

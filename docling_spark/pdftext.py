@@ -693,9 +693,11 @@ class TextCell:
     """One line-level text cell, top-left-origin bbox (docling convention:
     reference ``docling_parse_backend.py:140-146`` flips to top-left)."""
 
-    __slots__ = ("text", "l", "t", "r", "b", "font_size", "bold", "mono")
+    __slots__ = ("text", "l", "t", "r", "b", "font_size", "bold", "mono",
+                 "col")
 
-    def __init__(self, text, l, t, r, b, font_size, bold=False, mono=False):
+    def __init__(self, text, l, t, r, b, font_size, bold=False, mono=False,
+                 col=None):
         self.text = text
         self.l = l
         self.t = t
@@ -704,6 +706,7 @@ class TextCell:
         self.font_size = font_size
         self.bold = bold
         self.mono = mono
+        self.col = col  # column index when a multi-column page is split
 
     def to_dict(self) -> dict:
         return {"text": self.text, "l": round(self.l, 3),
