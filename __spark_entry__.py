@@ -420,6 +420,31 @@ def _q_extract_misc(spark, sf_dir):
                       F.md5("md").alias("md_md5"))
 
 
+def _q_extract_arxiv(spark, sf_dir):
+    """Multi-file arXiv LaTeX projects through the Spark engine: each
+    project's main.tex plus an {filename: bytes} inputs mapping for
+    \\input resolution (rows-only; 6/8 byte-identity pinned by
+    tests/test_latex.py + tools/latex_diff.py)."""
+    import pathlib
+    _ensure_shipped(spark)
+    src = pathlib.Path("/root/reference/tests/data/latex/sources")
+    rows, inputs_map = [], {}
+    for proj in sorted(p for p in src.iterdir() if p.is_dir()):
+        main = proj / "main.tex"
+        if not main.exists():
+            continue
+        url = f"https://fixtures.test/arxiv/{proj.name}.tex"
+        rows.append((url, main.read_bytes()))
+        inputs_map[proj.name] = {
+            f.name: f.read_bytes() for f in proj.rglob("*")
+            if f.is_file() and f.suffix in (".tex", ".sty", ".bbl")}
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False,
+                               latex_inputs=inputs_map)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
 def _q_extract_xbrl(spark, sf_dir):
     """XBRL instances + in-memory taxonomy packages through the Spark
     engine (rows-only; md/itxt byte-identity pinned by tests/test_xbrl.py,
@@ -592,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_misc_fixtures": _q_extract_misc,
         "pdf_text_cells": _q_pdf_text_cells,
         "extract_xbrl_fixtures": _q_extract_xbrl,
+        "extract_arxiv_projects": _q_extract_arxiv,
         "extract_span_histogram": _q_extract_spans,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_dups,

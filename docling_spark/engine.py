@@ -71,7 +71,8 @@ METRICS_SCHEMA = StructType([
 
 def _extract_batches(batches: Iterable[pd.DataFrame],
                      ebcdic_layouts: Optional[dict] = None,
-                     xbrl_taxonomies: Optional[dict] = None
+                     xbrl_taxonomies: Optional[dict] = None,
+                     latex_inputs: Optional[dict] = None
                      ) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: one call per Arrow batch; per-doc error envelope.
 
@@ -81,6 +82,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
     analog of the reference's sidecar ``.layout.json`` files).
     ``xbrl_taxonomies`` maps a url basename to a {path: bytes} taxonomy
     mapping (the reference's taxonomy-package directory option).
+    ``latex_inputs`` maps a url basename to a {filename: bytes} mapping
+    for \input/\include resolution (multi-file arXiv projects).
     """
     # Imports inside the function so the closure ships cleanly to executors.
     import hashlib
@@ -201,8 +204,11 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                     doc = convert_boxnote(raw, name=name,
                                           filename=tail, binary_hash=bh)
                 elif ext == "tex":
+                    lx = ((latex_inputs or {}).get(name)
+                          or (latex_inputs or {}).get(tail))
                     doc = convert_latex(raw, name=name,
-                                        filename=tail, binary_hash=bh)
+                                        filename=tail, binary_hash=bh,
+                                        inputs=lx)
                 else:
                     doc = extractor.convert(raw, name=name,
                                             filename=name + ".html",
@@ -278,6 +284,7 @@ def extract_pages(
     repartition: bool = True,
     ebcdic_layouts: Optional[dict] = None,
     xbrl_taxonomies: Optional[dict] = None,
+    latex_inputs: Optional[dict] = None,
 ) -> DataFrame:
     """The main job: pages(url, html, ...) -> extraction results.
 
@@ -289,12 +296,15 @@ def extract_pages(
     cols = pages.select("url", "html")
     if repartition:
         cols = partition_pages(cols, num_partitions, skew_threshold)
-    if ebcdic_layouts is None and xbrl_taxonomies is None:
+    if ebcdic_layouts is None and xbrl_taxonomies is None \
+            and latex_inputs is None:
         fn = _extract_batches
     else:
-        def fn(batches, _lay=ebcdic_layouts, _tax=xbrl_taxonomies):
+        def fn(batches, _lay=ebcdic_layouts, _tax=xbrl_taxonomies,
+               _lx=latex_inputs):
             return _extract_batches(batches, ebcdic_layouts=_lay,
-                                    xbrl_taxonomies=_tax)
+                                    xbrl_taxonomies=_tax,
+                                    latex_inputs=_lx)
     return cols.mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 

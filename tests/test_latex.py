@@ -81,3 +81,23 @@ def test_never_raises_on_garbage():
     for junk in (b"", b"\\begin{document", b"$unclosed",
                  b"}}}\\end{nothing}"):
         convert_latex(junk, name="junk")
+
+
+def test_engine_multifile_arxiv_inputs():
+    """Multi-file arXiv projects convert byte-identically THROUGH the
+    Spark engine via the latex_inputs mapping."""
+    import pandas as pd
+
+    from docling_spark.engine import _extract_batches
+    base = SRC / "2310.06825"
+    if not base.exists():
+        pytest.skip("no arxiv corpus")
+    inputs = {f.name: f.read_bytes() for f in base.rglob("*")
+              if f.is_file() and f.suffix in (".tex", ".sty", ".bbl")}
+    df = pd.DataFrame({"url": ["https://x.test/2310.06825.tex"],
+                       "html": [(base / "main.tex").read_bytes()]})
+    out = next(_extract_batches(
+        [df], latex_inputs={"2310.06825": inputs}))
+    assert out["status"][0] == "success", out["error"][0]
+    exp = (GT / "2310.06825_main.tex.md").read_text()
+    assert out["md"][0] == exp
