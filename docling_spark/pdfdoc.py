@@ -26,8 +26,13 @@ __all__ = ["convert_pdf", "looks_like_pdf"]
 
 _BULLET_RE = re.compile(r"^\s*(?:[•‣◦⁃∙·•‣▪–—*-]|"
                         r"\(?\d{1,3}[.)]|\(?[a-z][.)])\s+")
+# symbol-font bullets (checkbox/wingding glyphs mapped to C1 controls or
+# private-use chars): classify as list items but KEEP the glyph in the
+# item text (the reference groundtruth retains it)
+_GLYPH_BULLET_RE = re.compile("^[\x7f-\x9f\ue000-\uf8ff]\s")
 _NUMBERED_HEADING_RE = re.compile(r"^\s*\d+(?:\.\d+)*\.?\s+\S")
-_MARKER_ONLY_RE = re.compile(r"^[•‣◦⁃∙·▪–—*-]$|^\(?\d{1,3}[.)]$")
+_MARKER_ONLY_RE = re.compile(
+    r"^[•‣◦⁃∙·▪–—*\x7f-\x9f\ue000-\uf8ff-]$|^\(?\d{1,3}[.)]$")
 _CODE_HINT_RE = re.compile(
     r"(?:^\s{4,}|[{};]\s*$|^\s*(?:def|class|function|var|let|const|import|"
     r"return|if|for|while)\b)")
@@ -80,7 +85,9 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
         # a line opening with a list enumerator/bullet at (or left of) the
         # block's left edge starts a NEW block - otherwise consecutive
         # numbered items fold into one paragraph
-        starts_item = bool(_BULLET_RE.match(cell.text))
+        starts_item = bool(_BULLET_RE.match(cell.text)
+                           or _GLYPH_BULLET_RE.match(cell.text)
+                           or _MARKER_ONLY_RE.match(cell.text.strip()))
         if blocks and starts_item:
             last = blocks[-1].cells[-1]
             if cell.t > last.b - 2.0:  # a new line, not a row continuation
@@ -95,9 +102,11 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
             same_size = abs(cell.font_size - last.font_size) <= max(
                 0.15 * last.font_size, 0.6)
             # bullet glyphs render in a symbol font at a different size;
-            # a marker-only block must still absorb its same-row text
-            if _MARKER_ONLY_RE.match("".join(
-                    c.text for c in blk.cells).strip()):
+            # a marker-only block must still absorb its text (same row OR
+            # the next line, when the bullet sits on its own line)
+            marker_only_blk = bool(_MARKER_ONLY_RE.match("".join(
+                    c.text for c in blk.cells).strip()))
+            if marker_only_blk:
                 same_size = True
             # same visual row, continuing rightward (sentence-gap splits);
             # never across a detected column boundary
@@ -125,7 +134,10 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
             em = cell.font_size
             # hanging-indent continuations of a list item are not
             # paragraph indents
-            is_list_blk = bool(_BULLET_RE.match(blk.cells[0].text))
+            is_list_blk = bool(
+                _BULLET_RE.match(blk.cells[0].text)
+                or _GLYPH_BULLET_RE.match(blk.cells[0].text)
+                or marker_only_blk)
             indented = (not same_row and not both_mono and not is_list_blk
                         and 0.7 * em < cell.l - blk_left <= 2.2 * em)
             # outdent: the new line starts well LEFT of a single-line
@@ -200,14 +212,16 @@ def _classify(blocks: list[_Block], body_size: float, page_no: int,
         # model emits section_header for top headings (every pdf
         # groundtruth md starts with "##"), so we match that.
         if (size > 1.08 * body_size and n_lines <= 2 and len(text) < 150
-                and not text.rstrip().endswith((".", ",", ";", ":"))):
+                and not text.rstrip().endswith((".", ",", ";", ":"))
+                and not _GLYPH_BULLET_RE.match(text)):
             blk.label = "section_header"
             continue
         # bold-at-body-size headings (the layout model keys on weight)
         if (blk.bold and size >= body_size - 0.1 and n_lines <= 2
                 and len(text) < 120 and len(text.split()) <= 14
                 and not text.rstrip().endswith((".", ",", ";", ":"))
-                and not _BULLET_RE.match(text)):
+                and not _BULLET_RE.match(text)
+                and not _GLYPH_BULLET_RE.match(text)):
             blk.label = "section_header"
             continue
         if (_NUMBERED_HEADING_RE.match(text) and n_lines == 1
@@ -222,6 +236,9 @@ def _classify(blocks: list[_Block], body_size: float, page_no: int,
                 continue
         if _BULLET_RE.match(text) and n_lines <= 6:
             blk.label = "list_item"
+            continue
+        if _GLYPH_BULLET_RE.match(text) and n_lines <= 6:
+            blk.label = "glyph_list_item"
             continue
         mono_cells = sum(1 for c in blk.cells if c.mono)
         if mono_cells * 2 > len(blk.cells):
@@ -420,7 +437,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                     continue
             _flush_tables(blk.bbox()[1])
             _flush_pics(blk.bbox()[1], blk.label != "list_item")
-            if blk.label != "list_item":
+            if blk.label not in ("list_item", "glyph_list_item"):
                 list_group = None
             prov = [{
                 "page_no": page_no,
@@ -433,6 +450,11 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                 doc.add_title(text, prov=prov)
             elif blk.label == "section_header":
                 doc.add_heading(text, level=1, prov=prov)
+            elif blk.label == "glyph_list_item":
+                if list_group is None:
+                    list_group = doc.add_list_group()
+                doc.add_list_item(text, marker="", enumerated=False,
+                                  parent=list_group, prov=prov)
             elif blk.label == "list_item":
                 marker_m = _BULLET_RE.match(text)
                 marker = marker_m.group(0).strip() if marker_m else ""

@@ -853,7 +853,10 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
             text = _line_text(run).strip()
             if not text:
                 continue
-            size = max((g[3] for g in run), default=10.0)
+            sizes_r = sorted(g[3] for g in run)
+            # MEDIAN glyph size: a single oversized symbol glyph (checkbox
+            # bullets) must not inflate the line's nominal font size
+            size = sizes_r[len(sizes_r) // 2] if sizes_r else 10.0
             x0 = min(g[0] for g in run)
             x1 = max(g[0] + max(g[2], 0.0) for g in run)
             base = sum(g[1] for g in run) / len(run)
