@@ -74,7 +74,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                      xbrl_taxonomies: Optional[dict] = None,
                      latex_inputs: Optional[dict] = None
                      ) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: one call per Arrow batch; per-doc error envelope.
+    r"""mapInPandas worker: one call per Arrow batch; per-doc error envelope.
 
     ``ebcdic_layouts`` maps a url basename (without extension) to its
     copybook layout JSON - EBCDIC payloads are undecodable without one, so

@@ -29,7 +29,7 @@ _BULLET_RE = re.compile(r"^\s*(?:[•‣◦⁃∙·•‣▪–—*-]|"
 # symbol-font bullets (checkbox/wingding glyphs mapped to C1 controls or
 # private-use chars): classify as list items but KEEP the glyph in the
 # item text (the reference groundtruth retains it)
-_GLYPH_BULLET_RE = re.compile("^[\x7f-\x9f\ue000-\uf8ff]\s")
+_GLYPH_BULLET_RE = re.compile(r"^[\x7f-\x9f\ue000-\uf8ff]\s")
 _NUMBERED_HEADING_RE = re.compile(r"^\s*\d+(?:\.\d+)*\.?\s+\S")
 _MARKER_ONLY_RE = re.compile(
     r"^[•‣◦⁃∙·▪–—*\x7f-\x9f\ue000-\uf8ff-]$|^\(?\d{1,3}[.)]$")
