@@ -738,8 +738,13 @@ def _line_text(run: list[tuple]) -> str:
             # no space before closing punctuation (kerned periods after
             # italic runs would otherwise read "alike ." - pdfium emits
             # "alike.")
+            # closing punctuation after a kerning gap gets no inserted
+            # space - EXCEPT dot leaders (runs of periods), which keep
+            # their gaps as spaces ("Notices . . . . vii" in TOCs)
+            suppress = (u in ".,;!?)]}"
+                        and not (u == "." and out and out[-1] == "."))
             if (gap > max(0.18 * size, 1.0) and out and out[-1] != " "
-                    and u not in ".,;!?)]}"):
+                    and not suppress):
                 out.append(" ")
         out.append(u)
         prev_end = x + w if w > 0 else x
