@@ -308,15 +308,23 @@ def _split_oversized(chunk: dict, max_tokens: int,
         yield chunk
         return
     toks = chunk["text"].split()
+    # running per-word token sum, not counter(' '.join(cur+[w])) per append —
+    # that rescan is O(n^2) on crawl-scale oversized chunks. Exact for any
+    # counter additive across whitespace boundaries (the default BPE
+    # estimator is; verified counter(' '.join(ws)) == sum per-word).
     cur: list[str] = []
+    cur_tokens = 0
     for w in toks:
-        if cur and counter(" ".join(cur + [w])) > max_tokens:
+        w_tokens = counter(" " + w if cur else w)
+        if cur and cur_tokens + w_tokens > max_tokens:
             part = dict(chunk)
             part["text"] = " ".join(cur)
             yield part
             cur = [w]
+            cur_tokens = counter(w)
         else:
             cur.append(w)
+            cur_tokens += w_tokens
     if cur:
         part = dict(chunk)
         part["text"] = " ".join(cur)

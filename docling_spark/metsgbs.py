@@ -22,6 +22,8 @@ import re
 import tarfile
 from xml.etree import ElementTree as ET
 
+from . import xmlsafe
+
 from .model import Doc
 from .pdftext import TextCell
 
@@ -79,7 +81,9 @@ def _hocr_cells(content: bytes):
     """
     text = content.decode("utf-8", errors="replace")
     # strip doctype/entities that break ET
-    text = re.sub(r"<!DOCTYPE[^>]*>", "", text)
+    # strip the full declaration including any internal subset — an
+    # internal subset could otherwise declare expansion-bomb entities
+    text = re.sub(r"<!DOCTYPE[^\[>]*(?:\[[^\]]*\])?[^>]*>", "", text)
     text = text.replace("&nbsp;", " ")
     size = None
     lines: list[TextCell] = []
@@ -137,7 +141,7 @@ class MetsGbsDocument:
             if total > MAX_TOTAL_BYTES:
                 raise ValueError("archive exceeds total extraction limit")
             try:
-                root = ET.fromstring(content)
+                root = xmlsafe.fromstring(content)
             except ET.ParseError:
                 continue
             if root.tag == f"{{{METS}}}mets" and root.get("PROFILE") == "gbs":

@@ -553,8 +553,16 @@ class Doc:
                         if getattr(cell, "ref", None):
                             cell.ref = remap(cell.ref)
                 getattr(self, kind).append(item)
+        # furniture-parented items were remapped to #/body above, so their
+        # tree roots must be spliced in too or they'd be serialized but
+        # unreachable (orphans)
         for r in other.body.children:
             self.body.children.append(remap(r))
+        for r in other.furniture.children:
+            self.body.children.append(remap(r))
+        # merge page provenance targets (collision: ours wins)
+        for pno, page in other.pages.items():
+            self.pages.setdefault(pno, page)
 
     def add_field_region(self, parent=None, content_layer=BODY):
         ref = f"#/field_regions/{len(self.field_regions)}"

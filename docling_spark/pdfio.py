@@ -511,18 +511,22 @@ class PdfDocument:
             raise PdfError("no startxref")
         offset = int(m.group(1))
         seen = set()
-        while offset and offset not in seen and offset < len(self.data):
-            seen.add(offset)
-            offset = self._load_xref_section(offset)
+        queue = [offset]
+        while queue:
+            off = queue.pop(0)
+            if not off or off in seen or off >= len(self.data):
+                continue
+            seen.add(off)
+            queue.extend(self._load_xref_section(off))
 
-    def _load_xref_section(self, offset: int) -> int:
+    def _load_xref_section(self, offset: int) -> list[int]:
         lex = Lexer(self.data, offset)
         lex.skip_ws()
         if self.data[lex.pos:lex.pos + 4] == b"xref":
             return self._load_xref_table(lex)
         return self._load_xref_stream(lex)
 
-    def _load_xref_table(self, lex: Lexer) -> int:
+    def _load_xref_table(self, lex: Lexer) -> list[int]:
         lex.pos += 4
         while True:
             lex.skip_ws()
@@ -533,10 +537,16 @@ class PdfDocument:
                     raise PdfError("bad trailer")
                 for k, v in trailer.items():
                     self.trailer.setdefault(k, v)
-                nxt = trailer.get("Prev")
-                if nxt is None and "XRefStm" in trailer:
-                    nxt = trailer["XRefStm"]
-                return int(nxt) if nxt is not None else 0
+                # Hybrid-reference files carry BOTH /XRefStm and /Prev; the
+                # compressed objects live only in the xref stream, so it must
+                # be processed in addition to (and before) /Prev (PDF 32000
+                # §7.5.8.4), not only when /Prev is absent.
+                nxts = []
+                if "XRefStm" in trailer:
+                    nxts.append(int(trailer["XRefStm"]))
+                if trailer.get("Prev") is not None:
+                    nxts.append(int(trailer["Prev"]))
+                return nxts
             start_tok = lex.read_token()
             if not start_tok.isdigit():
                 raise PdfError(f"bad xref subsection at {lex.pos}")
@@ -554,7 +564,7 @@ class PdfDocument:
                 if kind == b"n" and num not in self.xref:
                     self.xref[num] = ("off", int(off))
 
-    def _load_xref_stream(self, lex: Lexer) -> int:
+    def _load_xref_stream(self, lex: Lexer) -> list[int]:
         m = _OBJ_RE.search(self.data, lex.pos, lex.pos + 64)
         if m is None:
             raise PdfError("xref stream header not found")
@@ -608,7 +618,7 @@ class PdfDocument:
                          "DecodeParms"):
                 self.trailer.setdefault(k, v)
         prev = d.get("Prev")
-        return int(self.resolve(prev)) if prev is not None else 0
+        return [int(self.resolve(prev))] if prev is not None else []
 
     def _scan_all_objects(self):
         """Fallback: regex-scan the whole buffer for `N G obj` headers."""

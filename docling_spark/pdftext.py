@@ -298,7 +298,7 @@ class Font:
 
     __slots__ = ("name", "is_cid", "code_bytes", "widths", "default_width",
                  "to_unicode", "encoding", "base_font", "space_code", "bold",
-                 "mono")
+                 "mono", "width_fallback")
 
     def __init__(self):
         self.name = ""
@@ -312,9 +312,18 @@ class Font:
         self.to_unicode: dict[int, str] = {}
         self.encoding: dict[int, str] = {}
         self.space_code = 32
+        # Standard-14 metric function used when the font dict ships no
+        # /Widths array (bare /BaseFont /Helvetica etc.) — can't be a bound
+        # method rebind because of __slots__.
+        self.width_fallback = None
 
     def width(self, code: int) -> float:
-        return self.widths.get(code, self.default_width)
+        w = self.widths.get(code)
+        if w is not None:
+            return w
+        if self.width_fallback is not None:
+            return self.width_fallback(code)
+        return self.default_width
 
     def codes(self, raw: bytes):
         """Yield integer character codes from a show-string."""
@@ -428,9 +437,8 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
                     f.encoding[code] = u
                 code += 1
     if not f.widths:
-        std = _std14_width(f.base_font)
         f.widths = {}
-        f.width = lambda c, _std=std: _std(c)  # type: ignore[method-assign]
+        f.width_fallback = _std14_width(f.base_font)
     return f
 
 

@@ -27,6 +27,8 @@ import re
 import zipfile
 from xml.etree import ElementTree as ET
 
+from . import xmlsafe
+
 from .model import Doc
 
 __all__ = ["convert_xbrl", "looks_like_xbrl", "flatten_taxonomy"]
@@ -132,7 +134,7 @@ def _schema_types(taxonomy: dict) -> dict:
         if not path.lower().endswith(".xsd"):
             continue
         try:
-            root = ET.fromstring(data)
+            root = xmlsafe.fromstring(data)
         except ET.ParseError:
             continue
         tns = root.get("targetNamespace", "")
@@ -169,7 +171,7 @@ def _parse_linkbase_arcs(taxonomy: dict, arc_local: str) -> list[tuple]:
         if arc_local.encode() not in data:
             continue
         try:
-            root = ET.fromstring(data)
+            root = xmlsafe.fromstring(data)
         except ET.ParseError:
             continue
         for linkel in root.iter():
@@ -232,7 +234,7 @@ def convert_xbrl(raw: bytes, taxonomy: dict | None = None,
     from .extractor import HtmlExtractor
 
     taxonomy = flatten_taxonomy(taxonomy or {})
-    root = ET.fromstring(raw)
+    root = xmlsafe.fromstring(raw)
     if _local(root.tag) != "xbrl":
         raise ValueError("not an XBRL instance document")
     contexts, units = _contexts_and_units(root)

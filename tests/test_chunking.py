@@ -194,3 +194,33 @@ def test_token_window_chunks(spark):
                                           key=lambda r: r["chunk_id"])] == \
         [128, 128, 44]
     assert by_doc[3][0]["n_tokens"] == 1
+
+
+def test_split_oversized_linear_running_sum_equivalence():
+    """Round-4 ADVICE: _split_oversized keeps a running per-word token sum
+    instead of recounting the joined prefix per append (O(n^2) on
+    crawl-scale chunks). Boundaries must match the rescan formulation."""
+    import random
+    rng = random.Random(7)
+    words = []
+    for _ in range(3000):
+        n = rng.randint(1, 12)
+        words.append("".join(rng.choice("abcdefghijklmnop,.!?0123456789")
+                             for _ in range(n)))
+    chunk = {"text": " ".join(words), "label": "text", "headings": [],
+             "captions": [], "doc_items": ["#/texts/0"]}
+    parts = list(chunking._split_oversized(chunk, 64))
+    # reference (quadratic) formulation for comparison
+    counter = chunking.count_tokens_bpe
+    cur, expect = [], []
+    for w in chunk["text"].split():
+        if cur and counter(" ".join(cur + [w])) > 64:
+            expect.append(" ".join(cur))
+            cur = [w]
+        else:
+            cur.append(w)
+    if cur:
+        expect.append(" ".join(cur))
+    assert [p["text"] for p in parts] == expect
+    assert all(counter(p["text"]) <= 64 or len(p["text"].split()) == 1
+               for p in parts)

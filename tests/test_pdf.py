@@ -241,3 +241,111 @@ def test_geometric_table_reconstruction():
     # prose pages must NOT sprout tables
     doc2 = convert_pdf((SRC / "multi_page.pdf").read_bytes(), name="mp")
     assert len(doc2.tables) == 0
+
+
+# ------------------------------------------- synthetic regression PDFs
+# (round-4 ADVICE: std-14 width fallback crash; hybrid-reference xref)
+
+def _pdf_bare_helvetica() -> bytes:
+    """Minimal PDF using /Helvetica with NO /Widths array (very common in
+    hand-written PDFs; previously crashed load_font via a __slots__
+    method rebind)."""
+    content = b"BT /F1 12 Tf 72 720 Td (Hello World) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"),
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: (b"<< /Length %d >>\nstream\n" % len(content)) + content
+           + b"\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for num in sorted(objs):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref_off)
+    return bytes(out)
+
+
+def _pdf_hybrid_xref() -> bytes:
+    """Hybrid-reference PDF (PDF32000 7.5.8.4): rev-1 shows "Old"; the
+    rev-2 incremental update replaces the PAGE DICT via an object stream
+    indexed ONLY by the xref stream at /XRefStm, pointing /Contents at a
+    new "Hybrid" stream. The rev-2 classic table is an empty update and
+    its trailer carries BOTH /Prev and /XRefStm — a reader that follows
+    only /Prev renders "Old"; correct hybrid handling renders "Hybrid"."""
+    old = b"BT /F1 12 Tf 72 720 Td (Old) Tj ET"
+    new = b"BT /F1 12 Tf 72 720 Td (Hybrid) Tj ET"
+    out = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+
+    def emit(num, body):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    emit(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    emit(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    emit(3, (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>"))
+    emit(4, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/FirstChar 32 /LastChar 122 /Widths [%s] >>"
+            % b" ".join(b"500" for _ in range(32, 123)))
+    emit(5, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(old), old))
+    xref1 = len(out)
+    out += b"xref\n0 6\n0000000000 65535 f \n"
+    for num in (1, 2, 3, 4, 5):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % xref1)
+
+    emit(8, b"<< /Length %d >>\nstream\n%s\nendstream" % (len(new), new))
+    page2 = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Resources << /Font << /F1 4 0 R >> >> /Contents 8 0 R >>")
+    header = b"3 0"
+    payload = header + b" " + page2
+    emit(6, b"<< /Type /ObjStm /N 1 /First %d /Length %d >>\nstream\n%s"
+            b"\nendstream" % (len(header) + 1, len(payload), payload))
+    xrefstm_off = len(out)
+    rows = bytearray()
+    rows += bytes([2]) + (6).to_bytes(3, "big") + bytes([0])
+    for num in (6, 7, 8):
+        off = offsets.get(num, xrefstm_off)
+        rows += bytes([1]) + off.to_bytes(3, "big") + bytes([0])
+    emit(7, b"<< /Type /XRef /Size 9 /Index [3 1 6 3] /W [1 3 1] "
+            b"/Root 1 0 R /Length %d >>\nstream\n%s\nendstream"
+            % (len(rows), bytes(rows)))
+    xref2 = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    out += (b"trailer\n<< /Size 9 /Root 1 0 R /Prev %d /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (xref1, xrefstm_off, xref2))
+    return bytes(out)
+
+
+def test_std14_font_without_widths():
+    data = _pdf_bare_helvetica()
+    doc = convert_pdf(data, name="bare")
+    assert to_markdown(doc) == "Hello World"
+    # the fallback must supply real Helvetica metrics, not default_width
+    from docling_spark.pdftext import Font, _std14_width
+    f = Font()
+    f.width_fallback = _std14_width("Helvetica")
+    assert f.width(ord("W")) == 944.0
+    assert f.width(ord(" ")) == 278.0
+
+
+def test_hybrid_xref_follows_xrefstm_and_prev():
+    data = _pdf_hybrid_xref()
+    pdf = PdfDocument(data)
+    # object 3 must come from the objstm referenced only by /XRefStm
+    assert pdf.xref[3][0] == "objstm"
+    # objects from the /Prev classic chain must still resolve
+    assert pdf.xref[1][0] == "off"
+    doc = convert_pdf(data, name="hybrid")
+    assert to_markdown(doc) == "Hybrid"

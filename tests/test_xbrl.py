@@ -170,3 +170,39 @@ def test_metsgbs_convert_and_engine_dispatch():
     out = next(_extract_batches([df]))
     assert out["status"][0] == "success", out["error"][0]
     assert out["n_texts"][0] > 50
+
+
+def test_extend_from_splices_furniture_and_merges_pages():
+    """Round-4 ADVICE: furniture-parented items were remapped to #/body
+    but their roots never spliced in (serialized-yet-unreachable
+    orphans), and other.pages was dropped."""
+    from docling_spark.model import Doc
+
+    base = Doc(name="base")
+    base.add_text(text="base body")
+    base.pages[1] = (612.0, 792.0)
+
+    other = Doc(name="other")
+    other.add_text(text="other body")
+    other.add_text(text="other furniture", parent="#/furniture",
+                   content_layer="furniture")
+    other.pages[1] = (100.0, 100.0)   # collision: ours wins
+    other.pages[2] = (595.0, 842.0)
+
+    base.extend_from(other)
+    texts = {t.text for t in base.texts}
+    assert texts == {"base body", "other body", "other furniture"}
+    # every serialized item is reachable from the body tree
+    reachable = set()
+    stack = list(base.body.children)
+    while stack:
+        r = stack.pop()
+        reachable.add(r)
+        item = base.resolve(r) if hasattr(base, "resolve") else None
+        kind = r.split("/")[1]
+        idx = int(r.split("/")[2])
+        node = getattr(base, kind)[idx]
+        stack.extend(node.children)
+    for t in base.texts:
+        assert t.self_ref in reachable, f"orphan: {t.self_ref}"
+    assert base.pages == {1: (612.0, 792.0), 2: (595.0, 842.0)}
