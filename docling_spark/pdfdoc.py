@@ -24,6 +24,15 @@ from .pdftext import TextCell, extract_page_cells
 
 __all__ = ["convert_pdf", "looks_like_pdf"]
 
+_RTL_CHAR_RE = re.compile(r"[֐-ࣿיִ-﷿ﹰ-﻿]")
+_LTR_CHAR_RE = re.compile(r"[A-Za-zÀ-ɏ]")
+
+
+def _is_rtl(text: str) -> bool:
+    r = len(_RTL_CHAR_RE.findall(text))
+    return r > 0 and r > len(_LTR_CHAR_RE.findall(text))
+
+
 _BULLET_RE = re.compile(r"^\s*(?:[•‣◦⁃∙·•‣▪–—*-]|"
                         r"\(?\d{1,3}[.)]|\(?[a-z][.)])\s+")
 # symbol-font bullets (checkbox/wingding glyphs mapped to C1 controls or
@@ -120,6 +129,29 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
                          - max(cell.l, min(c.l for c in blk.cells)))
             near = (same_col
                     and -0.4 * line_h <= v_gap <= 0.9 * line_h)
+            rtl_pair = _is_rtl(cell.text) and any(
+                _is_rtl(c.text) for c in blk.cells)
+            # RTL rows read right-to-left: a same-row continuation extends
+            # LEFTWARD of the previous (logical) cell
+            if (not same_row and rtl_pair and same_col
+                    and v_overlap > 0.5 * line_h
+                    and last.l >= cell.r - 2.0
+                    and last.l - cell.r < 3.0 * max(cell.font_size,
+                                                    last.font_size)):
+                same_row = True
+            # tight-set RTL justified flows: the reference's layout model
+            # clusters them across one paragraph-sized gap when the line
+            # pitch is tight (<= 1.25 em); loose-set RTL text (pitch
+            # ~1.7 em) keeps its paragraph breaks
+            if (not near and rtl_pair and same_col
+                    and 0 < v_gap <= 1.35 * line_h):
+                tops = sorted({round(c.t, 1) for c in blk.cells})
+                pitches = [y2 - y1 for y1, y2 in zip(tops, tops[1:])
+                           if y2 - y1 > 2.0]
+                if pitches:
+                    pitch = sorted(pitches)[len(pitches) // 2]
+                    if pitch <= 1.25 * cell.font_size:
+                        near = True
             # a first-line indent starts a new paragraph (docling's layout
             # model separates indented paragraphs; the indent is the only
             # deterministic signal). List markers are excluded from the
@@ -138,7 +170,10 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
                 _BULLET_RE.match(blk.cells[0].text)
                 or _GLYPH_BULLET_RE.match(blk.cells[0].text)
                 or marker_only_blk)
+            # RTL lines are ragged on the LEFT (line ends), so left-edge
+            # indentation carries no paragraph signal there
             indented = (not same_row and not both_mono and not is_list_blk
+                        and not rtl_pair
                         and 0.7 * em < cell.l - blk_left <= 2.2 * em)
             # outdent: the new line starts well LEFT of a single-line
             # block (centered/indented material - a formula, a caption);
@@ -165,6 +200,26 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
         if not merged:
             blocks.append(_Block(cell))
     return blocks
+
+
+def _block_lines(blk: _Block) -> list[str]:
+    """Cell texts as visual lines; adjacent same-row RTL cells (a word the
+    band splitter cut at a diacritic boundary) fuse WITHOUT a space."""
+    lines: list[str] = []
+    prev = None
+    for c in blk.cells:
+        if prev is not None:
+            same_line = (min(prev.b, c.b) - max(prev.t, c.t)
+                         > 0.5 * min(prev.b - prev.t, c.b - c.t))
+            if same_line and _is_rtl(c.text) and _is_rtl(prev.text):
+                gap = prev.l - c.r  # RTL: this cell sits left of prev
+                if -2.0 < gap < 0.2 * max(c.font_size, prev.font_size):
+                    lines[-1] = lines[-1] + c.text
+                    prev = c
+                    continue
+        lines.append(c.text)
+        prev = c
+    return lines
 
 
 _MATH_RE = re.compile(r"^[\w\s()\[\]{}+\-*/=<>.,^_|≤≥≈≠±×÷∑∏∫√∞αβγδεθλμπσφω]+$")
@@ -395,7 +450,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
 
         list_group = None
         for blk in blocks:
-            raw_lines = [c.text for c in blk.cells]
+            raw_lines = _block_lines(blk)
             text = sanitize_text(raw_lines)
             if not text:
                 continue

@@ -755,7 +755,10 @@ def _line_text(run: list[tuple]) -> str:
                     and not suppress):
                 out.append(" ")
         out.append(u)
-        prev_end = x + w if w > 0 else x
+        # running max end: zero-width combining marks must not pull the
+        # pen backwards and fake a gap at the next base glyph
+        end = x + w if w > 0 else x
+        prev_end = end if prev_end is None else max(prev_end, end)
     text = "".join(out)
     # visual -> logical for RTL-dominant lines, at GLYPH granularity
     # (docling-parse applies full bidi): reversing per-glyph UNITS keeps
@@ -798,6 +801,24 @@ def _line_text(run: list[tuple]) -> str:
             else:
                 logical.append(units[i])
                 i += 1
+        # combining marks: visually a mark is drawn over the base to its
+        # left, so the naive reversal puts it BEFORE the base; logical
+        # order is base-then-mark
+        k = 0
+        while k < len(logical) - 1:
+            u, nxt = logical[k], logical[k + 1]
+            if (len(u) == 1 and unicodedata.combining(u)
+                    and nxt.strip() and not unicodedata.combining(nxt[:1])):
+                if nxt == "ء":
+                    # isolated hamza cannot carry a mark; docling-parse
+                    # keeps the mark as a detached token with spaces
+                    logical[k:k + 2] = [nxt, " ", u, " "]
+                    k += 4
+                else:
+                    logical[k], logical[k + 1] = nxt, u
+                    k += 2  # mark sits after its base; don't bubble on
+            else:
+                k += 1
         # bidi neutral resolution: a space is required between an RTL
         # word and an embedded LTR word (pdfium emits one even when the
         # visual space landed on the other side of the run)
@@ -850,9 +871,13 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
         # splits textline cells at font-style boundaries, which is what
         # produces the reference's "Typewriter) : Introduced" spacing)
         runs: list[list[tuple]] = [[band[0]]]
+        run_end = band[0][0] + max(band[0][2], 0.0)
         for g in band[1:]:
             prev = runs[-1][-1]
-            prev_end = prev[0] + max(prev[2], 0.0)
+            # running max end: a zero-width combining mark positioned over
+            # the previous base glyph must not pull the pen backwards and
+            # fake a column gap at the next base glyph
+            prev_end = run_end
             size = max(g[3], prev[3], 1.0)
             style_break = (g[5] != prev[5] and g[4].strip()
                            and prev[4].strip())
@@ -860,8 +885,10 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
                          and g[4] not in ".,;:!?)]}")
             if gap_split or style_break:
                 runs.append([g])
+                run_end = g[0] + max(g[2], 0.0)
             else:
                 runs[-1].append(g)
+                run_end = max(run_end, g[0] + max(g[2], 0.0))
         for run in runs:
             text = _line_text(run).strip()
             if not text:
@@ -898,7 +925,16 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
         rows.append([c])
     out: list[TextCell] = []
     for row in rows:
-        row.sort(key=lambda c: c.l)
+        # logical order within a visual row: left-to-right, except rows of
+        # RTL-dominant text, which read right-to-left (docling-parse applies
+        # full bidi, so its cells arrive in logical order too)
+        joined = "".join(c.text for c in row)
+        rtl = len(_RTL_RE.findall(joined))
+        ltr = len(_STRONG_LTR_RE.findall(joined))
+        if rtl > ltr and rtl > 0:
+            row.sort(key=lambda c: -c.r)
+        else:
+            row.sort(key=lambda c: c.l)
         out.extend(row)
     return out
 

@@ -349,3 +349,23 @@ def test_hybrid_xref_follows_xrefstm_and_prev():
     assert pdf.xref[1][0] == "off"
     doc = convert_pdf(data, name="hybrid")
     assert to_markdown(doc) == "Hybrid"
+
+
+class TestPdfGroundtruthMd:
+    """Byte-identity vs the reference's own PDF markdown groundtruth
+    (reference: tests/data/pdf/groundtruth/*.md, StandardPdfPipeline
+    with do_ocr=False)."""
+
+    GT = pathlib.Path("/root/reference/tests/data/pdf/groundtruth")
+    SRC = pathlib.Path("/root/reference/tests/data/pdf/sources")
+
+    @pytest.mark.parametrize("stem", [
+        "code_and_formula", "multi_page", "picture_classification",
+        "right_to_left_01",
+    ])
+    def test_md_byte_identical(self, stem):
+        from docling_spark.pdfdoc import convert_pdf
+        from docling_spark.serialize import to_markdown
+        raw = (self.SRC / f"{stem}.pdf").read_bytes()
+        doc = convert_pdf(raw, name=stem, filename=f"{stem}.pdf")
+        assert to_markdown(doc) == (self.GT / f"{stem}.md").read_text()
