@@ -754,11 +754,18 @@ def _line_text(run: list[tuple]) -> str:
             if (gap > max(0.18 * size, 1.0) and out and out[-1] != " "
                     and not suppress):
                 out.append(" ")
+            elif (gap > 0.12 * size and out and out[-1] == " "
+                    and u != " " and not suppress):
+                # residual gap AFTER a real space glyph (justified text
+                # stretches word gaps): docling-parse emits a second space
+                out.append(" ")
         out.append(u)
-        # running max end: zero-width combining marks must not pull the
-        # pen backwards and fake a gap at the next base glyph
-        end = x + w if w > 0 else x
-        prev_end = end if prev_end is None else max(prev_end, end)
+        # zero-width combining marks are transparent to the pen (they sit
+        # over the previous base and must not fake a gap), while real
+        # glyphs reset the end even when narrower than an overlapping
+        # predecessor
+        if w > 0 or prev_end is None:
+            prev_end = x + w
     text = "".join(out)
     # visual -> logical for RTL-dominant lines, at GLYPH granularity
     # (docling-parse applies full bidi): reversing per-glyph UNITS keeps
@@ -852,6 +859,19 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
         return []
     # band by baseline: sort by y desc (PDF y-up -> top first), then x
     entries = sorted(vis, key=lambda g: (-g[1], g[0]))
+    # overlapping duplicate dedup (docling-parse behavior): the same char
+    # re-painted with >70% horizontal overlap on one baseline is one glyph
+    # (kashida-justified Arabic repeats letterforms with sub-advance
+    # steps; steps of >=40% of the advance are distinct stretch copies)
+    deduped: list[tuple] = []
+    for g in entries:
+        if deduped:
+            p = deduped[-1]
+            if (g[4] == p[4] and abs(g[1] - p[1]) <= 0.5
+                    and g[0] < p[0] + 0.3 * max(p[2], 0.0)):
+                continue
+        deduped.append(g)
+    entries = deduped
     bands: list[list[tuple]] = []
     for g in entries:
         placed = False
@@ -878,7 +898,10 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
             # the previous base glyph must not pull the pen backwards and
             # fake a column gap at the next base glyph
             prev_end = run_end
-            size = max(g[3], prev[3], 1.0)
+            # gap threshold scales with the NEXT glyph's size: an
+            # oversized bullet/symbol before a word gap must not mask the
+            # split for the body-sized text that follows
+            size = max(g[3], 1.0)
             style_break = (g[5] != prev[5] and g[4].strip()
                            and prev[4].strip())
             gap_split = (g[0] - prev_end > split_gap_em * size * 0.5
@@ -888,7 +911,11 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
                 run_end = g[0] + max(g[2], 0.0)
             else:
                 runs[-1].append(g)
-                run_end = max(run_end, g[0] + max(g[2], 0.0))
+                # zero-width combining marks are transparent to the pen;
+                # any real glyph resets the end (an overlapping wide
+                # symbol must not mask a later word gap)
+                if g[2] > 0:
+                    run_end = g[0] + g[2]
         for run in runs:
             text = _line_text(run).strip()
             if not text:
