@@ -240,6 +240,13 @@ def _classify(blocks: list[_Block], body_size: float, page_no: int,
         if t < 0.045 * page_height and len(text) < 120 and n_lines == 1:
             blk.label = "page_header"
             continue
+        # running head: FIRST block on the page, single line in the top
+        # margin strip, set smaller than the body text (arXiv/LNCS style)
+        if (i == 0 and t < 0.15 * page_height and n_lines == 1
+                and len(text) < 120 and size < 0.95 * body_size
+                and not text.rstrip().endswith(".")):
+            blk.label = "page_header"
+            continue
         # bare page number in the top margin (arXiv running heads)
         if (t < 0.15 * page_height and n_lines == 1 and len(text) <= 4
                 and text.strip().isdigit()):
@@ -551,6 +558,80 @@ def _dedup_rects(rects):
 
 # ------------------------------------------------- geometric tables
 
+def _two_deck_header(grp, cols, col_of):
+    """Two-deck table header expansion (TableFormer semantics): a leading
+    row group whose top line holds a label centered over a run of >=2
+    sub-columns splits into TWO header rows - the group label repeats
+    across its run in row 1, sub-labels fill row 2, and single-column
+    stacks act as rowspan-2 cells (text repeated in both rows).
+
+    Returns [row1, row2] texts, or None when the group has no such
+    centered group label (then the caller collapses the group).
+    """
+    n_cols = len(cols)
+    rows_flat = [[c for c in r] for r in grp]
+    top_band = rows_flat[0]
+    bot_band = rows_flat[-1]
+    top_t = min(c.t for c in top_band)
+    bot_t = min(c.t for c in bot_band)
+    tops: dict[int, list] = {}
+    bots: dict[int, list] = {}
+    mids: dict[int, list] = {}
+    for r in rows_flat:
+        for c in r:
+            k = col_of(c)
+            if c.t <= top_t + 2.0:
+                tops.setdefault(k, []).append(c)
+            elif c.t >= bot_t - 2.5:
+                bots.setdefault(k, []).append(c)
+            else:
+                mids.setdefault(k, []).append(c)
+    # find a run of >=2 adjacent columns that have bottom sub-labels but
+    # share a single top-level label (centered over the run)
+    runs = []  # (start_col, end_col, label_text)
+    k = 0
+    while k < n_cols:
+        if k in bots and k not in tops:
+            j = k
+            labels = []
+            while j < n_cols and j in bots:
+                if j in tops:
+                    if labels:
+                        break  # a second label starts its own stack/run
+                    labels.extend(tops[j])
+                j += 1
+            run_cols = list(range(k, j))
+            if len(run_cols) >= 2 and len(labels) == 1:
+                lab = labels[0]
+                span_l = min(cols[run_cols[0]][0], lab.l)
+                span_r = max(cols[run_cols[-1]][1], lab.r)
+                center = (lab.l + lab.r) / 2.0
+                if span_l < center < span_r:
+                    runs.append((k, j - 1, lab.text))
+            k = j
+        else:
+            k += 1
+    if not runs:
+        return None
+    row1 = ["" for _ in range(n_cols)]
+    row2 = ["" for _ in range(n_cols)]
+    in_run = set()
+    for s, e, lab in runs:
+        for k in range(s, e + 1):
+            in_run.add(k)
+            row1[k] = lab
+            row2[k] = " ".join(c.text for c in sorted(
+                bots.get(k, []), key=lambda c: c.l))
+    for k in range(n_cols):
+        if k in in_run:
+            continue
+        stack = (tops.get(k, []) + mids.get(k, []) + bots.get(k, []))
+        text = " ".join(c.text for c in sorted(
+            stack, key=lambda c: (c.t, c.l)))
+        row1[k] = row2[k] = text
+    return [row1, row2]
+
+
 def _detect_tables(cells, body_size):
     """Deterministic table-structure recovery from cell geometry - the
     non-ML stand-in for the reference's TableFormer stage (north-star
@@ -633,14 +714,36 @@ def _detect_tables(cells, body_size):
                             best, best_ov = k, ov
                     return best
 
-                data = TableData(num_rows=n_rows, num_cols=n_cols)
-                grid_text = [["" for _ in range(n_cols)]
-                             for _ in range(n_rows)]
-                for ri, r in enumerate(region_rows):
-                    for c in r:
+                # chain physical rows whose vertical spans overlap into
+                # logical row groups (staggered/rowspan layouts write a
+                # centered stub BETWEEN its neighbour lines)
+                groups: list[list[list]] = []
+                for r in region_rows:
+                    if groups:
+                        pb = max(c.b for rr in groups[-1] for c in rr)
+                        if min(c.t for c in r) < pb - 0.5:
+                            groups[-1].append(r)
+                            continue
+                    groups.append([r])
+
+                grid_text: list[list[str]] = []
+                for gi, grp in enumerate(groups):
+                    gcells = [c for r in grp for c in r]
+                    if gi == 0 and len(grp) >= 2:
+                        rows2 = _two_deck_header(grp, cols, col_of)
+                        if rows2 is not None:
+                            grid_text.extend(rows2)
+                            continue
+                    # collapse the group to one logical row: stack cell
+                    # texts per column top-to-bottom (TableFormer merges
+                    # multi-line body cells)
+                    row_text = ["" for _ in range(n_cols)]
+                    for c in sorted(gcells, key=lambda c: (c.t, c.l)):
                         k = col_of(c)
-                        grid_text[ri][k] = (grid_text[ri][k] + " " + c.text
-                                            ).strip()
+                        row_text[k] = (row_text[k] + " " + c.text).strip()
+                    grid_text.append(row_text)
+                n_rows = len(grid_text)
+                data = TableData(num_rows=n_rows, num_cols=n_cols)
                 for ri in range(n_rows):
                     for k in range(n_cols):
                         data.table_cells.append(TableCell(

@@ -233,10 +233,12 @@ def test_geometric_table_reconstruction():
     assert len(doc.tables) == 1
     data = doc.tables[0].data
     assert data.num_cols == 8
-    assert data.num_rows >= 10
+    # 2 header decks + 4 merged body rows (TableFormer row semantics:
+    # the groundtruth table has rowspan-merged multi-line body cells)
+    assert data.num_rows == 6
     texts = {c.text for c in data.table_cells}
-    # spot values from different columns/rows
-    for v in ("0.965", "5.39", "OTSL", "HTML", "1.22", "Language"):
+    for v in ("TEDs", "simple", "Language", "# enc-layers",
+              "OTSL HTML", "0.965 0.969", "2.73 5.39", "1.22 2"):
         assert v in texts, v
     # prose pages must NOT sprout tables
     doc2 = convert_pdf((SRC / "multi_page.pdf").read_bytes(), name="mp")
@@ -361,7 +363,7 @@ class TestPdfGroundtruthMd:
 
     @pytest.mark.parametrize("stem", [
         "code_and_formula", "multi_page", "picture_classification",
-        "right_to_left_01",
+        "right_to_left_01", "2305.03393v1-pg9",
     ])
     def test_md_byte_identical(self, stem):
         from docling_spark.pdfdoc import convert_pdf
