@@ -66,6 +66,10 @@ class _Block:
     def bold(self) -> bool:
         return all(c.bold for c in self.cells)
 
+    @property
+    def italic(self) -> bool:
+        return all(getattr(c, "italic", False) for c in self.cells)
+
     def bbox(self) -> tuple[float, float, float, float]:
         return (min(c.l for c in self.cells), min(c.t for c in self.cells),
                 max(c.r for c in self.cells), max(c.b for c in self.cells))
@@ -190,7 +194,10 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
             # a bold/regular weight CHANGE between consecutive lines is a
             # block boundary (bold headings at body size; the layout
             # model separates them) - same-row continuations exempt
-            same_weight = (cell.bold == last.bold) or both_mono
+            same_weight = ((cell.bold == last.bold
+                            and getattr(cell, "italic", False)
+                            == getattr(last, "italic", False))
+                           or both_mono)
             if same_size and not indented and (same_row or (
                     near and same_weight and (
                     h_overlap > -2.0 or abs(cell.l - last.l) < 2.0
@@ -275,6 +282,19 @@ def _classify(blocks: list[_Block], body_size: float, page_no: int,
         # groundtruth md starts with "##"), so we match that.
         if (size > 1.08 * body_size and n_lines <= 2 and len(text) < 150
                 and not text.rstrip().endswith((".", ",", ";", ":"))
+                and not _GLYPH_BULLET_RE.match(text)):
+            blk.label = "section_header"
+            continue
+        # italic-at-body-size headings (the layout model keys on any
+        # style contrast; e.g. FAA handbook headings set in Times-Italic).
+        # Caption-shaped lines stay text so the picture-caption pass can
+        # claim them.
+        if (blk.italic and size >= body_size - 0.1 and n_lines == 1
+                and len(text) < 80 and len(text.split()) <= 10
+                and text[:1].isupper()
+                and not text.rstrip().endswith((".", ",", ";", ":"))
+                and not _CAPTION_RE.match(text)
+                and not _BULLET_RE.match(text)
                 and not _GLYPH_BULLET_RE.match(text)):
             blk.label = "section_header"
             continue

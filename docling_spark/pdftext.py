@@ -298,12 +298,13 @@ class Font:
 
     __slots__ = ("name", "is_cid", "code_bytes", "widths", "default_width",
                  "to_unicode", "encoding", "base_font", "space_code", "bold",
-                 "mono", "width_fallback")
+                 "mono", "italic", "width_fallback")
 
     def __init__(self):
         self.name = ""
         self.base_font = ""
         self.bold = False
+        self.italic = False
         self.mono = False
         self.is_cid = False
         self.code_bytes = 1
@@ -354,6 +355,7 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
         return f
     f.base_font = str(r(fd.get("BaseFont")) or "")
     bf_low = f.base_font.lower()
+    f.italic = "italic" in bf_low or "oblique" in bf_low
     f.bold = ("bold" in bf_low or "black" in bf_low or "heavy" in bf_low
               or bf_low.endswith("-bd")
               # TeX Computer Modern family: cmbx/sfbx/lmbx = bold extended
@@ -687,7 +689,7 @@ class PdfTextExtractor:
             w_dev = w0 * tfs * th * sx
             if u:
                 glyphs.append((dx, dy, w_dev, size_dev, u, font.bold,
-                               font.mono))
+                               font.mono, font.italic))
             adv = w0 * tfs + tc
             if code == font.space_code:
                 adv += tw
@@ -702,10 +704,10 @@ class TextCell:
     reference ``docling_parse_backend.py:140-146`` flips to top-left)."""
 
     __slots__ = ("text", "l", "t", "r", "b", "font_size", "bold", "mono",
-                 "col")
+                 "italic", "col")
 
     def __init__(self, text, l, t, r, b, font_size, bold=False, mono=False,
-                 col=None):
+                 col=None, italic=False):
         self.text = text
         self.l = l
         self.t = t
@@ -714,6 +716,7 @@ class TextCell:
         self.font_size = font_size
         self.bold = bold
         self.mono = mono
+        self.italic = italic
         self.col = col  # column index when a multi-column page is split
 
     def to_dict(self) -> dict:
@@ -740,7 +743,7 @@ def _line_text(run: list[tuple]) -> str:
     prev_end = None
     sizes = [g[3] for g in run if g[3] > 0]
     size = sorted(sizes)[len(sizes) // 2] if sizes else 10.0
-    for (x, y, w, s, u, _bold, _mono) in run:
+    for (x, y, w, s, u, _bold, _mono, *_it) in run:
         if prev_end is not None:
             gap = x - prev_end
             # no space before closing punctuation (kerned periods after
@@ -929,12 +932,14 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
             base = sum(g[1] for g in run) / len(run)
             bold = (sum(1 for g in run if g[5]) * 2 > len(run))
             mono = (sum(1 for g in run if g[6]) * 2 > len(run))
+            italic = (sum(1 for g in run
+                          if len(g) > 7 and g[7]) * 2 > len(run))
             # approximate ascent/descent box: 0.8 / -0.2 em
             top_y = base + 0.8 * size
             bot_y = base - 0.2 * size
             cells.append(TextCell(text, x0, page_height - top_y,
                                   x1, page_height - bot_y, size, bold,
-                                  mono))
+                                  mono, italic=italic))
     # reading order: band cells into visual rows (vertical overlap), then
     # left-to-right within a row - a bare (t, l) sort is float-noise
     # sensitive when runs on one baseline carry different max glyph sizes
