@@ -251,15 +251,16 @@ class ListItemItem(TextItem):
 
 
 class CodeItem(TextItem):
-    __slots__ = ("code_language",)
+    __slots__ = ("code_language", "captions")
 
     def __init__(self, *args, code_language="unknown", **kwargs):
         super().__init__(*args, **kwargs)
         self.code_language = code_language
+        self.captions: list[str] = []
 
     def to_dict(self) -> dict:
         d = super().to_dict()
-        d["captions"] = []
+        d["captions"] = [{"$ref": r} for r in self.captions]
         d["references"] = []
         d["footnotes"] = []
         d["code_language"] = self.code_language

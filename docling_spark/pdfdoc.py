@@ -19,7 +19,7 @@ from __future__ import annotations
 import re
 
 from .layout import BBox, merge_split_text, sanitize_text
-from .model import Doc
+from .model import Doc, TextItem
 from .pdftext import TextCell, extract_page_cells
 
 __all__ = ["convert_pdf", "looks_like_pdf"]
@@ -73,6 +73,14 @@ class _Block:
     def bbox(self) -> tuple[float, float, float, float]:
         return (min(c.l for c in self.cells), min(c.t for c in self.cells),
                 max(c.r for c in self.cells), max(c.b for c in self.cells))
+
+    def prov_bbox(self) -> tuple[float, float, float, float]:
+        """Export bbox: glyph-INK vertical extents (reference parity);
+        layout decisions use the nominal bbox() instead."""
+        return (min(c.l for c in self.cells),
+                min(getattr(c, "ink_t", c.t) for c in self.cells),
+                max(c.r for c in self.cells),
+                max(getattr(c, "ink_b", c.b) for c in self.cells))
 
 
 def _body_font_size(cells: list[TextCell]) -> float:
@@ -331,19 +339,22 @@ def _classify(blocks: list[_Block], body_size: float, page_no: int,
             blk.label = "code"
 
 
+_TABLE_CAP_RE = re.compile(r"^Table\s+\d+[.:]")
 _CAPTION_RE = re.compile(r"^(?:Listing|Figure|Fig\.|Table|Algorithm)\s+\d+",
                          re.I)
 
 
 def _captions_after_code(blocks: list[_Block]) -> list[_Block]:
-    """A caption line directly above a code block exports after it
-    (docling attaches captions to the item; md serializes item first)."""
+    """A caption line directly above a code block attaches to it
+    (docling CodeItem captions; md serializes code first, then the
+    caption; doctags nests it)."""
     out = list(blocks)
     for i in range(len(out) - 1):
         if (out[i].label == "text" and out[i + 1].label == "code"
                 and len(out[i].cells) == 1
                 and _CAPTION_RE.match(out[i].cells[0].text)):
             out[i], out[i + 1] = out[i + 1], out[i]
+            out[i + 1].label = "code_caption"
     return out
 
 
@@ -444,7 +455,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
             nonlocal ti, list_group
             while ti < len(tables) and tables[ti][0] <= up_to_t:
                 tt, tb, tl, tr, tdata = tables[ti]
-                doc.add_table(data=tdata, prov=[{
+                tbl = doc.add_table(data=tdata, prov=[{
                     "page_no": page_no,
                     "bbox": {"l": round(tl, 3),
                              "t": round(height - tt, 3),
@@ -453,6 +464,17 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                              "coord_origin": "BOTTOMLEFT"},
                     "charspan": [0, 0],
                 }])
+                # a "Table N." paragraph directly preceding attaches as
+                # the table's caption (md prints caption first either
+                # way; doctags nests it inside <otsl>)
+                if doc.body.children[:-1]:
+                    prev = doc.resolve(doc.body.children[-2])
+                    if (isinstance(prev, TextItem)
+                            and type(prev) is TextItem
+                            and prev.label == "text"
+                            and _TABLE_CAP_RE.match(prev.text)):
+                        prev.label = "caption"
+                        tbl.captions.append(prev.self_ref)
                 ti += 1
                 list_group = None
         # pictures interleave into reading order by top edge; dedup
@@ -476,12 +498,13 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                     list_group = None
 
         list_group = None
+        last_code = None
         for blk in blocks:
             raw_lines = _block_lines(blk)
             text = sanitize_text(raw_lines)
             if not text:
                 continue
-            l, t, r, b = blk.bbox()
+            l, t, r, b = blk.prov_bbox()
             # a "Figure N/Table N" line adjacent to a drawn bitmap is its
             # caption: attach to the picture item (docling serializes the
             # caption, then the <!-- image --> marker) instead of emitting
@@ -547,7 +570,11 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                                   enumerated=marker[:1].isdigit(),
                                   parent=list_group, prov=prov)
             elif blk.label == "code":
-                doc.add_code(text, prov=prov)
+                last_code = doc.add_code(text, prov=prov)
+            elif blk.label == "code_caption":
+                cap = doc.add_text(label="caption", text=text, prov=prov)
+                if last_code is not None:
+                    last_code.captions.append(cap.self_ref)
             elif blk.label == "formula":
                 doc.add_text(label="formula", text="", orig="", prov=prov)
             elif blk.label in ("page_header", "page_footer"):
@@ -585,8 +612,9 @@ def _two_deck_header(grp, cols, col_of):
     across its run in row 1, sub-labels fill row 2, and single-column
     stacks act as rowspan-2 cells (text repeated in both rows).
 
-    Returns [row1, row2] texts, or None when the group has no such
-    centered group label (then the caller collapses the group).
+    Returns cell specs [(text, r0, r1, c0, c1, is_header), ...] over two
+    header rows, or None when the group has no such centered group label
+    (then the caller collapses the group).
     """
     n_cols = len(cols)
     rows_flat = [[c for c in r] for r in grp]
@@ -633,23 +661,25 @@ def _two_deck_header(grp, cols, col_of):
             k += 1
     if not runs:
         return None
-    row1 = ["" for _ in range(n_cols)]
-    row2 = ["" for _ in range(n_cols)]
+    specs: list[tuple] = []
     in_run = set()
     for s, e, lab in runs:
+        # group label spans the run's columns in row 0
+        specs.append((lab, 0, 1, s, e + 1, True))
         for k in range(s, e + 1):
             in_run.add(k)
-            row1[k] = lab
-            row2[k] = " ".join(c.text for c in sorted(
+            sub = " ".join(c.text for c in sorted(
                 bots.get(k, []), key=lambda c: c.l))
+            specs.append((sub, 1, 2, k, k + 1, True))
     for k in range(n_cols):
         if k in in_run:
             continue
         stack = (tops.get(k, []) + mids.get(k, []) + bots.get(k, []))
         text = " ".join(c.text for c in sorted(
             stack, key=lambda c: (c.t, c.l)))
-        row1[k] = row2[k] = text
-    return [row1, row2]
+        # single-column stack: one rowspan-2 header cell
+        specs.append((text, 0, 2, k, k + 1, True))
+    return specs
 
 
 def _detect_tables(cells, body_size):
@@ -746,13 +776,16 @@ def _detect_tables(cells, body_size):
                             continue
                     groups.append([r])
 
-                grid_text: list[list[str]] = []
+                # specs: (text, r0, r1, c0, c1, is_header)
+                specs: list[tuple] = []
+                rown = 0
                 for gi, grp in enumerate(groups):
                     gcells = [c for r in grp for c in r]
                     if gi == 0 and len(grp) >= 2:
-                        rows2 = _two_deck_header(grp, cols, col_of)
-                        if rows2 is not None:
-                            grid_text.extend(rows2)
+                        deck = _two_deck_header(grp, cols, col_of)
+                        if deck is not None:
+                            specs.extend(deck)
+                            rown = 2
                             continue
                     # collapse the group to one logical row: stack cell
                     # texts per column top-to-bottom (TableFormer merges
@@ -761,18 +794,18 @@ def _detect_tables(cells, body_size):
                     for c in sorted(gcells, key=lambda c: (c.t, c.l)):
                         k = col_of(c)
                         row_text[k] = (row_text[k] + " " + c.text).strip()
-                    grid_text.append(row_text)
-                n_rows = len(grid_text)
-                data = TableData(num_rows=n_rows, num_cols=n_cols)
-                for ri in range(n_rows):
                     for k in range(n_cols):
-                        data.table_cells.append(TableCell(
-                            text=grid_text[ri][k], row_span=1, col_span=1,
-                            start_row_offset_idx=ri,
-                            end_row_offset_idx=ri + 1,
-                            start_col_offset_idx=k,
-                            end_col_offset_idx=k + 1,
-                            column_header=(ri == 0)))
+                        specs.append((row_text[k], rown, rown + 1,
+                                      k, k + 1, rown == 0))
+                    rown += 1
+                n_rows = rown
+                data = TableData(num_rows=n_rows, num_cols=n_cols)
+                for text, r0, r1, c0, c1, hdr in specs:
+                    data.table_cells.append(TableCell(
+                        text=text, row_span=r1 - r0, col_span=c1 - c0,
+                        start_row_offset_idx=r0, end_row_offset_idx=r1,
+                        start_col_offset_idx=c0, end_col_offset_idx=c1,
+                        column_header=hdr))
                 top = min(c.t for c in region_cells)
                 bottom = max(c.b for c in region_cells)
                 left = min(c.l for c in region_cells)

@@ -20,6 +20,7 @@ import re
 import unicodedata
 
 from .pdfio import Lexer, Name, PdfDocument, PdfError, Stream, decode_stream
+from .ttink import TrueTypeInk
 
 __all__ = ["TextCell", "extract_page_cells", "PdfTextExtractor"]
 
@@ -298,13 +299,20 @@ class Font:
 
     __slots__ = ("name", "is_cid", "code_bytes", "widths", "default_width",
                  "to_unicode", "encoding", "base_font", "space_code", "bold",
-                 "mono", "italic", "width_fallback")
+                 "mono", "italic", "width_fallback", "ascent", "descent",
+                 "ink")
 
     def __init__(self):
         self.name = ""
         self.base_font = ""
         self.bold = False
         self.italic = False
+        # line-box metrics in em (FontDescriptor Ascent/Descent /1000);
+        # defaults match the old 0.8/-0.2 approximation
+        self.ascent = 0.8
+        self.descent = -0.2
+        # per-glyph outline-extent oracle (embedded TrueType), or None
+        self.ink = None
         self.mono = False
         self.is_cid = False
         self.code_bytes = 1
@@ -317,6 +325,18 @@ class Font:
         # /Widths array (bare /BaseFont /Helvetica etc.) — can't be a bound
         # method rebind because of __slots__.
         self.width_fallback = None
+
+    def ink_box(self, code: int, u: str):
+        """Outline bbox of a glyph in em units, or None (no embedded
+        TrueType / no outline). Falls back to a unicode lookup for
+        simple fonts whose subset cmap is unicode-keyed."""
+        o = self.ink
+        if o is None or not o.ok:
+            return None
+        box = o.ink(code)
+        if box is None and not o.by_gid and u and len(u) == 1:
+            box = o.ink(ord(u))
+        return box
 
     def width(self, code: int) -> float:
         w = self.widths.get(code)
@@ -345,6 +365,25 @@ class Font:
         if self.code_bytes == 1 and 0x20 <= code <= 0x7E:
             return chr(code)
         return "�"
+
+
+def _absorb_metrics(f: Font, descr, r) -> None:
+    if not isinstance(descr, dict):
+        return
+    a = r(descr.get("Ascent"))
+    d = r(descr.get("Descent"))
+    if isinstance(a, (int, float)) and a > 0:
+        f.ascent = float(a) / 1000.0
+    if isinstance(d, (int, float)) and d < 0:
+        f.descent = float(d) / 1000.0
+
+
+# Standard-14 vertical metrics (public AFM data): ascender/descender /1000.
+_STD14_METRICS = {
+    "times": (0.683, -0.217), "helvetica": (0.718, -0.207),
+    "arial": (0.718, -0.207), "courier": (0.629, -0.157),
+    "symbol": (0.8, -0.2), "zapf": (0.8, -0.2),
+}
 
 
 def load_font(doc: PdfDocument, font_dict: dict) -> Font:
@@ -390,6 +429,19 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
                 warr = r(d0.get("W"))
                 if isinstance(warr, list):
                     _parse_cid_widths(warr, r, f.widths)
+                dd = r(d0.get("FontDescriptor"))
+                _absorb_metrics(f, dd, r)
+                if isinstance(dd, dict) and dd.get("FontFile2") is not None:
+                    try:
+                        prog = decode_stream(r(dd.get("FontFile2")), r)
+                        ink = TrueTypeInk(prog, by_gid=True)
+                        c2g = r(d0.get("CIDToGIDMap"))
+                        if isinstance(c2g, Stream):
+                            ink.gid_map = decode_stream(c2g, r)
+                        if ink.ok:
+                            f.ink = ink
+                    except (PdfError, OSError, ValueError):
+                        pass
         f.space_code = -1  # Tw only applies to 1-byte code 32 per spec
         return f
 
@@ -402,6 +454,15 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
             if isinstance(w, (int, float)):
                 f.widths[first + i] = float(w)
     descr = r(fd.get("FontDescriptor"))
+    _absorb_metrics(f, descr, r)
+    if isinstance(descr, dict) and descr.get("FontFile2") is not None:
+        try:
+            prog = decode_stream(r(descr.get("FontFile2")), r)
+            ink = TrueTypeInk(prog)
+            if ink.ok:
+                f.ink = ink
+        except (PdfError, OSError, ValueError):
+            pass
     flags = 0
     if isinstance(descr, dict):
         mw = r(descr.get("MissingWidth"))
@@ -441,6 +502,12 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
     if not f.widths:
         f.widths = {}
         f.width_fallback = _std14_width(f.base_font)
+    if not isinstance(descr, dict):
+        low = f.base_font.lower()
+        for key, (a, d) in _STD14_METRICS.items():
+            if key in low:
+                f.ascent, f.descent = a, d
+                break
     return f
 
 
@@ -688,8 +755,14 @@ class PdfTextExtractor:
             sx = (trm_base[0] ** 2 + trm_base[1] ** 2) ** 0.5
             w_dev = w0 * tfs * th * sx
             if u:
+                box = font.ink_box(code, u)
+                if box is not None:
+                    top_em, bot_em, has_ink = box[3], box[1], True
+                else:
+                    top_em, bot_em, has_ink = font.ascent, font.descent, False
                 glyphs.append((dx, dy, w_dev, size_dev, u, font.bold,
-                               font.mono, font.italic))
+                               font.mono, font.italic, top_em, bot_em,
+                               has_ink, code))
             adv = w0 * tfs + tc
             if code == font.space_code:
                 adv += tw
@@ -704,10 +777,10 @@ class TextCell:
     reference ``docling_parse_backend.py:140-146`` flips to top-left)."""
 
     __slots__ = ("text", "l", "t", "r", "b", "font_size", "bold", "mono",
-                 "italic", "col")
+                 "italic", "col", "ink_t", "ink_b")
 
     def __init__(self, text, l, t, r, b, font_size, bold=False, mono=False,
-                 col=None, italic=False):
+                 col=None, italic=False, ink_t=None, ink_b=None):
         self.text = text
         self.l = l
         self.t = t
@@ -718,6 +791,10 @@ class TextCell:
         self.mono = mono
         self.italic = italic
         self.col = col  # column index when a multi-column page is split
+        # glyph-outline vertical extents (reference bbox parity); layout
+        # heuristics keep using the stable nominal t/b line box
+        self.ink_t = t if ink_t is None else ink_t
+        self.ink_b = b if ink_b is None else ink_b
 
     def to_dict(self) -> dict:
         return {"text": self.text, "l": round(self.l, 3),
@@ -934,12 +1011,25 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
             mono = (sum(1 for g in run if g[6]) * 2 > len(run))
             italic = (sum(1 for g in run
                           if len(g) > 7 and g[7]) * 2 > len(run))
-            # approximate ascent/descent box: 0.8 / -0.2 em
+            # nominal line box (layout heuristics: stable 0.8/-0.2 em)
             top_y = base + 0.8 * size
             bot_y = base - 0.2 * size
+            # ink line box from per-glyph outline extents (embedded
+            # TrueType, docling-parse bbox parity), declared-metric
+            # fallback; each glyph contributes at its OWN baseline and
+            # size (superscripts raise the union)
+            inked = [g for g in run if len(g) > 10 and g[10]]
+            vsrc = inked or [g for g in run if len(g) > 9]
+            if vsrc:
+                ink_top = max(g[1] + g[8] * g[3] for g in vsrc)
+                ink_bot = min(g[1] + g[9] * g[3] for g in vsrc)
+            else:
+                ink_top, ink_bot = top_y, bot_y
             cells.append(TextCell(text, x0, page_height - top_y,
                                   x1, page_height - bot_y, size, bold,
-                                  mono, italic=italic))
+                                  mono, italic=italic,
+                                  ink_t=page_height - ink_top,
+                                  ink_b=page_height - ink_bot))
     # reading order: band cells into visual rows (vertical overlap), then
     # left-to-right within a row - a bare (t, l) sort is float-noise
     # sensitive when runs on one baseline carry different max glyph sizes

@@ -272,6 +272,11 @@ class MarkdownSerializer:
                 return blocks
             if isinstance(item, CodeItem):
                 blocks.append(f"```\n{item.text}\n```")
+                for cref in getattr(item, "captions", []):
+                    cap = doc.resolve(cref)
+                    s2 = _fmt_inline(cap)
+                    if s2:
+                        blocks.append(s2)
                 blocks.extend(self._serialize_children(item, list_depth))
                 return blocks
             s = _fmt_inline(item)
@@ -481,3 +486,164 @@ def to_indented_text(doc: Doc, max_text_len: int = 70) -> str:
 
 def to_json(doc: Doc, indent: Optional[int] = None) -> str:
     return json.dumps(doc.to_dict(), ensure_ascii=False, indent=indent)
+
+
+# ---------------------------------------------------------------- doctags
+
+def _loc_tokens(prov: dict, page_size: tuple) -> str:
+    """Quantize a BOTTOMLEFT prov bbox to the doctags 0..500 grid
+    (docling-core DocTagsParams xsize=ysize=500, top-left origin)."""
+    w, h = page_size
+    bb = prov["bbox"]
+    x0 = bb["l"] / w * 500.0
+    x1 = bb["r"] / w * 500.0
+    y0 = (h - bb["t"]) / h * 500.0
+    y1 = (h - bb["b"]) / h * 500.0
+    vals = [min(max(round(v), 0), 500) for v in (x0, y0, x1, y1)]
+    return "".join(f"<loc_{v}>" for v in vals)
+
+
+class DocTagsSerializer:
+    """DocTags export (reference: docling-core DocTagsDocSerializer; the
+    VLM pipeline assembles the same token stream,
+    ``docling/pipeline/vlm_pipeline.py:447-462``). Byte-contract pinned
+    against ``tests/data/pdf/groundtruth/*.doctags.txt``."""
+
+    def __init__(self, doc: Doc):
+        self.doc = doc
+        self._cur_page: Optional[int] = None
+
+    # -- helpers ---------------------------------------------------------
+    def _page_size(self, page_no: int) -> tuple:
+        return self.doc.pages.get(page_no, (612.0, 792.0))
+
+    def _locs(self, item) -> str:
+        prov = getattr(item, "prov", None)
+        if not prov:
+            return ""
+        return _loc_tokens(prov[0], self._page_size(prov[0]["page_no"]))
+
+    def _page_break(self, item, parts: list) -> None:
+        prov = getattr(item, "prov", None)
+        if not prov:
+            return
+        pno = prov[0]["page_no"]
+        if self._cur_page is not None and pno > self._cur_page:
+            parts.append("<page_break>")
+        self._cur_page = pno
+
+    def _caption_tokens(self, item) -> str:
+        out = []
+        for cref in getattr(item, "captions", []):
+            cap = self.doc.resolve(cref)
+            if cap.text:
+                out.append(f"<caption>{self._locs(cap)}{cap.text}</caption>")
+        return "".join(out)
+
+    # -- walk ------------------------------------------------------------
+    def serialize(self) -> str:
+        parts: list[str] = []
+        self._children(self.doc.body, parts)
+        body = "\n".join(parts)
+        return f"<doctag>{body}\n</doctag>"
+
+    def _children(self, node, parts: list) -> None:
+        for ref in node.children:
+            self._item(self.doc.resolve(ref), parts)
+
+    def _item(self, item, parts: list) -> None:
+        doc = self.doc
+        if isinstance(item, GroupItem):
+            if item.label == "list":
+                items: list[str] = []
+                enumerated = False
+                for ref in item.children:
+                    child = doc.resolve(ref)
+                    if isinstance(child, ListItemItem):
+                        self._page_break(child, parts)
+                        enumerated = enumerated or child.enumerated
+                        items.append(f"<list_item>{self._locs(child)}"
+                                     f"{child.text}</list_item>")
+                if items:
+                    tag = "ordered_list" if enumerated else "unordered_list"
+                    items[0] = f"<{tag}>{items[0]}"
+                    parts.extend(items)
+                    parts.append(f"</{tag}>")
+            else:
+                self._children(item, parts)
+            return
+        if isinstance(item, PictureItem):
+            self._page_break(item, parts)
+            parts.append(f"<picture>{self._locs(item)}"
+                         f"{self._caption_tokens(item)}</picture>")
+            return
+        if isinstance(item, TableItem):
+            self._page_break(item, parts)
+            parts.append(f"<otsl>{self._locs(item)}"
+                         f"{_otsl_cells(item)}"
+                         f"{self._caption_tokens(item)}</otsl>")
+            return
+        if isinstance(item, SectionHeaderItem):
+            self._page_break(item, parts)
+            tag = f"section_header_level_{item.level}"
+            parts.append(f"<{tag}>{self._locs(item)}{item.text}</{tag}>")
+            for ref in item.children:
+                self._item(doc.resolve(ref), parts)
+            return
+        if isinstance(item, CodeItem):
+            self._page_break(item, parts)
+            lang = getattr(item, "code_language", None) or "unknown"
+            parts.append(f"<code>{self._locs(item)}<_{lang}_>{item.text}"
+                         f"{self._caption_tokens(item)}</code>")
+            return
+        if isinstance(item, TextItem):
+            if item.label == "caption":
+                return  # rendered with its picture/table/code
+            self._page_break(item, parts)
+            tag = {"title": "title", "formula": "formula",
+                   "page_header": "page_header",
+                   "page_footer": "page_footer",
+                   "footnote": "footnote",
+                   "checkbox_selected": "checkbox_selected",
+                   "checkbox_unselected": "checkbox_unselected",
+                   }.get(item.label, "text")
+            parts.append(f"<{tag}>{self._locs(item)}{item.text}</{tag}>")
+            for ref in item.children:
+                self._item(doc.resolve(ref), parts)
+            return
+
+
+def _otsl_cells(item: TableItem) -> str:
+    """OTSL token stream for a table: <ched>/<rhed>/<fcel>/<ecel> starts,
+    <lcel>/<ucel>/<xcel> span continuations, <nl> row ends."""
+    data = item.data
+    grid = data.grid()
+    out: list[str] = []
+    for r in range(data.num_rows):
+        for c in range(data.num_cols):
+            cell = grid[r][c]
+            if cell is None:
+                out.append("<ecel>")
+                continue
+            r0, c0 = cell.start_row_offset_idx, cell.start_col_offset_idx
+            if r == r0 and c == c0:
+                if not cell.text:
+                    out.append("<ecel>")
+                elif cell.column_header:
+                    out.append(f"<ched>{cell.text}")
+                elif cell.row_header:
+                    out.append(f"<rhed>{cell.text}")
+                else:
+                    out.append(f"<fcel>{cell.text}")
+            elif r == r0:
+                out.append("<lcel>")
+            elif c == c0:
+                out.append("<ucel>")
+            else:
+                out.append("<xcel>")
+        out.append("<nl>")
+    return "".join(out)
+
+
+def to_doctags(doc: Doc) -> str:
+    return DocTagsSerializer(doc).serialize()

@@ -1,0 +1,173 @@
+"""TrueType glyph ink extents (glyf bounding boxes) for text-cell
+geometry.
+
+The reference's PDF cell bboxes come from per-glyph outline boxes
+(docling-parse renders via FreeType and unions glyph control boxes;
+see its ``page_cell`` construction), so byte-identical exports need the
+real ink extents, not ascent/descent approximations. This module parses
+just enough of an embedded TrueType font program (head / loca / glyf /
+cmap, incl. composite glyphs) to answer "what is the outline bbox of
+char code C" in em units.
+
+Pure stdlib ``struct`` over bytes - safe inside Spark workers, no native
+libs (north rule: pure per-partition map).
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["TrueTypeInk"]
+
+
+class TrueTypeInk:
+    """Ink-extent oracle for one embedded TrueType font program.
+
+    ``ink(code)`` -> (xmin, ymin, xmax, ymax) in em units, or None when
+    the code has no outline (space, .notdef, unmapped).
+    ``by_gid`` mode (CID fonts with Identity CIDToGIDMap) skips the
+    cmap and treats the code as a glyph id directly.
+    """
+
+    def __init__(self, data: bytes, by_gid: bool = False):
+        self.ok = False
+        self.by_gid = by_gid
+        self.gid_map: bytes | None = None  # CIDToGIDMap stream payload
+        self._cache: dict[int, tuple | None] = {}
+        try:
+            self._parse(data)
+            self.ok = True
+        except (struct.error, IndexError, ValueError, KeyError):
+            pass
+
+    def _parse(self, data: bytes) -> None:
+        if data[:4] == b"ttcf":  # font collection: first face
+            off = struct.unpack(">I", data[12:16])[0]
+        else:
+            off = 0
+        num_tables = struct.unpack(">H", data[off + 4:off + 6])[0]
+        tabs: dict[str, tuple[int, int]] = {}
+        for i in range(num_tables):
+            o = off + 12 + 16 * i
+            tag = data[o:o + 4].decode("latin1")
+            toff, tlen = struct.unpack(">II", data[o + 8:o + 16])
+            tabs[tag] = (toff, tlen)
+        ho = tabs["head"][0]
+        self.upem = struct.unpack(">H", data[ho + 18:ho + 20])[0] or 1000
+        self.loc_long = struct.unpack(">h", data[ho + 50:ho + 52])[0]
+        self.loca_off = tabs["loca"][0]
+        self.glyf_off = tabs["glyf"][0]
+        self.data = data
+        self.cmap = None
+        if not self.by_gid and "cmap" in tabs:
+            self._parse_cmap(tabs["cmap"][0])
+
+    def _parse_cmap(self, co: int) -> None:
+        data = self.data
+        n = struct.unpack(">H", data[co + 2:co + 4])[0]
+        best = None
+        # preference: (3,1) windows unicode, (3,0) windows symbol,
+        # (1,0) mac roman, then anything
+        prefs = {(3, 1): 0, (3, 0): 1, (1, 0): 2}
+        best_rank = 99
+        for i in range(n):
+            pid, eid, off = struct.unpack(
+                ">HHI", data[co + 4 + 8 * i:co + 12 + 8 * i])
+            rank = prefs.get((pid, eid), 50)
+            if rank < best_rank:
+                best_rank, best = rank, (pid, eid, co + off)
+        if best is None:
+            return
+        pid, eid, sub = best
+        fmt = struct.unpack(">H", data[sub:sub + 2])[0]
+        if fmt == 4:
+            seg_x2 = struct.unpack(">H", data[sub + 6:sub + 8])[0]
+            seg = seg_x2 // 2
+            p = sub + 14
+            ends = struct.unpack(f">{seg}H", data[p:p + seg_x2])
+            p += seg_x2 + 2
+            starts = struct.unpack(f">{seg}H", data[p:p + seg_x2])
+            p += seg_x2
+            deltas = struct.unpack(f">{seg}h", data[p:p + seg_x2])
+            p += seg_x2
+            rng_pos = p
+            rngs = struct.unpack(f">{seg}H", data[p:p + seg_x2])
+
+            def gid4(c: int) -> int:
+                # symbol cmaps map 0x20..0xFF at 0xF000..0xF0FF
+                if pid == 3 and eid == 0 and c < 0x100:
+                    c = 0xF000 | c
+                for i in range(seg):
+                    if starts[i] <= c <= ends[i]:
+                        if rngs[i] == 0:
+                            return (c + deltas[i]) & 0xFFFF
+                        addr = rng_pos + 2 * i + rngs[i] + 2 * (c - starts[i])
+                        g = struct.unpack(">H",
+                                          self.data[addr:addr + 2])[0]
+                        return (g + deltas[i]) & 0xFFFF if g else 0
+                return 0
+            self.cmap = gid4
+        elif fmt == 6:
+            first, count = struct.unpack(">HH", data[sub + 6:sub + 10])
+            gids = struct.unpack(f">{count}H",
+                                 data[sub + 10:sub + 10 + 2 * count])
+            self.cmap = (lambda c: gids[c - first]
+                         if first <= c < first + count else 0)
+        elif fmt == 0:
+            gids0 = data[sub + 6:sub + 262]
+            self.cmap = lambda c: gids0[c] if c < 256 else 0
+
+    def _loca(self, gid: int) -> tuple[int, int]:
+        if self.loc_long:
+            a, b = struct.unpack(
+                ">II", self.data[self.loca_off + 4 * gid:
+                                 self.loca_off + 4 * gid + 8])
+            return a, b
+        a, b = struct.unpack(
+            ">HH", self.data[self.loca_off + 2 * gid:
+                             self.loca_off + 2 * gid + 4])
+        return a * 2, b * 2
+
+    def _gid_box(self, gid: int, depth: int = 0) -> tuple | None:
+        if depth > 4:
+            return None
+        try:
+            a, b = self._loca(gid)
+        except struct.error:
+            return None
+        if a >= b:
+            return None  # empty outline (space)
+        g = self.glyf_off + a
+        n_contours, xmin, ymin, xmax, ymax = struct.unpack(
+            ">hhhhh", self.data[g:g + 10])
+        # composite glyphs carry a valid bbox in the header too (required
+        # by spec) - trust it; recursion only if the header box is
+        # degenerate
+        if xmin == ymin == xmax == ymax == 0 and n_contours < 0:
+            return None
+        return (xmin, ymin, xmax, ymax)
+
+    def ink(self, code: int):
+        """(xmin, ymin, xmax, ymax) in em units, or None."""
+        got = self._cache.get(code, False)
+        if got is not False:
+            return got
+        box = None
+        if self.ok:
+            if self.by_gid:
+                gid = code
+                if self.gid_map is not None:
+                    o = 2 * code
+                    gid = (int.from_bytes(self.gid_map[o:o + 2], "big")
+                           if o + 2 <= len(self.gid_map) else 0)
+            else:
+                gid = self.cmap(code) if self.cmap else 0
+            if gid:
+                raw = self._gid_box(gid)
+                if raw is not None:
+                    u = float(self.upem)
+                    box = (raw[0] / u, raw[1] / u, raw[2] / u, raw[3] / u)
+            elif gid == 0 and self.by_gid and code == 0:
+                pass
+        self._cache[code] = box
+        return box

@@ -371,3 +371,35 @@ class TestPdfGroundtruthMd:
         raw = (self.SRC / f"{stem}.pdf").read_bytes()
         doc = convert_pdf(raw, name=stem, filename=f"{stem}.pdf")
         assert to_markdown(doc) == (self.GT / f"{stem}.md").read_text()
+
+
+class TestPdfDoctags:
+    """DocTags export vs reference groundtruth: byte-identical tag
+    structure / text / OTSL span tokens; loc coordinates within a small
+    quantization tolerance (exact parity needs FreeType ink boxes for
+    every font format; TrueType glyf ink is implemented, CFF falls back
+    to FontDescriptor metrics)."""
+
+    GT = pathlib.Path("/root/reference/tests/data/pdf/groundtruth")
+    SRC = pathlib.Path("/root/reference/tests/data/pdf/sources")
+
+    @pytest.mark.parametrize("stem", [
+        "code_and_formula", "multi_page", "picture_classification",
+        "right_to_left_01", "2305.03393v1-pg9",
+    ])
+    def test_doctags_structure_identical(self, stem):
+        import re
+        from docling_spark.pdfdoc import convert_pdf
+        from docling_spark.serialize import to_doctags
+        raw = (self.SRC / f"{stem}.pdf").read_bytes()
+        dt = to_doctags(convert_pdf(raw, name=stem))
+        gt = (self.GT / f"{stem}.doctags.txt").read_text()
+        strip = lambda s: re.sub(r"<loc_\d+>", "", s)  # noqa: E731
+        assert strip(dt) == strip(gt)
+        gl = [int(v) for v in re.findall(r"<loc_(\d+)>", gt)]
+        ol = [int(v) for v in re.findall(r"<loc_(\d+)>", dt)]
+        assert len(gl) == len(ol)
+        worst = max(abs(a - b) for a, b in zip(gl, ol))
+        exact = sum(1 for a, b in zip(gl, ol) if a == b)
+        assert worst <= 8, worst
+        assert exact >= 0.5 * len(gl), (exact, len(gl))
