@@ -771,7 +771,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT fingerprint,
                    count(*) AS dup_count,
                    min(doc_id) AS keeper_id,
-                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+                   array_to_string(
+                       list_slice(list_sort(list(doc_id)), 1, 100), ','
+                   ) AS doc_ids
             FROM fp GROUP BY fingerprint HAVING count(*) > 1
         """,
         "doc_lang_agg": r"""
@@ -936,7 +938,9 @@ def oracle_sql() -> dict[str, str]:
                      FROM reach GROUP BY node)
             SELECT group_id,
                    count(*) AS n_docs,
-                   array_to_string(list_sort(list(node)), ',') AS doc_ids,
+                   array_to_string(
+                       list_slice(list_sort(list(node)), 1, 100), ','
+                   ) AS doc_ids,
                    min(node) AS keeper_id
             FROM comp GROUP BY group_id
         """,

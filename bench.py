@@ -99,28 +99,22 @@ def main() -> None:
         reps = (n_pdf + len(fixtures) - 1) // len(fixtures)
         rows = [(f"https://bench.test/pdf/{i}/{name}", raw)
                 for i in range(reps) for (name, raw) in fixtures][:n_pdf]
-        pdf_pages_n = {"2305.03393v1-pg9.pdf": 1, "amt_handbook_sample.pdf": 1,
-                       "code_and_formula.pdf": 2, "multi_page.pdf": 5,
-                       "normal_4pages.pdf": 4,
-                       "picture_classification.pdf": 2,
-                       "redp5110_sampled.pdf": 18, "right_to_left_01.pdf": 1,
-                       "right_to_left_02.pdf": 1, "right_to_left_03.pdf": 1,
-                       "skipped_1page.pdf": 3, "skipped_2pages.pdf": 4,
-                       "table_mislabeled_as_picture.pdf": 1}
-        total_pages = sum(pdf_pages_n[u.rsplit("/", 1)[-1]]
-                          for (u, _) in rows)
         pdf_df = spark.createDataFrame(rows, "url string, html binary") \
             .repartition(CPUS)
         t0 = time.perf_counter()
+        # total_pages comes from the engine-emitted n_pages column, not a
+        # hard-coded per-fixture dict (stays correct if the corpus changes)
         pagg = engine.extract_pages(pdf_df, repartition=False).selectExpr(
             "count(*) docs",
-            "sum(case when status='success' then 1 else 0 end) ok"
+            "sum(case when status='success' then 1 else 0 end) ok",
+            "sum(n_pages) pages"
         ).collect()[0]
         dt = time.perf_counter() - t0
         timings["extract_pdf"] = round(dt, 3)
         extras["pdf_docs"] = pagg["docs"]
         extras["pdf_ok"] = pagg["ok"]
-        extras["pdf_pages_per_sec"] = round(total_pages / dt, 2)
+        extras["pdf_pages"] = int(pagg["pages"] or 0)
+        extras["pdf_pages_per_sec"] = round((pagg["pages"] or 0) / dt, 2)
         extras["pdf_docs_per_sec"] = round(pagg["docs"] / dt, 2)
 
     # ---- operator queries over the sf tables -----------------------------
@@ -134,11 +128,20 @@ def main() -> None:
     ]
     for name in bench_queries:
         fn = qs[name]
-        t0 = time.perf_counter()
         try:
-            n = fn(spark, SF_DIR).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # best-of-2 (matches the extraction leg): a one-off GC/worker
+            # hiccup must not poison the permanent record
+            runs = []
+            n = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = fn(spark, SF_DIR).count()
+                runs.append(time.perf_counter() - t0)
+            timings[name] = round(min(runs), 3)
             extras[f"rows_{name}"] = n
+            spread = max(runs) - min(runs)
+            if spread > 0.5 * max(min(runs), 0.2):
+                extras[f"var_{name}"] = round(spread, 3)
         except Exception as e:  # keep the bench line parseable
             timings[name] = -1.0
             extras[f"error_{name}"] = f"{type(e).__name__}"

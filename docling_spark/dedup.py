@@ -21,17 +21,38 @@ def normalized_text(col="text"):
     return F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
 
 
-def exact_duplicates(documents: DataFrame) -> DataFrame:
-    """Groups of byte-identical (normalized) docs: fingerprint -> ids."""
+# At web scale a single boilerplate fingerprint (empty pages, cookie
+# walls) can have 10^7+ members; group outputs sample the first N member
+# ids (exact counts are kept) so no aggregation buffer is unbounded.
+MAX_GROUP_IDS = 100
+
+
+def exact_duplicates(documents: DataFrame,
+                     max_ids: int = MAX_GROUP_IDS) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: fingerprint -> ids.
+
+    ``dup_count``/``keeper_id`` are exact; ``doc_ids`` carries only the
+    ``max_ids`` smallest member ids - the per-fingerprint row_number
+    filter bounds executor memory BEFORE the collect (a plain
+    collect_list + slice would still buffer the whole group).
+    """
     fp = documents.select(
         "doc_id", F.md5(normalized_text()).alias("fingerprint"))
-    return (
+    counts = (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("dup_count"),
-             F.min("doc_id").alias("keeper_id"),
-             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+             F.min("doc_id").alias("keeper_id"))
         .where(F.col("dup_count") > 1)
     )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    sample = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_ids)
+        .groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+    )
+    return counts.join(sample, "fingerprint").select(
+        "fingerprint", "dup_count", "keeper_id", "doc_ids")
 
 
 def dedup_keep_first(documents: DataFrame) -> DataFrame:
@@ -318,17 +339,26 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select("node", F.col("label").alias("group_id"))
 
 
-def dedup_groups(pairs: DataFrame) -> DataFrame:
+def dedup_groups(pairs: DataFrame,
+                 max_ids: int = MAX_GROUP_IDS) -> DataFrame:
     """Near-dup groups with keeper policy: smallest doc_id survives.
 
     Output: (group_id, n_docs, doc_ids sorted, keeper_id). group_id ==
     keeper_id == min doc_id of the component (stable, join-free policy).
+    ``n_docs`` is exact; ``doc_ids`` samples the ``max_ids`` smallest
+    members (bounded memory for giant components).
     """
     comp = connected_components(pairs)
-    return (comp.groupBy("group_id")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sort_array(F.collect_list("node")).alias("doc_ids"),
-                 F.min("node").alias("keeper_id")))
+    counts = (comp.groupBy("group_id")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.min("node").alias("keeper_id")))
+    w = Window.partitionBy("group_id").orderBy("node")
+    sample = (comp.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") <= max_ids)
+              .groupBy("group_id")
+              .agg(F.sort_array(F.collect_list("node")).alias("doc_ids")))
+    return counts.join(sample, "group_id").select(
+        "group_id", "n_docs", "doc_ids", "keeper_id")
 
 
 def drop_near_duplicates(documents: DataFrame, pairs: DataFrame,

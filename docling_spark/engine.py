@@ -53,6 +53,7 @@ EXTRACT_SCHEMA = StructType([
     StructField("n_texts", IntegerType(), True),
     StructField("n_tables", IntegerType(), True),
     StructField("n_pictures", IntegerType(), True),
+    StructField("n_pages", IntegerType(), True),
     StructField("html_bytes", LongType(), True),
     StructField("parse_ms", DoubleType(), True),
     StructField("serialize_ms", DoubleType(), True),
@@ -226,6 +227,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 out["n_texts"].append(len(doc.texts))
                 out["n_tables"].append(len(doc.tables))
                 out["n_pictures"].append(len(doc.pictures))
+                out["n_pages"].append(len(doc.pages))
                 out["html_bytes"].append(len(raw))
                 out["parse_ms"].append((t1 - t0) * 1e3)
                 out["serialize_ms"].append((t2 - t1) * 1e3)
@@ -239,6 +241,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 out["n_texts"].append(0)
                 out["n_tables"].append(0)
                 out["n_pictures"].append(0)
+                out["n_pages"].append(0)
                 out["html_bytes"].append(len(raw))
                 out["parse_ms"].append((time.perf_counter() - t0) * 1e3)
                 out["serialize_ms"].append(0.0)
