@@ -171,14 +171,141 @@ def infer_heading_levels(
     return levels
 
 
-def apply_heading_hierarchy(doc, font_sizes=None) -> int:
-    """Rewrite SectionHeaderItem.level in a Doc; returns #rewritten."""
+# ------------------------------------------------------------- bookmarks
+# (reference: heading_hierarchy_model.py:251-400 - the outline is the
+# document's own declared hierarchy; fuzzy title match, claimed-once,
+# depth compression, list-item promotion)
+
+_LEADING_MARKER_RE = re.compile(
+    r"^\s*(?:"
+    r"(?:part|title|book|chapter|article|section|clause|schedule|annex"
+    r"|appendix|rule)\b[\s.:]*[0-9ivxlcdm]*"
+    r"|§+\s*[0-9.]+"
+    r"|\(?[0-9]+(?:\.[0-9]+)*[).]?"
+    r"|\(?[A-Za-z]{1,2}[).]"
+    r")[\s.:)\-]*",
+    re.IGNORECASE,
+)
+
+
+def _norm_title(text: str) -> str:
+    s = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    return re.sub(r"^[\W_]+|[\W_]+$", "", s)
+
+
+def _strip_leading_marker(text: str) -> str:
+    return _LEADING_MARKER_RE.sub("", text or "", count=1)
+
+
+def bookmark_match_score(cand_text: str, bm_title: str) -> float:
+    """Fuzzy 0..1 similarity between a detected heading and a bookmark
+    title; both compared with and without leading numbering markers,
+    containment of one >=4-char normalized title in the other scores
+    0.92 (bookmarks are frequently truncated)."""
+    from difflib import SequenceMatcher
+    va = {_norm_title(cand_text),
+          _norm_title(_strip_leading_marker(cand_text))} - {""}
+    vb = {_norm_title(bm_title),
+          _norm_title(_strip_leading_marker(bm_title))} - {""}
+    best = 0.0
+    for a in va:
+        for b in vb:
+            best = max(best, SequenceMatcher(None, a, b).ratio())
+            if len(a) >= 4 and len(b) >= 4 and (a in b or b in a):
+                best = max(best, 0.92)
+    return best
+
+
+def infer_from_bookmarks(doc, outline, threshold: float = 0.8
+                         ) -> dict[int, int]:
+    """Match (level, title) outline entries to headings/list-items.
+
+    Returns ``id(item) -> level`` (bookmark depths compressed to
+    contiguous 1-based levels). A confidently matched LIST ITEM is
+    promoted in place to a SectionHeaderItem (layout heuristics often
+    read a numbered heading as a list item). Our outline carries no
+    page targets, so the stricter cross-page threshold (+0.1) applies,
+    as in the reference's docling-parse outline path.
+    """
+    from .model import ListItemItem, SectionHeaderItem
+    if not outline:
+        return {}
+    threshold = min(1.0, threshold + 0.1)
+    candidates = [t for t in doc.texts
+                  if isinstance(t, (SectionHeaderItem, ListItemItem))]
+    if not candidates:
+        return {}
+    claimed: set[int] = set()
+    matches: list[tuple[object, int]] = []
+    for level, title in outline:
+        title = (title or "").strip()
+        if not title:
+            continue
+        best_idx, best_score = None, 0.0
+        for idx, item in enumerate(candidates):
+            if idx in claimed:
+                continue
+            score = bookmark_match_score(item.text, title)
+            if score >= threshold and score > best_score + 1e-6:
+                best_idx, best_score = idx, score
+        if best_idx is not None:
+            claimed.add(best_idx)
+            matches.append((candidates[best_idx], level))
+    if not matches:
+        return {}
+    used = sorted({lvl for _, lvl in matches})
+    level_map = {lvl: i + 1 for i, lvl in enumerate(used)}
+    out: dict[int, int] = {}
+    for item, raw in matches:
+        level = level_map[raw]
+        if isinstance(item, ListItemItem):
+            promoted = _promote_list_item(doc, item, level)
+            out[id(promoted)] = level
+        else:
+            out[id(item)] = level
+    return out
+
+
+def _promote_list_item(doc, item, level):
+    """Replace a ListItemItem with a SectionHeaderItem in place (same
+    self_ref / tree position; the marker rejoins the text)."""
     from .model import SectionHeaderItem
+    text = item.text
+    if getattr(item, "marker", ""):
+        text = f"{item.marker} {text}".strip()
+    heading = SectionHeaderItem(
+        item.self_ref, item.parent_ref, "section_header", text,
+        orig=item.orig, formatting=item.formatting,
+        hyperlink=item.hyperlink, content_layer=item.content_layer,
+        level=level)
+    heading.prov = item.prov
+    heading.children = item.children
+    idx = int(item.self_ref.rsplit("/", 1)[1])
+    doc.texts[idx] = heading
+    return heading
+
+
+def apply_heading_hierarchy(doc, font_sizes=None, outline=None) -> int:
+    """Rewrite SectionHeaderItem.level in a Doc; returns #rewritten.
+
+    Precedence mirrors the reference (heading_hierarchy_model.py:427-471):
+    bookmarks (authoritative, may promote list items) > numbering >
+    style; unmatched headings keep their level.
+    """
+    from .model import SectionHeaderItem
+    bookmark_levels = infer_from_bookmarks(doc, outline) if outline else {}
     headings = [t for t in doc.texts if isinstance(t, SectionHeaderItem)]
-    levels = infer_heading_levels([h.text for h in headings], font_sizes)
+    levels: dict[int, int] = {}
+    for i, h in enumerate(headings):
+        bl = bookmark_levels.get(id(h))
+        if bl is not None:
+            levels[i] = bl
+    inferred = infer_heading_levels([h.text for h in headings], font_sizes)
+    for i, lvl in inferred.items():
+        levels.setdefault(i, lvl)
     n = 0
     for i, h in enumerate(headings):
         if i in levels and h.level != levels[i]:
-            h.level = levels[i]
+            h.level = max(1, min(int(levels[i]), 6))
             n += 1
     return n

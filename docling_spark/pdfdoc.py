@@ -426,12 +426,16 @@ def _order_columns(cells, page_width):
 
 
 def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
-                binary_hash: int = 0, page_range=None) -> Doc:
+                binary_hash: int = 0, page_range=None,
+                heading_hierarchy: bool = False) -> Doc:
     """PDF bytes -> Doc with per-item provenance.
 
     Pure function of the bytes (Spark UDF contract). ``page_range``
     mirrors the reference's page-range pushdown
-    (``pdf_backend.py:59-105``).
+    (``pdf_backend.py:59-105``). ``heading_hierarchy`` opt-in mirrors
+    HeadingHierarchyOptions(enabled) [default False, like the
+    reference]: assign SectionHeaderItem.level from PDF bookmarks >
+    numbering > style (``heading_hierarchy_model.py:427-471``).
     """
     doc = Doc(name, filename=filename or f"{name}.pdf",
               binary_hash=binary_hash, mimetype="application/pdf")
@@ -584,6 +588,21 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                 doc.add_text(label="text", text=text, prov=prov)
         _flush_tables(float("inf"))
         _flush_pics(float("inf"), True)
+    if heading_hierarchy:
+        from .headings import apply_heading_hierarchy
+        from .pdfio import PdfDocument
+        try:
+            outline = PdfDocument(raw).outline()
+        except Exception:
+            outline = []
+        sizes = {}
+        for i, t in enumerate(x for x in doc.texts
+                              if type(x).__name__ == "SectionHeaderItem"):
+            if t.prov:
+                bb = t.prov[0]["bbox"]
+                sizes[i] = abs(bb["t"] - bb["b"])
+        apply_heading_hierarchy(doc, font_sizes=sizes or None,
+                                outline=outline)
     return doc
 
 

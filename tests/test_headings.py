@@ -83,3 +83,57 @@ def test_apply_to_doc():
     lvls = [t.level for t in doc.texts if isinstance(t, SectionHeaderItem)]
     assert lvls == [1, 2, 1]
     assert n >= 1
+
+
+class TestBookmarkHierarchy:
+    """PDF outline -> heading levels (reference strategy #1,
+    heading_hierarchy_model.py:309-400; test vector mirrors the
+    reference's tests/test_heading_hierarchy_bookmarks.py on
+    bookmark_sample.pdf)."""
+
+    def test_bookmark_sample_levels(self):
+        import pathlib
+        from docling_spark.model import SectionHeaderItem
+        from docling_spark.pdfdoc import convert_pdf
+        from docling_spark.pdfio import PdfDocument
+        raw = pathlib.Path(
+            "/root/reference/tests/data/pdf/bookmark_sample.pdf"
+        ).read_bytes()
+        assert PdfDocument(raw).outline() == [
+            (1, "PART I - DEFINITIONS"), (2, "1. Interpretation"),
+            (2, "2. Construction of Terms"), (1, "PART II - OBLIGATIONS"),
+            (2, "3. Payment Terms"), (3, "3.1 Payment Schedule"),
+            (2, "4. Termination"), (1, "PART III - MISCELLANEOUS")]
+        doc = convert_pdf(raw, name="bm", heading_hierarchy=True)
+        got = [(h.level, h.text) for h in doc.texts
+               if isinstance(h, SectionHeaderItem)]
+        assert got == [
+            (1, "PART I - DEFINITIONS"), (2, "1. Interpretation"),
+            (2, "2. Construction of Terms"), (1, "PART II - OBLIGATIONS"),
+            (2, "3. Payment Terms"), (3, "3.1 Payment Schedule"),
+            (2, "4. Termination"), (1, "PART III - MISCELLANEOUS")]
+
+    def test_default_off_keeps_flat_levels(self):
+        import pathlib
+        from docling_spark.model import SectionHeaderItem
+        from docling_spark.pdfdoc import convert_pdf
+        raw = pathlib.Path(
+            "/root/reference/tests/data/pdf/bookmark_sample.pdf"
+        ).read_bytes()
+        doc = convert_pdf(raw, name="bm")  # enabled=False default
+        levels = {h.level for h in doc.texts
+                  if isinstance(h, SectionHeaderItem)}
+        assert levels <= {1}
+
+    def test_match_score_vectors(self):
+        # reference test vectors (test_heading_hierarchy_bookmarks.py)
+        from docling_spark.headings import bookmark_match_score
+        assert bookmark_match_score("1.1 Definitions", "Definitions") >= 0.99
+        assert bookmark_match_score(
+            "PART I Introduction", "Introduction") >= 0.9
+        assert bookmark_match_score(
+            "Representations and Warranties of the Seller",
+            "Representations and Warranties") >= 0.9
+        assert bookmark_match_score("Termination", "Definitions") < 0.8
+        assert bookmark_match_score(
+            "Governing Law", "Schedule of Assets") < 0.8
