@@ -265,6 +265,192 @@ def decode_png_pixels(payload: bytes):
     return px
 
 
+
+
+# ------------------------------------------------ compressed a/v probing
+# Deterministic stdlib byte parses (no codec libs): mp4 mvhd duration +
+# tkhd track dimensions, mp3 frame-header walk, Matroska/WebM EBML
+# Duration. The reference treats audio/video as NoOp passthrough
+# (ASR/video models out of scope); these probes exist so the media
+# inventory carries REAL durations at crawl scale.
+
+def probe_mp4(payload: bytes):
+    """(duration_s, width, height) from an ISO-BMFF moov, or None."""
+    if len(payload) < 16 or payload[4:8] not in (b"ftyp", b"moov", b"styp"):
+        # also accept files whose first box isn't ftyp but contain moov
+        if b"moov" not in payload[:64]:
+            return None
+
+    def boxes(buf, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos:pos + 4], "big")
+            typ = buf[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    return
+                size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr:
+                return
+            yield typ, pos + hdr, min(pos + size, end)
+            pos += size
+
+    dur = width = height = None
+    for typ, a, b in boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, a2, b2 in boxes(payload, a, b):
+            if t2 == b"mvhd" and b2 - a2 >= 20:
+                ver = payload[a2]
+                if ver == 1 and b2 - a2 >= 28:
+                    scale = int.from_bytes(payload[a2 + 20:a2 + 24], "big")
+                    d = int.from_bytes(payload[a2 + 24:a2 + 32], "big")
+                else:
+                    scale = int.from_bytes(payload[a2 + 12:a2 + 16], "big")
+                    d = int.from_bytes(payload[a2 + 16:a2 + 20], "big")
+                if scale:
+                    dur = d / scale
+            elif t2 == b"trak":
+                for t3, a3, b3 in boxes(payload, a2, b2):
+                    if t3 == b"tkhd" and b3 - a3 >= 84:
+                        w = int.from_bytes(payload[b3 - 8:b3 - 4],
+                                           "big") / 65536.0
+                        h = int.from_bytes(payload[b3 - 4:b3], "big") / 65536.0
+                        if w and h:
+                            width, height = int(w), int(h)
+    if dur is None:
+        return None
+    return dur, width, height
+
+
+_MP3_BITRATES = {  # kbps, MPEG1 Layer III / MPEG2(.5) Layer III columns
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320, 0),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160, 0),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def probe_mp3(payload: bytes, max_frames: int = 4096):
+    """Total seconds from an MPEG audio frame walk, or None.
+
+    Walks up to ``max_frames`` headers and extrapolates from the mean
+    frame duration/size for longer payloads (bounded work per row)."""
+    pos = 0
+    n = len(payload)
+    if payload[:3] == b"ID3" and n >= 10:
+        sz = 0
+        for byte in payload[6:10]:
+            sz = (sz << 7) | (byte & 0x7F)
+        pos = 10 + sz
+    frames = 0
+    seconds = 0.0
+    bytes_walked_from = pos
+    while pos + 4 <= n and frames < max_frames:
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            pos += 1
+            continue
+        b1, b2 = payload[pos + 1], payload[pos + 2]
+        ver_id = (b1 >> 3) & 3        # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 3         # 3=Layer I ... 1=Layer III
+        if ver_id == 1 or layer == 0:
+            pos += 1
+            continue
+        bri = (b2 >> 4) & 0xF
+        sri = (b2 >> 2) & 3
+        if bri in (0, 0xF) or sri == 3:
+            pos += 1
+            continue
+        mpeg1 = ver_id == 3
+        table = _MP3_BITRATES[(1, 3) if mpeg1 else (2, 3)]
+        bitrate = table[bri] * 1000
+        rate = _MP3_RATES[ver_id][sri]
+        pad = (b2 >> 1) & 1
+        spf = 1152 if mpeg1 else 576
+        flen = spf // 8 * bitrate // rate + pad
+        if flen <= 4:
+            pos += 1
+            continue
+        seconds += spf / rate
+        frames += 1
+        pos += flen
+    if frames == 0:
+        return None
+    if frames >= max_frames and pos < n:
+        # extrapolate the unwalked tail at the observed mean rate
+        walked = pos - bytes_walked_from
+        if walked > 0:
+            seconds *= 1 + (n - pos) / walked
+    return seconds
+
+
+def _ebml_vint(buf, pos, keep_marker=True):
+    """(value, next_pos) for an EBML variable-length integer."""
+    if pos >= len(buf):
+        return None
+    first = buf[pos]
+    if first == 0:
+        return None
+    length = 8 - first.bit_length()
+    length += 1
+    if pos + length > len(buf):
+        return None
+    val = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        val = (val << 8) | buf[pos + i]
+    return val, pos + length
+
+
+def probe_mkv(payload: bytes):
+    """Duration seconds from a Matroska/WebM Segment Info, or None."""
+    import struct as _struct
+    if payload[:4] != b"\x1aE\xdf\xa3":
+        return None
+
+    def walk(start, end, want_ids, depth=0):
+        pos = start
+        found = {}
+        while pos < end and depth < 8:
+            got = _ebml_vint(payload, pos)
+            if got is None:
+                return found
+            eid, pos = got
+            got = _ebml_vint(payload, pos, keep_marker=False)
+            if got is None:
+                return found
+            size, pos = got
+            nxt = min(pos + size, end)
+            if eid in want_ids:
+                found[eid] = (pos, nxt)
+            if eid in (0x18538067, 0x1549A966):  # Segment, Info: descend
+                found.update(walk(pos, nxt, want_ids, depth + 1))
+            pos = nxt
+        return found
+
+    found = walk(0, len(payload), {0x2AD7B1, 0x4489})
+    scale = 1_000_000  # default TimestampScale: 1 ms in ns
+    if 0x2AD7B1 in found:
+        a, b = found[0x2AD7B1]
+        scale = int.from_bytes(payload[a:b], "big") or scale
+    if 0x4489 not in found:
+        return None
+    a, b = found[0x4489]
+    raw = payload[a:b]
+    if len(raw) == 4:
+        dur_ticks = _struct.unpack(">f", raw)[0]
+    elif len(raw) == 8:
+        dur_ticks = _struct.unpack(">d", raw)[0]
+    else:
+        return None
+    return dur_ticks * scale / 1e9
+
+
 def decode_wav_header(payload: bytes):
     """(duration_s, sample_rate, channels) from a RIFF/WAVE header."""
     import struct
@@ -349,6 +535,28 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     feats = {"width": None, "height": None,
                              "duration_s": round(wav[0], 6),
                              "feature_v0": wav[1] / 96000.0}
+                else:
+                    dur = probe_mp3(raw)
+                    if dur is None:
+                        mkv = probe_mkv(raw)
+                        dur = mkv if mkv is not None else None
+                    if dur is not None:
+                        feats = {"width": None, "height": None,
+                                 "duration_s": round(dur, 6),
+                                 "feature_v0": 0.0}
+            elif kind == "video":
+                mp4 = probe_mp4(raw)
+                if mp4 is not None:
+                    d, w, h = mp4
+                    feats = {"width": w, "height": h,
+                             "duration_s": round(d, 6),
+                             "feature_v0": 0.0}
+                else:
+                    mkv = probe_mkv(raw)
+                    if mkv is not None:
+                        feats = {"width": None, "height": None,
+                                 "duration_s": round(mkv, 6),
+                                 "feature_v0": 0.0}
             if feats is None:
                 feats = _fake_decode(raw, kind)
             out["media_id"].append(mid)

@@ -208,3 +208,61 @@ def test_wav_and_tiff_headers():
            + struct.pack("<HHII", 256, 3, 1, 640)
            + struct.pack("<HHII", 257, 4, 1, 480) + struct.pack("<I", 0))
     assert decode_image_header(tif) == (640, 480, "tiff")
+
+
+class TestMediaProbes:
+    """Deterministic compressed-media duration probes (stdlib byte
+    parses; synthetic vectors with known durations)."""
+
+    @staticmethod
+    def _box(typ: bytes, content: bytes) -> bytes:
+        return (8 + len(content)).to_bytes(4, "big") + typ + content
+
+    def test_mp4_mvhd_and_tkhd(self):
+        from docling_spark.multimodal import probe_mp4
+        mvhd = bytes(4) + bytes(8) + (1000).to_bytes(4, "big") \
+            + (90_500).to_bytes(4, "big") + bytes(80)
+        tkhd = bytes(4) + bytes(72) \
+            + (640 * 65536).to_bytes(4, "big") \
+            + (360 * 65536).to_bytes(4, "big")
+        moov = self._box(b"mvhd", mvhd) + self._box(
+            b"trak", self._box(b"tkhd", tkhd))
+        raw = self._box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") \
+            + self._box(b"moov", moov)
+        got = probe_mp4(raw)
+        assert got is not None
+        d, w, h = got
+        assert abs(d - 90.5) < 1e-9
+        assert (w, h) == (640, 360)
+
+    def test_mp3_frame_walk(self):
+        from docling_spark.multimodal import probe_mp3
+        # MPEG1 Layer III, 128 kbps, 44100 Hz, no padding: 417-byte frames
+        frame = b"\xff\xfb\x90\x00" + bytes(417 - 4)
+        raw = b"ID3" + b"\x03\x00" + b"\x00" + b"\x00\x00\x00\x0a" \
+            + bytes(10) + frame * 10
+        d = probe_mp3(raw)
+        assert d is not None
+        assert abs(d - 10 * 1152 / 44100) < 1e-9
+
+    def test_mkv_duration(self):
+        import struct
+        from docling_spark.multimodal import probe_mkv
+        # Duration 12.5s at default TimestampScale (1 ms ticks)
+        dur = b"\x44\x89" + b"\x84" + struct.pack(">f", 12_500.0)
+        scale = b"\x2a\xd7\xb1" + b"\x83" + (1_000_000).to_bytes(3, "big")
+        info_content = scale + dur
+        info = b"\x15\x49\xa9\x66" + bytes([0x80 | len(info_content)]) \
+            + info_content
+        segment = b"\x18\x53\x80\x67" + bytes([0x80 | len(info)]) + info
+        raw = b"\x1aE\xdf\xa3" + b"\x84" + b"\x01\x01\x01\x01" + segment
+        d = probe_mkv(raw)
+        assert d is not None
+        assert abs(d - 12.5) < 1e-9
+
+    def test_garbage_returns_none(self):
+        from docling_spark.multimodal import probe_mkv, probe_mp3, probe_mp4
+        junk = b"\x00\x01\x02junkjunkjunk" * 10
+        assert probe_mp4(junk) is None
+        assert probe_mp3(junk) is None
+        assert probe_mkv(junk) is None
