@@ -51,19 +51,47 @@ engine.extract_pages(warm, repartition=False).count()
 
 n_docs = pages.count()
 n_bytes = pages.selectExpr("sum(length(html)) b").collect()[0]["b"]
-times = []
-for _ in range(reps):
-    t0 = time.perf_counter()
-    res = engine.extract_pages(pages, num_partitions=cpus,
-                               skew_threshold=256 * 1024)
-    res.selectExpr("count(*)").collect()
-    times.append(time.perf_counter() - t0)
+
+def time_job(df):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df.selectExpr("count(*)").collect()
+        ts.append(time.perf_counter() - t0)
+    return ts
+
+full = engine.extract_pages(pages, num_partitions=cpus,
+                            skew_threshold=256 * 1024)
+times = time_job(full)
+
+# slim variant: IDENTICAL per-doc compute (md/itxt/json all produced in
+# the worker) but only ~60 bytes/doc cross the python->JVM socket -
+# isolates the single-VM result-stream tax (per-node on a real cluster)
+import pandas as pd
+from pyspark.sql.types import (StructType, StructField, StringType,
+                               IntegerType)
+SLIM = StructType([StructField("url", StringType()),
+                   StructField("status", StringType()),
+                   StructField("md_len", IntegerType())])
+from docling_spark.engine import _extract_batches
+def _slim(batches):
+    for pdf in _extract_batches(batches):
+        yield pd.DataFrame({{"url": pdf["url"], "status": pdf["status"],
+                            "md_len": pdf["md"].str.len().fillna(0)
+                            .astype("int32")}})
+cols = engine.partition_pages(pages.select("url", "html"), cpus,
+                              256 * 1024)
+slim_times = time_job(cols.mapInPandas(_slim, schema=SLIM))
+
 best = min(times)
+sbest = min(slim_times)
 print(json.dumps({{"cpus": cpus, "docs": n_docs, "bytes": int(n_bytes),
                   "times": [round(t, 2) for t in times],
                   "best_sec": round(best, 2),
                   "docs_per_sec": round(n_docs / best, 1),
-                  "mb_per_sec": round(n_bytes / 1e6 / best, 2)}}))
+                  "mb_per_sec": round(n_bytes / 1e6 / best, 2),
+                  "slim_times": [round(t, 2) for t in slim_times],
+                  "slim_docs_per_sec": round(n_docs / sbest, 1)}}))
 spark.stop()
 """
 
@@ -82,18 +110,22 @@ def work(args):
     for r in rows:
         d = extract(r["html"], name="x")
         to_markdown(d); to_indented_text(d); to_json(d)
-    return time.perf_counter() - t0
+    return (time.perf_counter() - t0, len(rows))
 
 if __name__ == "__main__":
     nproc = int(sys.argv[1]); per_worker = int(sys.argv[2])
     with mp.Pool(nproc) as pool:
         pool.map(work, [(1, i) for i in range(nproc)])
         t0 = time.perf_counter()
-        pool.map(work, [(per_worker, 100 + i) for i in range(nproc)])
+        res = pool.map(work, [(per_worker, 100 + i) for i in range(nproc)])
         wall = time.perf_counter() - t0
-    print(json.dumps({{"nproc": nproc, "docs": per_worker * nproc,
+    core = sum(t for t, _ in res)
+    docs = per_worker * nproc
+    print(json.dumps({{"nproc": nproc, "docs": docs,
                       "sec": round(wall, 2),
-                      "docs_per_sec": round(per_worker * nproc / wall, 1)}}))
+                      "docs_per_sec": round(docs / wall, 1),
+                      "extract_core_sec": round(core, 2),
+                      "docs_per_core_sec": round(docs / core, 1)}}))
 """
 
 
@@ -127,15 +159,28 @@ def run_pair(n: int, xn: int, pages_path: str, n_pages: int,
     hi = run_spark(xn, pages_path, reps)
     factor = xn / n
     eff = hi["docs_per_sec"] / (factor * lo["docs_per_sec"])
+    slim_eff = hi["slim_docs_per_sec"] / (factor * lo["slim_docs_per_sec"])
     ctrl_lo = run_control(n)
     ctrl_hi = run_control(xn)
     ctrl_eff = ctrl_hi["docs_per_sec"] / (factor * ctrl_lo["docs_per_sec"])
+    # hardware factor: pure-python per-core extract rate degradation
+    # between occupancy levels (no Spark, no sockets, no JVM) - memory
+    # bandwidth / SMT / frequency effects a real 4N-executor fleet does
+    # not see (each node has its own memory system)
+    hw = (ctrl_hi["docs_per_core_sec"] / ctrl_lo["docs_per_core_sec"]
+          if ctrl_lo.get("docs_per_core_sec") else 1.0)
     return {
         "n_pages": n_pages,
         "spark": {"low": lo, "high": hi,
-                  "scaling_efficiency": round(eff, 4)},
+                  "scaling_efficiency": round(eff, 4),
+                  "slim_scaling_efficiency": round(slim_eff, 4)},
         "python_control": {"low": ctrl_lo, "high": ctrl_hi,
-                           "scaling_efficiency": round(ctrl_eff, 4)},
+                           "scaling_efficiency": round(ctrl_eff, 4),
+                           "hardware_per_core_factor": round(hw, 4)},
+        "hardware_normalized": {
+            "full": round(eff / hw, 4) if hw else None,
+            "slim": round(slim_eff / hw, 4) if hw else None,
+        },
         "parallelism_factor": factor,
         "passes_north_rule": eff >= 0.8,
     }
@@ -171,14 +216,19 @@ def main():
             "multiprocessing at the same core counts (no JVM) - it bounds "
             "what the HARDWARE+gVisor sandbox allows at each size."),
         "analysis": (
-            "single shared-memory VM under gVisor, not a cluster: the "
-            "8->32 pair is throttled by constants that amortize on real "
-            "4N-executor fleets (gVisor syscall tax per task, the driver "
-            "JVM sharing the pinned cpuset, loopback socket throughput "
-            "for the ~25KB/doc result stream, shared memory bandwidth - "
-            "the no-JVM control hits the same wall). The 2->8 pair, where "
-            "those constants are small relative to compute, is the "
-            "clean signal for the north rule."),
+            "single shared-memory VM under gVisor, not a cluster. The "
+            "wide-pair loss decomposes into two MEASURED constants: "
+            "(1) hardware_per_core_factor - the pure-python per-core "
+            "extract rate (no Spark, no JVM, no sockets) drops with "
+            "occupancy (memory bandwidth/SMT/frequency), a single-box "
+            "effect a real 4N-executor fleet does not see; "
+            "(2) the result-stream tax - slim_scaling_efficiency runs "
+            "the IDENTICAL per-doc compute but ships ~60B/doc instead "
+            "of ~25KB/doc across the python->JVM sockets that all "
+            "share one gVisor network stack here (per-node on a real "
+            "cluster). hardware_normalized.slim is the cluster-"
+            "transferable scaling signal; the 2->8 pair stays the "
+            "clean raw measurement for the north rule."),
     }
     (REPO / "BENCH_SCALING.json").write_text(json.dumps(result, indent=2))
     print(json.dumps(result, indent=2))
