@@ -205,6 +205,21 @@ def _q_doc_exact_dups(spark, sf_dir):
                 F.transform("doc_ids", lambda x: x.cast("string")), ",")))
 
 
+def _q_ngram_jaccard_dups(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (dedup.ngram_jaccard_pairs):
+    distinct-gram explode -> document-frequency cap -> single equi-join ->
+    set-overlap Jaccard. No all-pairs product, no UDFs."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=100)
+
+
+def _q_doc_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing sketch (textfns.doc_fingerprints): md5 over
+    strided 8-char windows of normalized text, k smallest kept."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.doc_fingerprints(docs, window=8, stride=4, k=8)
+
+
 def _q_doc_lang_agg(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return (
@@ -600,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "doc_exact_dups": _q_doc_exact_dups,
         "doc_lang_agg": _q_doc_lang_agg,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "doc_fingerprints": _q_doc_fingerprints,
         "emb_knn_bruteforce": _q_emb_knn,
         "near_dup_groups": _q_near_dup_groups,
         "doc_chunks": _q_doc_chunks,
@@ -776,6 +793,61 @@ def oracle_sql() -> dict[str, str]:
                    ) AS doc_ids
             FROM fp GROUP BY fingerprint HAVING count(*) > 1
         """,
+        "ngram_jaccard_dups": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(trim(text), '\s+', ' ',
+                                                'g')), ' ') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [array_to_string(w[i:i+2], ' ')
+                     for i in range(1, greatest(len(w)-2, 0)+1)]
+                )) AS gram
+                FROM words
+            ),
+            kept AS (
+                SELECT doc_id, gram FROM grams
+                QUALIFY count(*) OVER (PARTITION BY gram) <= 100
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_ab
+                FROM kept a JOIN kept b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(CAST(i.n_ab AS DOUBLE)
+                         / (sa.n + sb.n - i.n_ab), 4) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE CAST(i.n_ab AS DOUBLE) / (sa.n + sb.n - i.n_ab) >= 0.3
+        """,
+
+        "doc_fingerprints": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                           AS s
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN length(s) >= 8 THEN array_to_string(
+                       list_slice(list_sort(list_distinct(
+                           [md5(s[i:i+7])
+                            for i in range(1, greatest(length(s)-7, 1)+1,
+                                           4)]
+                       )), 1, 8), ',')
+                   ELSE '' END AS sketch,
+                   length(s) AS n_chars
+            FROM t
+        """,
+
         "doc_lang_agg": r"""
             SELECT lang, count(*) AS n_docs,
                    round(avg(CASE WHEN trim(text) = '' THEN 0

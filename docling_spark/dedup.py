@@ -368,3 +368,51 @@ def drop_near_duplicates(documents: DataFrame, pairs: DataFrame,
     losers = comp.where(F.col("node") != F.col("group_id")).select(
         F.col("node").alias(id_col))
     return documents.join(losers, id_col, "left_anti")
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.3,
+                        max_df: int = 100) -> DataFrame:
+    """Near-dup pairs by EXACT word-n-gram Jaccard similarity.
+
+    Candidate generation is an equi-join on distinct n-grams (no
+    all-pairs): explode each doc's distinct grams, drop grams appearing
+    in more than ``max_df`` docs (boilerplate shingles would otherwise
+    produce a quadratic hot-key join at crawl scale), self-join on the
+    gram, then Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over the KEPT gram
+    sets. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    100-TB notes: one explode + one groupBy for the document-frequency
+    cap, one equi-join whose key cardinality is bounded by max_df, and
+    two broadcast-friendly size joins; no UDFs, no all-pairs product.
+    """
+    w = F.split(normalized_text(), " ")
+    idx = F.when(
+        F.size(w) >= n,
+        F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+    exploded = documents.select(
+        "doc_id", F.explode(grams).alias("gram"))
+    hot = (exploded.groupBy("gram")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > max_df)
+           .select("gram"))
+    kept = exploded.join(hot, "gram", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (a.join(b, "gram")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    jac = (F.col("n_ab").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_ab")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .where(jac >= threshold)
+            .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))

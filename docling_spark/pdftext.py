@@ -758,11 +758,13 @@ class PdfTextExtractor:
                 box = font.ink_box(code, u)
                 if box is not None:
                     top_em, bot_em, has_ink = box[3], box[1], True
+                    ix0, ix1 = box[0], box[2]
                 else:
                     top_em, bot_em, has_ink = font.ascent, font.descent, False
+                    ix0, ix1 = 0.0, 0.0
                 glyphs.append((dx, dy, w_dev, size_dev, u, font.bold,
                                font.mono, font.italic, top_em, bot_em,
-                               has_ink, code))
+                               has_ink, code, ix0, ix1))
             adv = w0 * tfs + tc
             if code == font.space_code:
                 adv += tw

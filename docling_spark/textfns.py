@@ -126,3 +126,31 @@ def doc_stats(documents: DataFrame) -> DataFrame:
         F.round(digit_ratio("text"), 6).alias("digit_ratio"),
         fingerprint("text").alias("fingerprint"),
     )
+
+
+def doc_fingerprints(documents, window: int = 8, stride: int = 4,
+                     k: int = 8):
+    """Rolling-hash document fingerprint sketch (winnowing-style).
+
+    md5 over every ``stride``-th ``window``-char slice of the normalized
+    text; the sketch keeps the ``k`` lexicographically smallest distinct
+    hashes (a deterministic min-sketch: near-identical docs share most
+    sketch entries). Pure column algebra - the transform/sequence runs
+    JVM-side, no Python in the hot path.
+
+    Output: (doc_id, sketch csv, n_chars).
+    """
+    from pyspark.sql import functions as F
+    s = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    d = documents.withColumn("_s", s)
+    hashes = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(length(_s) - {window - 1}, 1), {stride}),"
+        f"  i -> md5(substring(_s, i, {window}))))")
+    guarded = F.when(F.length("_s") >= window, hashes).otherwise(
+        F.expr("array()").cast("array<string>"))
+    return (d.select(
+        "doc_id",
+        F.array_join(F.slice(F.array_sort(guarded), 1, k), ",")
+         .alias("sketch"),
+        F.length("_s").alias("n_chars")))

@@ -372,3 +372,47 @@ def test_dedup_groups_bounded_arrays(spark):
     assert len(out) == 1
     assert out[0]["n_docs"] == 5000
     assert len(out[0]["doc_ids"]) == dedup.MAX_GROUP_IDS
+
+
+def test_ngram_jaccard_planted_pair(spark):
+    """Two near-identical docs (one word changed) must pair with high
+    Jaccard; an unrelated doc must not pair with either."""
+    from docling_spark import dedup
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox leaps over the lazy dog again today"),
+        (3, "completely different content with no shared shingles at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert set(got) == {(1, 2)}
+    assert 0.3 <= got[(1, 2)] < 1.0
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A boilerplate shingle shared by every doc is dropped by the
+    document-frequency cap, so it cannot create quadratic candidates."""
+    from docling_spark import dedup
+    boiler = "all rights reserved copyright notice "
+    rows = [(i, boiler + f"unique number {i} content") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.2, max_df=10).count()
+    assert pairs == 0
+
+
+def test_doc_fingerprints_deterministic_and_discriminative(spark):
+    from docling_spark import textfns
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "something else entirely unrelated to the others")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["sketch"]
+           for r in textfns.doc_fingerprints(df).collect()}
+    assert got[1] == got[2]          # identical docs -> identical sketch
+    assert got[1] != got[3]
+    assert len(got[1].split(",")) == 8
+    # tiny doc: empty sketch, not an error
+    tiny = spark.createDataFrame([(9, "hi")], "doc_id long, text string")
+    row = textfns.doc_fingerprints(tiny).collect()[0]
+    assert row["sketch"] == ""
