@@ -513,7 +513,10 @@ class LatexConverter:
         if name in _ESCAPED and not node.args:
             return _ESCAPED[name]
         if name in _REF_MACROS:
-            if getattr(self, "_cite_verbatim", False) and node.args:
+            verbatim = (getattr(self, "_cite_verbatim", False)
+                        or (getattr(self, "_ref_verbatim", False)
+                            and name in ("ref", "eqref", "autoref")))
+            if verbatim and node.args:
                 # footnote flattening keeps citation macros VERBATIM
                 # incl. their natbib optional args (reference
                 # _nodes_to_text MACROS_CITATION branch)
@@ -736,12 +739,19 @@ class LatexConverter:
         elif name == "caption" and node.args:
             flush()
             # figure/table captions drop embedded \label macros (heading
-            # text leaks them, captions don't - both golden-pinned)
+            # text leaks them, captions don't - both golden-pinned).
+            # Captions keep \ref/\eqref VERBATIM (2412 groundtruth
+            # "Appendix\ref{app:...}") but still convert \cite-family
+            # to [key] (2305 groundtruth "[TableFormer]")
             body = [n for n in node.args[0]
                     if not (isinstance(n, Macro) and n.name == "label")]
+            self._ref_verbatim = True
+            try:
+                text = self.nodes_to_text(body).strip()
+            finally:
+                self._ref_verbatim = False
             doc.add_text(label=text_label or "text",
-                         text=self.nodes_to_text(body).strip(),
-                         parent=parent)
+                         text=text, parent=parent)
         elif name == "label":
             # STRUCTURAL in the reference: flushes the running text (a
             # caption's trailing \label mints the paragraph boundary),

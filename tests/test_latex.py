@@ -101,3 +101,82 @@ def test_engine_multifile_arxiv_inputs():
     assert out["status"][0] == "success", out["error"][0]
     exp = (GT / "2310.06825_main.tex.md").read_text()
     assert out["md"][0] == exp
+
+
+class TestReferenceTableOffsetBugPinned:
+    """The 2 residual fixtures bake a REFERENCE PARSER BUG into their
+    groundtruth, so byte-parity is not pursued; these tests document the
+    bug with a repro and pin that OUR output is the semantically correct
+    table instead.
+
+    The bug (reference docling/backend/latex/utils/table.py:47-48 and
+    :74-75): inside ``_process_table_macro_node`` the code slices
+    ``remaining = source_latex[n.pos:]`` where ``source_latex`` is the
+    tabular environment's OWN verbatim text but ``n.pos`` is the node's
+    position in the WHOLE walker input. For any tabular that does not
+    start at that offset, \\multicolumn/\\multirow args are read from an
+    unrelated part of the table (or an empty string), which is exactly
+    what the groundtruth shows: 43-column rows whose cells repeat a
+    citation key ("JonasFaceNet2017") that the misaligned slice landed
+    on, and marker cells like "2*Model" (the multirow macro textified
+    arg-wise after arg extraction failed).
+    """
+
+    GT = pathlib.Path("/root/reference/tests/data/latex/groundtruth")
+    SRC = pathlib.Path("/root/reference/tests/data/latex/sources")
+
+    def test_bug_mechanism_repro(self):
+        # Minimal repro of the reference's arithmetic: a tabular whose
+        # verbatim is shorter than the macro's absolute position yields
+        # no args; one whose absolute position lands mid-table reads the
+        # WRONG braces as the multicolumn args.
+        env = r"\begin{tabular}{cc} \multicolumn{2}{c}{BLEU} \\ a & {X} \end{tabular}"
+
+        def parse_brace_args(text):  # the reference's helper, verbatim semantics
+            args, i = [], 0
+            while i < len(text):
+                if text[i] == "{":
+                    depth, start = 1, i + 1
+                    i += 1
+                    while i < len(text) and depth:
+                        if text[i] == "{":
+                            depth += 1
+                        elif text[i] == "}":
+                            depth -= 1
+                        i += 1
+                    args.append(text[start:i - 1])
+                else:
+                    i += 1
+            return args
+
+        # macro at absolute document offset 1000 -> empty remainder ->
+        # no args -> the macro falls into the cell as text
+        assert parse_brace_args(env[1000:]) == []
+        # macro at absolute offset 40 (mid-env) -> the "args" are
+        # whatever braces follow that point - NOT the macro's own args
+        wrong = parse_brace_args(env[40:])
+        assert wrong and wrong != ["2", "c", "BLEU"]
+
+    def test_groundtruth_carries_the_artifact(self):
+        gt = (self.GT / "1706.03762_main.tex.md").read_text()
+        # the corrupted header row: one citation key repeated across
+        # dozens of phantom columns
+        assert "JonasFaceNet2017 | JonasFaceNet2017 | JonasFaceNet2017" in gt
+        gt2 = (self.GT / "2412.19437_main.tex.md").read_text()
+        assert "|  |  |  |  |  |  |  |  |" in gt2
+
+    def test_our_bleu_table_is_semantically_correct(self):
+        from docling_spark.latex import convert_latex
+        from docling_spark.serialize import to_markdown
+        src_dir = self.SRC / "1706.03762"
+        files = {p.name: p.read_bytes() for p in src_dir.glob("*.tex")}
+        files.update({p.name: p.read_bytes()
+                      for p in src_dir.glob("*.bbl")})
+        doc = convert_latex(files["main.tex"], name="main",
+                            filename="main.tex", inputs=files)
+        md = to_markdown(doc)
+        # the true table: ByteNet row with its BLEU score in a sane grid
+        assert "| ByteNet [NalBytenet2017] | 23.75 |" in md
+        assert "| GNMT + RL [wu2016google] | 24.6 | 39.92 |" in md
+        # and no 40-wide corruption rows
+        assert "JonasFaceNet2017 | JonasFaceNet2017" not in md
