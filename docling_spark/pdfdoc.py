@@ -397,7 +397,7 @@ def _order_columns(cells, page_width):
         else:
             spanning.append(c)
     if (len(left) < 5 or len(right) < 5
-            or len(spanning) > 0.12 * len(cells)):
+            or len(spanning) > 0.2 * len(cells)):
         return cells
     # vertical zones: spanning cells act as column breaks
     breaks = sorted(spanning, key=lambda c: c.t)

@@ -147,7 +147,7 @@ def test_hyphen_strip_follows_word_regex_semantics():
 
 
 def test_ligature_expansion_and_quotes():
-    assert sanitize_text(["ﬁeld “x” • done"]) == 'field "x" · done'
+    assert sanitize_text(["ﬁeld “x” • done"]) == "field 'x' · done"
     assert sanitize_text(["ﬁ eld"]) == "field"  # spurious space absorbed
 
 
