@@ -386,6 +386,11 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     cap, one equi-join whose key cardinality is bounded by max_df, and
     two broadcast-friendly size joins; no UDFs, no all-pairs product.
     """
+    # spread the tokenize/explode across the cluster: a small-file scan
+    # arrives as 1-2 partitions and would shingle on one core, and AQE
+    # would coalesce a count-less repartition right back - pin the count
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    documents = documents.repartition(par, F.col("doc_id"))
     w = F.split(normalized_text(), " ")
     idx = F.when(
         F.size(w) >= n,
@@ -400,6 +405,12 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
            .where(F.col("df") > max_df)
            .select("gram"))
     kept = exploded.join(hot, "gram", "left_anti")
+    # the kept gram set feeds FOUR consumers (both join sides + both
+    # size aggregates); without a materialization Spark re-runs the
+    # explode + df-cap shuffle for each. localCheckpoint bounds the
+    # stored size to the capped explode (the 100-TB analog is a
+    # persisted intermediate table between stages).
+    kept = kept.localCheckpoint(eager=False)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = kept.select(F.col("doc_id").alias("doc_a"), "gram")
     b = kept.select(F.col("doc_id").alias("doc_b"), "gram")
