@@ -73,7 +73,8 @@ METRICS_SCHEMA = StructType([
 def _extract_batches(batches: Iterable[pd.DataFrame],
                      ebcdic_layouts: Optional[dict] = None,
                      xbrl_taxonomies: Optional[dict] = None,
-                     latex_inputs: Optional[dict] = None
+                     latex_inputs: Optional[dict] = None,
+                     with_doctags: bool = False
                      ) -> Iterator[pd.DataFrame]:
     r"""mapInPandas worker: one call per Arrow batch; per-doc error envelope.
 
@@ -107,7 +108,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
     from .metsgbs import convert_metsgbs, looks_like_metsgbs
     from .pdfdoc import convert_pdf
     from .xbrl import convert_xbrl, looks_like_xbrl
-    from .serialize import to_indented_text, to_json, to_markdown
+    from .serialize import (to_doctags, to_indented_text, to_json,
+                            to_markdown)
 
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else -1
@@ -115,6 +117,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
 
     for pdf in batches:
         out = {k.name: [] for k in EXTRACT_SCHEMA.fields}
+        if with_doctags:
+            out["doctags"] = []
         for url, html in zip(pdf["url"].values, pdf["html"].values):
             # Coercion stays INSIDE the try: a row with an unexpected type
             # (string html, None url) must become a failure envelope, never
@@ -232,6 +236,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 out["parse_ms"].append((t1 - t0) * 1e3)
                 out["serialize_ms"].append((t2 - t1) * 1e3)
                 out["error"].append(None)
+                if with_doctags:
+                    out["doctags"].append(to_doctags(doc))
             except Exception as exc:  # never fail the task for one doc
                 out["url"].append(url)
                 out["status"].append("failure")
@@ -246,6 +252,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 out["parse_ms"].append((time.perf_counter() - t0) * 1e3)
                 out["serialize_ms"].append(0.0)
                 out["error"].append(f"{type(exc).__name__}: {exc}")
+                if with_doctags:
+                    out["doctags"].append(None)
             out["partition_id"].append(pid)
         yield pd.DataFrame(out)
 
@@ -288,6 +296,7 @@ def extract_pages(
     ebcdic_layouts: Optional[dict] = None,
     xbrl_taxonomies: Optional[dict] = None,
     latex_inputs: Optional[dict] = None,
+    with_doctags: bool = False,
 ) -> DataFrame:
     """The main job: pages(url, html, ...) -> extraction results.
 
@@ -295,20 +304,27 @@ def extract_pages(
     Catalyst prunes the parquet scan down to those two columns.
     ``ebcdic_layouts`` ({basename: layout json}) rides the UDF closure -
     a driver-side dict small enough to broadcast with the task.
+    ``with_doctags`` adds a DocTags export column (reference OutputFormat
+    doctags; serialize.to_doctags) - opt-in so the default schema stays
+    stable for downstream consumers.
     """
     cols = pages.select("url", "html")
     if repartition:
         cols = partition_pages(cols, num_partitions, skew_threshold)
+    schema = EXTRACT_SCHEMA
+    if with_doctags:
+        schema = StructType(EXTRACT_SCHEMA.fields
+                            + [StructField("doctags", StringType(), True)])
     if ebcdic_layouts is None and xbrl_taxonomies is None \
-            and latex_inputs is None:
+            and latex_inputs is None and not with_doctags:
         fn = _extract_batches
     else:
         def fn(batches, _lay=ebcdic_layouts, _tax=xbrl_taxonomies,
-               _lx=latex_inputs):
+               _lx=latex_inputs, _dt=with_doctags):
             return _extract_batches(batches, ebcdic_layouts=_lay,
                                     xbrl_taxonomies=_tax,
-                                    latex_inputs=_lx)
-    return cols.mapInPandas(fn, schema=EXTRACT_SCHEMA)
+                                    latex_inputs=_lx, with_doctags=_dt)
+    return cols.mapInPandas(fn, schema=schema)
 
 
 def partition_metrics(results: DataFrame) -> DataFrame:

@@ -155,3 +155,19 @@ def test_items_view_all_kinds(spark):
     assert pic["n_captions"] == 1
     group = [r for r in rows if r["kind"] == "group"][0]
     assert group["label"] == "list"
+
+
+def test_extract_pages_with_doctags_column(spark):
+    """Opt-in doctags export column (reference OutputFormat doctags)."""
+    rows = [("https://x/a.html",
+             b"<html><body><h1>T</h1><p>hello world</p></body></html>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = engine.extract_pages(df, repartition=False,
+                               with_doctags=True).collect()[0]
+    assert out["status"] == "success"
+    dt = out["doctags"]
+    assert dt.startswith("<doctag>") and dt.endswith("</doctag>")
+    assert "<title>" in dt and "hello world" in dt
+    # default schema unchanged
+    cols = engine.extract_pages(df, repartition=False).columns
+    assert "doctags" not in cols
