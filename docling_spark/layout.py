@@ -475,7 +475,8 @@ def sanitize_text(lines: list[str]) -> str:
     # curly DOUBLE quotes also land on the ASCII apostrophe: pdfium's
     # unicode-compat normalization does this and every pdf groundtruth
     # bakes it (normal_4pages: 17 apostrophes, zero double quotes)
-    for raw, rep in (("⁄", "/"), ("’", "'"), ("‘", "'"),
+    # fraction slash renders as a spaced solidus ("1 / 4", pdfium compat)
+    for raw, rep in (("⁄", " / "), ("’", "'"), ("‘", "'"),
                      ("“", "'"), ("”", "'"), ("•", "·")):
         text = text.replace(raw, rep)
     text = _LIGATURE_RE.sub(

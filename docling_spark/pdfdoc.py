@@ -17,6 +17,7 @@ Provenance mirrors docling-core: every item carries
 from __future__ import annotations
 
 import re
+from typing import Optional
 
 from .layout import BBox, merge_split_text, sanitize_text
 from .model import Doc, TextItem
@@ -92,8 +93,8 @@ def _body_font_size(cells: list[TextCell]) -> float:
     return weighted[len(weighted) // 2] if weighted else 10.0
 
 
-def _merge_into_blocks(cells: list[TextCell], body_size: float
-                       ) -> list[_Block]:
+def _merge_into_blocks(cells: list[TextCell], body_size: float,
+                       fig_regions: Optional[list] = None) -> list[_Block]:
     """Fold consecutive line cells into paragraph blocks.
 
     Join rule: next line starts within 1.9x line-height below the current
@@ -151,6 +152,26 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float
                     and last.l - cell.r < 3.0 * max(cell.font_size,
                                                     last.font_size)):
                 same_row = True
+            # a paragraph interrupted by an absorbed figure region
+            # continues below it (the reference's reading-order model
+            # merges such flows): allow the jump when the vertical gap is
+            # spanned by a figure region in the same column, the block
+            # doesn't end a sentence, and the continuation starts
+            # lowercase
+            if (not near and not same_row and fig_regions and same_col
+                    and v_gap > 0):
+                blk_txt = blk.cells[-1].text.rstrip()
+                cont = cell.text.lstrip()
+                if (blk_txt and not blk_txt.endswith((".", "!", "?", ":"))
+                        and cont[:1].islower()):
+                    for (fl, ft, fr, fb) in fig_regions:
+                        h_ov = (min(fr, max(cell.r, last.r))
+                                - max(fl, min(cell.l, last.l)))
+                        if (h_ov > 0 and last.b <= ft + 12
+                                and cell.t >= fb - 12
+                                and v_gap <= (fb - ft) + 3 * line_h):
+                            near = True
+                            break
             # tight-set RTL justified flows: the reference's layout model
             # clusters them across one paragraph-sized gap when the line
             # pitch is tight (<= 1.25 em); loose-set RTL text (pitch
@@ -344,6 +365,61 @@ _CAPTION_RE = re.compile(r"^(?:Listing|Figure|Fig\.|Table|Algorithm)\s+\d+",
                          re.I)
 
 
+def _merge_across_figures(blocks: list[_Block], fig_regions) -> list:
+    """A text block interrupted by a figure region (and its caption)
+    continues below it: splice the continuation into the upstream block
+    when the upstream doesn't end a sentence and the continuation starts
+    lowercase (the reference's reading-order merge step;
+    ``readingorder_model.py:406-412``)."""
+    if not fig_regions:
+        return blocks
+    out = list(blocks)
+    i = 0
+    while i < len(out):
+        a = out[i]
+        if a.label != "text":
+            i += 1
+            continue
+        a_txt = a.cells[-1].text.rstrip()
+        if not a_txt or a_txt.endswith((".", "!", "?", ":")):
+            i += 1
+            continue
+        # look past caption-shaped blocks and page furniture for the
+        # continuation (the figure pushed the text into the next column,
+        # so geometry can't link them - the reference's merge step keys
+        # on the TEXT: unfinished sentence + lowercase continuation)
+        j = i + 1
+        skipped = False
+        while j < len(out):
+            blk_j = out[j]
+            if blk_j.label in ("page_header", "page_footer"):
+                j += 1
+                skipped = True
+                continue
+            if (blk_j.label == "text" and len(blk_j.cells) <= 2
+                    and _CAPTION_RE.match(" ".join(
+                        c.text for c in blk_j.cells))):
+                j += 1
+                skipped = True
+                continue
+            break
+        if not skipped or j >= len(out):
+            i += 1
+            continue  # nothing skipped; cell-level rule handles direct gaps
+        b = out[j]
+        if b.label != "text":
+            i += 1
+            continue
+        cont = b.cells[0].text.lstrip()
+        if not cont[:1].islower():
+            i += 1
+            continue
+        a.cells.extend(b.cells)
+        del out[j]
+        # stay on i: the merged block may continue further
+    return out
+
+
 def _captions_after_code(blocks: list[_Block]) -> list[_Block]:
     """A caption line directly above a code block attaches to it
     (docling CodeItem captions; md serializes code first, then the
@@ -445,13 +521,35 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
         if not cells and not image_rects:
             continue
         body_size = _body_font_size(cells)
+        # multi-image figure regions absorb the small label texts drawn
+        # inside them (the reference's layout model emits one picture
+        # cluster for the whole diagram)
+        image_rects, fig_regions = _cluster_figures(
+            _dedup_rects(image_rects), midline=width / 2.0)
+        if fig_regions:
+            def _in_fig(c):
+                # only short label-like lines are part of the diagram;
+                # full paragraph lines overlapping the region are body
+                # text flowing beside/through it
+                if len(c.text) > 40 or len(c.text.split()) > 5:
+                    return False
+                for (fl, ft, fr, fb) in fig_regions:
+                    if (c.l >= fl - 2 and c.r <= fr + 2
+                            and c.t >= ft - 10 and c.b <= fb + 16):
+                        return True
+                return False
+            cells = [c for c in cells if not _in_fig(c)]
+            if not cells:
+                continue
         table_regions, used = _detect_tables(cells, body_size)
         flow_cells = [c for c in cells if id(c) not in used]
         flow_cells = _order_columns(flow_cells, width)
-        blocks = _merge_into_blocks(flow_cells, body_size)
+        blocks = _merge_into_blocks(flow_cells, body_size,
+                                    fig_regions=fig_regions)
         _classify(blocks, body_size, page_no, height, width,
                   is_first_page=(page_no == pages[0][0]))
         blocks = _captions_after_code(blocks)
+        blocks = _merge_across_figures(blocks, fig_regions)
         tables = sorted(table_regions, key=lambda r: r[0])
         ti = 0
 
@@ -483,13 +581,40 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                 list_group = None
         # pictures interleave into reading order by top edge; dedup
         # overlapping draws of the same bitmap (tiled/clipped repaints)
-        pics = sorted(_dedup_rects(image_rects), key=lambda r: (r[1], r[0]))
-        pi = 0
+        # flush order: a picture emits once the text flow has passed its
+        # BOTTOM edge (captions below a figure then claim it first, like
+        # the reference's caption-to-picture mapping)
+        pics = sorted(image_rects, key=lambda r: (r[3], r[0]))
+        page_has_cols = any(getattr(c, "col", None) is not None
+                            for c in flow_cells)
 
-        def _flush_pics(up_to_t, _list_reset):
-            nonlocal pi, list_group
-            while pi < len(pics) and pics[pi][1] <= up_to_t:
-                pl, pt, pr, pb = pics[pi]
+        def _pic_col(pl, pr):
+            if not page_has_cols:
+                return None
+            center = (pl + pr) / 2.0
+            return 0 if center < width / 2.0 else 1
+
+        def _blk_col(blk):
+            cols_ = [c.col for c in blk.cells
+                     if getattr(c, "col", None) is not None]
+            if not cols_:
+                return None
+            return max(set(cols_), key=cols_.count)
+
+        def _flush_pics(up_to_t, _list_reset, col=None):
+            # pictures flush within their own page column (the reading
+            # order walks left column then right; a right-column figure
+            # must not interleave into left-column text)
+            nonlocal list_group
+            k = 0
+            while k < len(pics):
+                pl, pt, pr, pb = pics[k]
+                if pb > up_to_t:
+                    break  # sorted by bottom
+                pcol = _pic_col(pl, pr)
+                if col is not None and pcol is not None and pcol != col:
+                    k += 1
+                    continue
                 doc.add_picture(prov=[{
                     "page_no": page_no,
                     "bbox": {"l": round(pl, 3), "t": round(height - pt, 3),
@@ -497,7 +622,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                              "coord_origin": "BOTTOMLEFT"},
                     "charspan": [0, 0],
                 }])
-                pi += 1
+                pics.pop(k)
                 if _list_reset:
                     list_group = None
 
@@ -516,7 +641,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
             if (blk.label == "text" and _CAPTION_RE.match(text)
                     and len(blk.cells) <= 2):
                 adj = None
-                for k, (pl, pt, pr, pb) in enumerate(pics[pi:], start=pi):
+                for k, (pl, pt, pr, pb) in enumerate(pics):
                     if (abs(t - pb) < 0.08 * height
                             or abs(pt - b) < 0.08 * height):
                         adj = k
@@ -545,7 +670,8 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                     list_group = None
                     continue
             _flush_tables(blk.bbox()[1])
-            _flush_pics(blk.bbox()[1], blk.label != "list_item")
+            _flush_pics(blk.bbox()[1], blk.label != "list_item",
+                        col=_blk_col(blk))
             if blk.label not in ("list_item", "glyph_list_item"):
                 list_group = None
             prov = [{
@@ -587,7 +713,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
             else:
                 doc.add_text(label="text", text=text, prov=prov)
         _flush_tables(float("inf"))
-        _flush_pics(float("inf"), True)
+        _flush_pics(float("inf"), True)  # leftovers, any column
     if heading_hierarchy:
         from .headings import apply_heading_hierarchy
         from .pdfio import PdfDocument
@@ -604,6 +730,56 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
         apply_heading_hierarchy(doc, font_sizes=sizes or None,
                                 outline=outline)
     return doc
+
+
+def _cluster_figures(rects, margin=25.0, midline=None):
+    """Merge image rects into figure regions: rects whose margin-expanded
+    boxes touch form one cluster (multi-part diagrams draw each sub-image
+    separately). Returns (region_rects, multi_regions) where
+    multi_regions are the union boxes of >=2-image clusters - the
+    reference's layout model emits ONE picture for such a region and
+    absorbs the little label texts inside it."""
+    n = len(rects)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def side(r):
+        if midline is None:
+            return 0
+        return 0 if (r[0] + r[2]) / 2.0 < midline else 1
+
+    def touch(a, b):
+        # figures in different page columns stay separate even when
+        # their rects graze the gutter (amt: two side-by-side diagrams)
+        if side(a) != side(b):
+            return False
+        return not (a[2] + margin < b[0] or b[2] + margin < a[0]
+                    or a[3] + margin < b[1] or b[3] + margin < a[1])
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if touch(rects[i], rects[j]):
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[rb] = ra
+    groups: dict[int, list] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(rects[i])
+    out, multi = [], []
+    for members in groups.values():
+        if len(members) >= 2:
+            u = (min(m[0] for m in members), min(m[1] for m in members),
+                 max(m[2] for m in members), max(m[3] for m in members))
+            out.append(u)
+            multi.append(u)
+        else:
+            out.append(members[0])
+    return out, multi
 
 
 def _dedup_rects(rects):

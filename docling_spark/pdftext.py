@@ -955,17 +955,25 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
         deduped.append(g)
     entries = deduped
     bands: list[list[tuple]] = []
+    band_sizes: list[float] = []
     for g in entries:
         placed = False
-        for band in reversed(bands[-6:]):
+        for bi in range(len(bands) - 1, max(len(bands) - 12, -1), -1):
+            band = bands[bi]
             ref = band[0]
-            tol = max(y_tol_frac * max(g[3], ref[3], 1.0), 0.5)
+            # tolerance scales with the LARGEST glyph in the band, not
+            # just the anchor: a superscript fraction numerator may
+            # anchor a band that body glyphs then join, and the small
+            # denominator must still reach it
+            tol = max(y_tol_frac * max(g[3], band_sizes[bi], 1.0), 0.5)
             if abs(g[1] - ref[1]) <= tol:
                 band.append(g)
+                band_sizes[bi] = max(band_sizes[bi], g[3])
                 placed = True
                 break
         if not placed:
             bands.append([g])
+            band_sizes.append(g[3])
     cells: list[TextCell] = []
     for band in bands:
         band.sort(key=lambda g: g[0])
