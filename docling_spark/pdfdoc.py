@@ -39,10 +39,12 @@ _BULLET_RE = re.compile(r"^\s*(?:[•‣◦⁃∙·•‣▪–—*-]|"
 # symbol-font bullets (checkbox/wingding glyphs mapped to C1 controls or
 # private-use chars): classify as list items but KEEP the glyph in the
 # item text (the reference groundtruth retains it)
-_GLYPH_BULLET_RE = re.compile(r"^[\x7f-\x9f\ue000-\uf8ff]\s")
+_GLYPH_BULLET_RE = re.compile(
+    r"^(?:[\x7f-\x9f\ue000-\uf8ff]|(?:/g\d+){1,2})\s")
 _NUMBERED_HEADING_RE = re.compile(r"^\s*\d+(?:\.\d+)*\.?\s+\S")
 _MARKER_ONLY_RE = re.compile(
-    r"^[•‣◦⁃∙·▪–—*\x7f-\x9f\ue000-\uf8ff-]$|^\(?\d{1,3}[.)]$")
+    r"^[•‣◦⁃∙·▪–—*\x7f-\x9f\ue000-\uf8ff-]$|^\(?\d{1,3}[.)]$"
+    r"|^(?:/g\d+){1,2}$")
 _CODE_HINT_RE = re.compile(
     r"(?:^\s{4,}|[{};]\s*$|^\s*(?:def|class|function|var|let|const|import|"
     r"return|if|for|while)\b)")
@@ -349,6 +351,11 @@ def _classify(blocks: list[_Block], body_size: float, page_no: int,
             blk.label = "list_item"
             continue
         if _GLYPH_BULLET_RE.match(text) and n_lines <= 6:
+            blk.label = "glyph_list_item"
+            continue
+        # fill-in-blank lines ("_______ at the national level") are form
+        # list items in the reference groundtruth
+        if text.lstrip().startswith("___") and n_lines == 1:
             blk.label = "glyph_list_item"
             continue
         mono_cells = sum(1 for c in blk.cells if c.mono)
@@ -906,7 +913,18 @@ def _detect_tables(cells, body_size):
     for r in rows:
         r.sort(key=lambda c: c.l)
 
-    marked = [len(r) >= 3 for r in rows]
+    def _table_row(r):
+        if len(r) < 3:
+            return False
+        # bullet/checkbox rows are two-column LISTS side by side, not
+        # table rows (questionnaire layouts); same for fill-in blanks
+        listy = sum(1 for c in r
+                    if _GLYPH_BULLET_RE.match(c.text)
+                    or _MARKER_ONLY_RE.match(c.text.strip())
+                    or c.text.lstrip().startswith("___"))
+        return listy == 0
+
+    marked = [_table_row(r) for r in rows]
     regions = []
     used: set = set()
     i = 0

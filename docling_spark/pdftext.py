@@ -20,7 +20,7 @@ import re
 import unicodedata
 
 from .pdfio import Lexer, Name, PdfDocument, PdfError, Stream, decode_stream
-from .ttink import TrueTypeInk
+from .ttink import CffInk, TrueTypeInk
 
 __all__ = ["TextCell", "extract_page_cells", "PdfTextExtractor"]
 
@@ -300,7 +300,7 @@ class Font:
     __slots__ = ("name", "is_cid", "code_bytes", "widths", "default_width",
                  "to_unicode", "encoding", "base_font", "space_code", "bold",
                  "mono", "italic", "width_fallback", "ascent", "descent",
-                 "ink")
+                 "ink", "cff")
 
     def __init__(self):
         self.name = ""
@@ -313,6 +313,8 @@ class Font:
         self.descent = -0.2
         # per-glyph outline-extent oracle (embedded TrueType), or None
         self.ink = None
+        # CFF charstring-length probe (has_outline only), or None
+        self.cff = None
         self.mono = False
         self.is_cid = False
         self.code_bytes = 1
@@ -329,13 +331,16 @@ class Font:
     def ink_box(self, code: int, u: str):
         """Outline bbox of a glyph in em units, or None (no embedded
         TrueType / no outline). Falls back to a unicode lookup for
-        simple fonts whose subset cmap is unicode-keyed."""
+        simple fonts whose subset cmap is unicode-keyed, and to a raw
+        gid lookup when the glyph name itself is a gNN subset id."""
         o = self.ink
         if o is None or not o.ok:
             return None
         box = o.ink(code)
         if box is None and not o.by_gid and u and len(u) == 1:
             box = o.ink(ord(u))
+        if box is None and u.startswith("/g") and u[2:].isdigit():
+            box = o.ink_gid(int(u[2:]))
         return box
 
     def width(self, code: int) -> float:
@@ -356,6 +361,13 @@ class Font:
                 yield int.from_bytes(raw[i:i + n], "big")
 
     def unicode(self, code: int) -> str:
+        # control-range codes in simple fonts have no real glyph slot:
+        # docling-parse resolves the font-internal name (.notdef) and
+        # emits it slash-prefixed, ignoring a stray ToUnicode entry
+        # (groundtruth "/.notdefThere is no such limitation")
+        if (not self.is_cid and 0 < code < 0x20
+                and code not in self.encoding):
+            return "/.notdef"
         u = self.to_unicode.get(code)
         if u is not None:
             return u
@@ -463,6 +475,14 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
                 f.ink = ink
         except (PdfError, OSError, ValueError):
             pass
+    elif isinstance(descr, dict) and descr.get("FontFile3") is not None:
+        try:
+            prog = decode_stream(r(descr.get("FontFile3")), r)
+            cff = CffInk(prog)
+            if cff.ok:
+                f.cff = cff
+        except (PdfError, OSError, ValueError):
+            pass
     flags = 0
     if isinstance(descr, dict):
         mw = r(descr.get("MissingWidth"))
@@ -498,6 +518,11 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
                 u = glyph_name_to_unicode(str(item))
                 if u is not None:
                     f.encoding[code] = u
+                else:
+                    # unresolvable glyph name (subset gNN ids): the
+                    # reference extractor emits the slash-prefixed name
+                    # itself (groundtruth "/g115/g3 /g40...")
+                    f.encoding[code] = f"/{item}"
                 code += 1
     if not f.widths:
         f.widths = {}
@@ -762,6 +787,10 @@ class PdfTextExtractor:
                 else:
                     top_em, bot_em, has_ink = font.ascent, font.descent, False
                     ix0, ix1 = 0.0, 0.0
+                    # CFF probe: a raw-named glyph with a real charstring
+                    # is a letter, not this font's empty space glyph
+                    if font.cff is not None and u.startswith("/"):
+                        has_ink = font.cff.has_outline_name(u[1:])
                 glyphs.append((dx, dy, w_dev, size_dev, u, font.bold,
                                font.mono, font.italic, top_em, bot_em,
                                has_ink, code, ix0, ix1))
@@ -842,6 +871,12 @@ def _line_text(run: list[tuple]) -> str:
                 # stretches word gaps): docling-parse emits a second space
                 out.append(" ")
         out.append(u)
+        if (u.startswith("/") and len(u) > 1
+                and len(_it) > 3 and not _it[3]):
+            # a raw-named glyph with NO outline is this font's space
+            # glyph: the reference emits the name AND the word gap its
+            # advance creates ("/g3 " between every word)
+            out.append(" ")
         # zero-width combining marks are transparent to the pen (they sit
         # over the previous base and must not fake a gap), while real
         # glyphs reset the end even when narrower than an overlapping

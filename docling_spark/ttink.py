@@ -147,6 +147,22 @@ class TrueTypeInk:
             return None
         return (xmin, ymin, xmax, ymax)
 
+    def ink_gid(self, gid: int):
+        """Ink box by raw glyph id (subset fonts whose /Differences names
+        are gNN carry the gid in the name)."""
+        key = ("g", gid)
+        got = self._cache.get(key, False)
+        if got is not False:
+            return got
+        box = None
+        if self.ok and gid:
+            raw = self._gid_box(gid)
+            if raw is not None:
+                u = float(self.upem)
+                box = (raw[0] / u, raw[1] / u, raw[2] / u, raw[3] / u)
+        self._cache[key] = box
+        return box
+
     def ink(self, code: int):
         """(xmin, ymin, xmax, ymax) in em units, or None."""
         got = self._cache.get(code, False)
@@ -171,3 +187,125 @@ class TrueTypeInk:
                 pass
         self._cache[code] = box
         return box
+
+
+class CffInk:
+    """Minimal CFF (FontFile3) probe: per-gid charstring LENGTH, enough
+    to tell empty glyphs (space: just a width + endchar, <= 8 bytes)
+    from real outlines. Full charstring interpretation is out of scope;
+    callers get has_outline(gid) only."""
+
+    def __init__(self, data: bytes):
+        self.ok = False
+        self._lens: list[int] | None = None
+        try:
+            self._parse(data)
+            self.ok = True
+        except (struct.error, IndexError, ValueError):
+            pass
+
+    @staticmethod
+    def _read_index(data: bytes, pos: int):
+        """-> (list of (start, end) item spans, next_pos)."""
+        count = struct.unpack(">H", data[pos:pos + 2])[0]
+        if count == 0:
+            return [], pos + 2
+        off_size = data[pos + 2]
+        opos = pos + 3
+        offs = []
+        for i in range(count + 1):
+            v = 0
+            for b in data[opos + i * off_size:opos + (i + 1) * off_size]:
+                v = (v << 8) | b
+            offs.append(v)
+        base = opos + (count + 1) * off_size - 1
+        spans = [(base + offs[i], base + offs[i + 1]) for i in range(count)]
+        return spans, base + offs[-1]
+
+    def _parse(self, data: bytes) -> None:
+        hdr_size = data[2]
+        pos = hdr_size
+        _names, pos = self._read_index(data, pos)        # Name INDEX
+        tops, pos = self._read_index(data, pos)          # Top DICT INDEX
+        if not tops:
+            raise ValueError("no top dict")
+        strings, pos = self._read_index(data, pos)       # String INDEX
+        a, b = tops[0]
+        cs_off = charset_off = None
+        operands: list[int] = []
+        i = a
+        while i < b:
+            b0 = data[i]
+            if 32 <= b0 <= 246:
+                operands.append(b0 - 139); i += 1
+            elif 247 <= b0 <= 250:
+                operands.append((b0 - 247) * 256 + data[i + 1] + 108); i += 2
+            elif 251 <= b0 <= 254:
+                operands.append(-(b0 - 251) * 256 - data[i + 1] - 108); i += 2
+            elif b0 == 28:
+                operands.append(struct.unpack(">h", data[i + 1:i + 3])[0])
+                i += 3
+            elif b0 == 29:
+                operands.append(struct.unpack(">i", data[i + 1:i + 5])[0])
+                i += 5
+            elif b0 == 30:  # real number: skip nibbles to 0xF terminator
+                i += 1
+                while i < b:
+                    nib = data[i]; i += 1
+                    if (nib & 0x0F) == 0x0F or (nib >> 4) == 0x0F:
+                        break
+                operands.append(0)
+            elif b0 == 12:
+                operands = []; i += 2
+            else:
+                if b0 == 17 and operands:    # CharStrings
+                    cs_off = operands[-1]
+                elif b0 == 15 and operands:  # charset
+                    charset_off = operands[-1]
+                operands = []; i += 1
+        if cs_off is None:
+            raise ValueError("no CharStrings op")
+        spans, _ = self._read_index(data, cs_off)
+        self._lens = [e - s for s, e in spans]
+        # charset: gid -> SID; custom names (SID >= 391) live in the
+        # String INDEX. Builds name -> gid for subset gNN lookups.
+        self._name_gid: dict[str, int] = {}
+        n_glyphs = len(self._lens)
+        if charset_off not in (None, 0, 1, 2) and n_glyphs > 1:
+            sids = [0]
+            fmt = data[charset_off]
+            p = charset_off + 1
+            if fmt == 0:
+                for _ in range(n_glyphs - 1):
+                    sids.append(struct.unpack(">H", data[p:p + 2])[0])
+                    p += 2
+            elif fmt in (1, 2):
+                while len(sids) < n_glyphs:
+                    first = struct.unpack(">H", data[p:p + 2])[0]
+                    if fmt == 1:
+                        nleft = data[p + 2]; p += 3
+                    else:
+                        nleft = struct.unpack(">H", data[p + 3:p + 5])[0]
+                        p += 4 + 1
+                    for k in range(nleft + 1):
+                        if len(sids) >= n_glyphs:
+                            break
+                        sids.append(first + k)
+            for gid, sid in enumerate(sids):
+                if sid >= 391 and sid - 391 < len(strings):
+                    s0, s1 = strings[sid - 391]
+                    self._name_gid[
+                        data[s0:s1].decode("latin1")] = gid
+
+    def has_outline(self, gid: int) -> bool:
+        if not self.ok or self._lens is None or gid >= len(self._lens):
+            return True  # unknown: assume real glyph
+        # a true space charstring is width + endchar (<= 4 bytes); even
+        # an 'l' outline needs a moveto + line ops
+        return self._lens[gid] > 4
+
+    def has_outline_name(self, name: str) -> bool:
+        gid = getattr(self, "_name_gid", {}).get(name)
+        if gid is None:
+            return True
+        return self.has_outline(gid)
