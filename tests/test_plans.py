@@ -52,3 +52,23 @@ def test_extraction_whole_stage_codegen_shell(spark):
     assert "*(1)" in plan
     # and the scan is pruned to exactly (url, html)
     assert "ReadSchema: struct<url:string,html:binary>" in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    """The near-dup self-join must be a shuffled equi-join on the gram
+    key - never a cartesian/nested-loop product."""
+    plan = _plan(spark, "ngram_jaccard_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join on the gram key (AQE picks broadcast at tiny scale,
+    # sort-merge/shuffled-hash at scale - all fine, none are products)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_doc_fingerprints_stays_jvm_side(spark):
+    """Sketching is pure column algebra - no Python UDF stages."""
+    plan = _plan(spark, "doc_fingerprints")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan
