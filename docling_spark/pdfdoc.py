@@ -106,6 +106,20 @@ def _merge_into_blocks(cells: list[TextCell], body_size: float,
     blocks: list[_Block] = []
     for cell in cells:
         merged = False
+        # a stranded lone punctuation mark (a "." left behind across a
+        # column gutter) is its own block: the reference's layout model
+        # emits it as an orphan cluster (amt_handbook groundtruth has a
+        # standalone "." text item). A lone mark that CONTINUES the
+        # previous cell's visual row (a style-split "Definition ." in
+        # redp5110) is not stranded and merges normally.
+        if len(cell.text.strip()) == 1 and cell.text.strip() in ".,;:!?":
+            last = blocks[-1].cells[-1] if blocks else None
+            same_row = (last is not None
+                        and min(cell.b, last.b) - max(cell.t, last.t)
+                        > 0.5 * min(cell.b - cell.t, last.b - last.t))
+            if not same_row:
+                blocks.append(_Block(cell))
+                continue
         # a line opening with a list enumerator/bullet at (or left of) the
         # block's left edge starts a NEW block - otherwise consecutive
         # numbered items fold into one paragraph

@@ -1017,7 +1017,7 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
         # produces the reference's "Typewriter) : Introduced" spacing)
         runs: list[list[tuple]] = [[band[0]]]
         run_end = band[0][0] + max(band[0][2], 0.0)
-        for g in band[1:]:
+        for gi, g in enumerate(band[1:], start=1):
             prev = runs[-1][-1]
             # running max end: a zero-width combining mark positioned over
             # the previous base glyph must not pull the pen backwards and
@@ -1029,8 +1029,22 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
             size = max(g[3], 1.0)
             style_break = (g[5] != prev[5] and g[4].strip()
                            and prev[4].strip())
-            gap_split = (g[0] - prev_end > split_gap_em * size * 0.5
-                         and g[4] not in ".,;:!?)]}")
+            over_gap = g[0] - prev_end > split_gap_em * size * 0.5
+            # trailing punctuation kerned far from its line stays with it
+            # - UNLESS the punctuation is itself isolated (nothing follows
+            # within a gap width): a lone "." stranded across a column
+            # gutter is its own cell (the reference layout model emits it
+            # as an orphan cluster, amt_handbook "." at x~321)
+            punct_glued = g[4] in ".,;:!?)]}"
+            if over_gap and punct_glued:
+                nxt = next((h for h in band[gi + 1:] if h[4].strip()),
+                           None)
+                g_end = g[0] + max(g[2], 0.0)
+                if nxt is None or (
+                        nxt[0] - g_end
+                        > split_gap_em * max(nxt[3], 1.0) * 0.5):
+                    punct_glued = False
+            gap_split = over_gap and not punct_glued
             if gap_split or style_break:
                 runs.append([g])
                 run_end = g[0] + max(g[2], 0.0)
