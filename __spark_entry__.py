@@ -213,6 +213,16 @@ def _q_ngram_jaccard_dups(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_df=100)
 
 
+def _q_emb_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (dedup.embedding_cosine_pairs):
+    top-|value|-dimension blocking keys -> hot-dim cap -> one equi-join
+    -> exact double-precision cosine on candidates only. JVM array ops
+    throughout (no UDF, no window, no all-pairs)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, top_m=4, threshold=0.4,
+                                        max_df=200)
+
+
 def _q_doc_fingerprints(spark, sf_dir):
     """Rolling-hash winnowing sketch (textfns.doc_fingerprints): md5 over
     strided 8-char windows of normalized text, k smallest kept."""
@@ -616,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dups": _q_doc_exact_dups,
         "doc_lang_agg": _q_doc_lang_agg,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "emb_cosine_dups": _q_emb_cosine_dups,
         "doc_fingerprints": _q_doc_fingerprints,
         "emb_knn_bruteforce": _q_emb_knn,
         "near_dup_groups": _q_near_dup_groups,
@@ -827,6 +838,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
             WHERE CAST(i.n_ab AS DOUBLE) / (sa.n + sb.n - i.n_ab) >= 0.3
+        """,
+
+        "emb_cosine_dups": r"""
+            WITH dims AS (
+                SELECT vec_id, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            keys AS (
+                SELECT vec_id, i AS dim FROM (
+                    SELECT vec_id, i,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY abs(v) DESC, i ASC) AS rk
+                    FROM dims
+                ) WHERE rk <= 4
+            ),
+            kept AS (
+                SELECT vec_id, dim FROM keys
+                QUALIFY count(*) OVER (PARTITION BY dim) <= 200
+            ),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                FROM kept a JOIN kept b
+                  ON a.dim = b.dim AND a.vec_id < b.vec_id
+            )
+            SELECT c.vec_a, c.vec_b,
+                   round(list_cosine_similarity(
+                       CAST(ea.embedding AS DOUBLE[]),
+                       CAST(eb.embedding AS DOUBLE[])), 4) AS cosine
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.vec_a
+            JOIN embeddings eb ON eb.vec_id = c.vec_b
+            WHERE list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]),
+                      CAST(eb.embedding AS DOUBLE[])) >= 0.4
         """,
 
         "doc_fingerprints": r"""

@@ -123,7 +123,7 @@ def main() -> None:
         "tpch_q1_pricing_summary", "tpch_q3_top_orders", "region_revenue",
         "events_hourly", "event_sessions", "top_users_per_event_type",
         "doc_stats", "doc_exact_dups", "doc_lang_agg",
-        "ngram_jaccard_dups", "doc_fingerprints",
+        "ngram_jaccard_dups", "doc_fingerprints", "emb_cosine_dups",
         "emb_knn_bruteforce", "minhash_near_dups", "simhash_near_dups",
         "emb_knn_lsh", "doc_chunks", "near_dup_groups", "doc_confidence",
     ]

@@ -427,3 +427,66 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
             .where(jac >= threshold)
             .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard")))
+
+
+def embedding_cosine_pairs(embeddings: DataFrame, top_m: int = 4,
+                           threshold: float = 0.4,
+                           max_df: int = 200) -> DataFrame:
+    """Near-dup pairs by embedding cosine similarity.
+
+    Deterministic blocking, then exact verification (the dense-vector
+    analog of the reference ecosystem's embedding-dedup stage): each
+    vector's blocking keys are its ``top_m`` dimensions by |value|
+    (ties broken by index); candidates are pairs sharing >=1 key; exact
+    cosine (double precision) filters at ``threshold``. Output:
+    (vec_a, vec_b, cosine) with vec_a < vec_b.
+
+    100-TB notes: the blocking keys are computed with JVM array ops
+    (transform + array_sort with comparator - no window, no shuffle,
+    no UDF); the only shuffles are the dim-key equi-join (hot dims
+    dropped past ``max_df`` occurrences, the dense analog of the n-gram
+    document-frequency cap) and a distinct on candidate pairs; exact
+    cosine runs only on candidates, never all-pairs. Recall is governed
+    by top_m (the tuned-recall scale path is similarity.ann_topk_lsh's
+    multi-probe hyperplane LSH; this operator is the exact-verify twin
+    that an oracle can replicate).
+    """
+    structs = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.struct(F.abs(x).alias("a"), i.alias("i")))
+    ordered = F.array_sort(
+        structs,
+        lambda l, r: F.when(l["a"] > r["a"], F.lit(-1))
+                      .when(l["a"] < r["a"], F.lit(1))
+                      .otherwise(l["i"] - r["i"]))
+    keys = (embeddings
+            .select("vec_id",
+                    F.explode(F.slice(ordered, 1, top_m)).alias("k"))
+            .select("vec_id", F.col("k.i").alias("dim")))
+    hot = (keys.groupBy("dim")
+           .agg(F.count(F.lit(1)).alias("df"))
+           .where(F.col("df") > max_df)
+           .select("dim"))
+    kept = keys.join(hot, "dim", "left_anti")
+    cand = (kept.alias("a")
+            .join(kept.alias("b"), "dim")
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vecs = embeddings.select("vec_id", dbl.alias("emb"))
+    fold = lambda arr: F.aggregate(  # noqa: E731 - sequential double sum
+        arr, F.lit(0.0), lambda acc, x: acc + x)
+    dot = fold(F.zip_with(F.col("ea"), F.col("eb"),
+                          lambda x, y: x * y))
+    na = F.sqrt(fold(F.transform(F.col("ea"), lambda x: x * x)))
+    nb = F.sqrt(fold(F.transform(F.col("eb"), lambda x: x * x)))
+    cos = dot / (na * nb)
+    return (cand
+            .join(vecs.select(F.col("vec_id").alias("vec_a"),
+                              F.col("emb").alias("ea")), "vec_a")
+            .join(vecs.select(F.col("vec_id").alias("vec_b"),
+                              F.col("emb").alias("eb")), "vec_b")
+            .where(cos >= threshold)
+            .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")))

@@ -416,3 +416,31 @@ def test_doc_fingerprints_deterministic_and_discriminative(spark):
     tiny = spark.createDataFrame([(9, "hi")], "doc_id long, text string")
     row = textfns.doc_fingerprints(tiny).collect()[0]
     assert row["sketch"] == ""
+
+
+def test_embedding_cosine_planted_pair(spark):
+    """Two nearly-parallel vectors pair; an orthogonal one does not."""
+    from docling_spark import dedup
+    rows = [
+        (1, [1.0, 0.0, 2.0, 0.1]),
+        (2, [1.01, 0.02, 2.0, 0.1]),     # near-parallel to 1
+        (3, [0.0, 5.0, 0.0, -1.0]),      # orthogonal-ish
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["vec_a"], r["vec_b"]): r["cosine"]
+           for r in dedup.embedding_cosine_pairs(
+               df, top_m=2, threshold=0.95).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] > 0.99
+
+
+def test_embedding_cosine_hot_dim_cap(spark):
+    """A dimension dominant in EVERY vector is dropped by the df cap, so
+    it cannot create quadratic candidates (vectors differ elsewhere)."""
+    from docling_spark import dedup
+    rows = [(i, [10.0] + [0.001 * (i + d) for d in range(3)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_cosine_pairs(
+        df, top_m=1, threshold=0.0, max_df=5)
+    assert pairs.count() == 0

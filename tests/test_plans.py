@@ -72,3 +72,14 @@ def test_doc_fingerprints_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan
+
+
+def test_emb_cosine_dups_no_cartesian_no_udf(spark):
+    """Cosine dedup must block on dim keys (equi-join) and stay JVM-side:
+    no all-pairs product, no Python UDF stages, no window exchange for
+    the top-m key extraction (array_sort does it per-row)."""
+    plan = _plan(spark, "emb_cosine_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
