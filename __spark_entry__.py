@@ -311,6 +311,17 @@ def _q_emb_knn(spark, sf_dir):
             .select("query_id", "nbr_id", "rank"))
 
 
+def _q_emb_knn_ivf(spark, sf_dir):
+    """IVF-flat ANN (similarity.ivf_topk): seeded coarse centroids,
+    inverted-list assignment by nearest centroid, probe-limited exact
+    scoring. Oracle rebuilds the identical index in SQL."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return (similarity.ivf_topk(emb, queries_df, k=3,
+                                n_centroids=8, n_probe=2)
+            .select("query_id", "nbr_id", "rank"))
+
+
 # ---- non-SQL-expressible (rows-only check) --------------------------------
 
 def _q_extract_fixtures(spark, sf_dir):
@@ -629,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_dups": _q_emb_cosine_dups,
         "doc_fingerprints": _q_doc_fingerprints,
         "emb_knn_bruteforce": _q_emb_knn,
+        "emb_knn_ivf": _q_emb_knn_ivf,
         "near_dup_groups": _q_near_dup_groups,
         "doc_chunks": _q_doc_chunks,
         "doc_confidence": _q_doc_confidence,
@@ -1072,6 +1084,59 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(q.q_emb, e.embedding) AS cosine
                 FROM q, embeddings e
                 WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, nbr_id, rank FROM (
+                SELECT query_id, nbr_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, nbr_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+        # IVF-flat ANN twin: identical strided codebook (min vec_id per
+        # 8 even id-range buckets), identical nearest-centroid assignment
+        # (ties -> lower centroid), identical 2-probe search.
+        # similarity.ivf_topk mirror.
+        "emb_knn_ivf": """
+            WITH bounds AS (
+                SELECT min(vec_id) AS mn, max(vec_id) AS mx
+                FROM embeddings
+            ), seedid AS (
+                SELECT min(e.vec_id) AS sid
+                FROM embeddings e, bounds
+                GROUP BY floor((e.vec_id - mn) * 8
+                               / greatest(mx - mn + 1, 1))
+            ), cent AS (
+                SELECT row_number() OVER (ORDER BY s.sid) AS cnum,
+                       e.embedding AS cemb
+                FROM seedid s JOIN embeddings e ON e.vec_id = s.sid
+            ), asim AS (
+                SELECT e.vec_id, c.cnum,
+                       list_cosine_similarity(e.embedding, c.cemb) AS sim
+                FROM embeddings e CROSS JOIN cent c
+            ), assign AS (
+                SELECT vec_id, cnum AS list_id FROM (
+                    SELECT vec_id, cnum,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY sim DESC, cnum ASC) AS rn
+                    FROM asim) WHERE rn = 1
+            ), qprobe AS (
+                SELECT vec_id AS query_id, cnum AS list_id FROM (
+                    SELECT vec_id, cnum,
+                           row_number() OVER (
+                               PARTITION BY vec_id
+                               ORDER BY sim DESC, cnum ASC) AS rn
+                    FROM asim WHERE vec_id < 5) WHERE rn <= 2
+            ), scored AS (
+                SELECT q.query_id, a.vec_id AS nbr_id,
+                       list_cosine_similarity(qe.embedding,
+                                              e.embedding) AS cosine
+                FROM qprobe q
+                JOIN assign a ON a.list_id = q.list_id
+                JOIN embeddings e ON e.vec_id = a.vec_id
+                JOIN embeddings qe ON qe.vec_id = q.query_id
+                WHERE a.vec_id <> q.query_id
             )
             SELECT query_id, nbr_id, rank FROM (
                 SELECT query_id, nbr_id,

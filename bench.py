@@ -125,7 +125,8 @@ def main() -> None:
         "doc_stats", "doc_exact_dups", "doc_lang_agg",
         "ngram_jaccard_dups", "doc_fingerprints", "emb_cosine_dups",
         "emb_knn_bruteforce", "minhash_near_dups", "simhash_near_dups",
-        "emb_knn_lsh", "doc_chunks", "near_dup_groups", "doc_confidence",
+        "emb_knn_lsh", "emb_knn_ivf", "doc_chunks", "near_dup_groups",
+        "doc_confidence",
     ]
     for name in bench_queries:
         fn = qs[name]

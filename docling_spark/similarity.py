@@ -199,6 +199,97 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
                     "rank"))
 
 
+def seed_centroids(embeddings: DataFrame, n_centroids: int = 8,
+                   col="embedding") -> list:
+    """Deterministic IVF coarse quantizer: stride the ``vec_id`` range
+    into ``n_centroids`` even buckets and seed with the smallest-id
+    vector of each bucket, L2-normalized.
+
+    A production IVF index would train these with k-means over a sample;
+    strided seeding keeps the codebook spread across the corpus (a
+    prefix-of-ids seed degenerates when ids correlate with content),
+    reproducible, AND SQL-expressible so the DuckDB oracle can rebuild
+    the identical inverted lists. Cost: one min/max agg + one K-row
+    groupBy + one K-row fetch - the codebook is driver state by
+    construction (like the LSH hyperplanes) and is broadcast into
+    literal expressions, never shuffled."""
+    mn, mx = embeddings.agg(F.min("vec_id"), F.max("vec_id")).first()
+    span = max(int(mx) - int(mn) + 1, 1)
+    bucket = F.floor((F.col("vec_id") - F.lit(int(mn)))
+                     * n_centroids / span)
+    seed_ids = [r[0] for r in embeddings
+                .groupBy(bucket.alias("b"))
+                .agg(F.min("vec_id").alias("sid"))
+                .select("sid").collect()]
+    rows = (embeddings.where(F.col("vec_id").isin(seed_ids))
+            .select("vec_id", col).orderBy("vec_id").collect())
+    cents = []
+    for r in rows:
+        v = [float(x) for x in r[col]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
+def _centroid_sims(cents: list, col):
+    """sims[i] = cosine(col, centroid_i) as one JVM array expression
+    (``col`` must already be L2-normalized)."""
+    lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    return F.transform(lit, lambda c: _dot(col, c))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame,
+             k: int = 5, n_centroids: int = 8, n_probe: int = 2) -> DataFrame:
+    """IVF-flat approximate top-k (the centroid-bucketed scale path,
+    complementing ``cosine_topk_lsh``).
+
+    Index: every corpus vector is assigned to its nearest centroid
+    (``seed_centroids``) - one scan, pure JVM array algebra, no shuffle.
+    Search: each query probes its ``n_probe`` nearest inverted lists;
+    exact cosine runs only on vectors in probed lists. Recall/latency
+    trade via (n_centroids, n_probe) exactly as in FAISS-style IVF-flat.
+
+    100-TB notes: the corpus never shuffles on data size - the only join
+    is corpus ⋈ broadcast(query probes) on ``list_id`` (int equi-join),
+    so each task streams its partition once and emits only probed-list
+    matches. At scale the inverted lists would be written bucketed-by
+    ``list_id`` so repeated query batches prune files instead of
+    rescanning (partition pruning on the list column); assignment cost is
+    K dot products per row, all inside whole-stage codegen. Ties are
+    broken by centroid id then neighbor id, so output is deterministic.
+    """
+    cents = seed_centroids(embeddings, n_centroids)
+    corpus = with_normalized(embeddings).select(
+        F.col("vec_id").alias("nbr_id"), F.col("norm_emb").alias("nbr_emb"))
+    # argmax over centroid sims: max of (sim, -index) structs -> smallest
+    # index wins ties
+    sims = _centroid_sims(cents, F.col("nbr_emb"))
+    best = F.array_max(F.transform(
+        sims, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"))))
+    corpus = corpus.withColumn("list_id", -best["ni"])
+    qs = with_normalized(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("norm_emb").alias("q_emb"))
+    qsims = _centroid_sims(cents, F.col("q_emb"))
+    ordered = F.array_sort(
+        F.transform(qsims, lambda s, i: F.struct(s.alias("s"),
+                                                 i.alias("i"))),
+        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
+                      .when(l["s"] < r["s"], F.lit(1))
+                      .otherwise(l["i"] - r["i"]))
+    probes = F.transform(F.slice(ordered, 1, n_probe), lambda x: x["i"])
+    qp = qs.select("query_id", "q_emb",
+                   F.explode(probes).alias("list_id"))
+    scored = (corpus.join(F.broadcast(qp), "list_id")
+              .where(F.col("nbr_id") != F.col("query_id"))
+              .withColumn("cosine", _dot(F.col("q_emb"), F.col("nbr_emb"))))
+    w = (Window.partitionBy("query_id")
+         .orderBy(F.desc("cosine"), F.asc("nbr_id")))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "nbr_id",
+                    F.round("cosine", 6).alias("cosine"), "rank"))
+
+
 def embedding_dedup(embeddings: DataFrame, dim: int,
                     threshold: float = 0.95, n_planes: int = 10,
                     seed: int = 7) -> DataFrame:

@@ -288,6 +288,45 @@ def test_lsh_multi_table_recall_on_random_data(spark, emb):
     assert recall_many >= recall_few
 
 
+def test_ivf_recall_clustered_data(spark):
+    """IVF-flat on clustered embeddings: with 8 seeded centroids and
+    2-probe search, recall vs brute-force top-k is >=0.9 while each
+    query scans only its probed inverted lists (~2/8 of the corpus)."""
+    import math
+    import random
+    rng = random.Random(23)
+    dim = 32
+    rows = []
+    vid = 0
+    for c in range(8):  # 8 clusters x 25 members
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        nb = math.sqrt(sum(x * x for x in base))
+        base = [x / nb for x in base]
+        for _ in range(25):
+            v = [b + rng.gauss(0, 0.05) for b in base]
+            rows.append((vid, v))
+            vid += 1
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb2.where(F.col("vec_id") % 25 == 3)
+    bf = similarity.cosine_topk_bruteforce(emb2, queries, k=3)
+    ivf = similarity.ivf_topk(emb2, queries, k=3, n_centroids=8, n_probe=2)
+    bf_set = {(r["query_id"], r["nbr_id"]) for r in bf.collect()}
+    got = {(r["query_id"], r["nbr_id"]) for r in ivf.collect()}
+    recall = len(bf_set & got) / len(bf_set)
+    assert recall >= 0.9, f"IVF clustered recall {recall}"
+
+
+def test_ivf_deterministic_and_bounded_lists(spark, emb):
+    """Same input -> identical IVF results across runs; every corpus
+    vector lands in exactly one inverted list (no candidate duplication)."""
+    queries = emb.where(F.col("vec_id") < 5)
+    a = similarity.ivf_topk(emb, queries, k=3).collect()
+    b = similarity.ivf_topk(emb, queries, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    pairs = [(r["query_id"], r["nbr_id"]) for r in a]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_confidence_matches_numpy(spark):
     import numpy as np
     from docling_spark import confidence

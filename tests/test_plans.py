@@ -74,6 +74,17 @@ def test_doc_fingerprints_stays_jvm_side(spark):
     assert "mapInPandas" not in plan
 
 
+def test_emb_knn_ivf_broadcast_probes_no_cartesian(spark):
+    """IVF search joins the corpus to BROADCAST query probes on the
+    list_id equi-key: the corpus side never shuffles on data size and
+    no all-pairs product appears; assignment is JVM array algebra."""
+    plan = _plan(spark, "emb_knn_ivf")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_emb_cosine_dups_no_cartesian_no_udf(spark):
     """Cosine dedup must block on dim keys (equi-join) and stay JVM-side:
     no all-pairs product, no Python UDF stages, no window exchange for
