@@ -92,19 +92,16 @@ class Element:
         return self.children
 
     def descendants(self) -> Iterator[NodeLike]:
-        # iterative DFS - this is the hottest path in extraction
-        stack = [iter(self.children)]
+        # iterative pre-order DFS over an explicit LIFO - this is the
+        # hottest path in extraction (trees hold only Element/TextNode,
+        # so the cheap class-identity test stands in for isinstance)
+        stack = self.children[::-1]
+        pop = stack.pop
         while stack:
-            it = stack[-1]
-            advanced = False
-            for child in it:
-                yield child
-                if isinstance(child, Element) and child.children:
-                    stack.append(iter(child.children))
-                    advanced = True
-                    break
-            if not advanced:
-                stack.pop()
+            node = pop()
+            yield node
+            if node.__class__ is not TextNode and node.children:
+                stack.extend(node.children[::-1])
 
     def iter_elements(self) -> Iterator["Element"]:
         for node in self.descendants():
@@ -122,10 +119,22 @@ class Element:
         elif names is not None:
             names = set(names)
         out: list[Element] = []
-        pool: Iterable[NodeLike]
-        pool = self.descendants() if recursive else list(self.children)
-        for node in pool:
-            if not isinstance(node, Element):
+        if recursive:
+            # fused pre-order DFS (no generator frame per node)
+            stack = self.children[::-1]
+            pop = stack.pop
+            while stack:
+                node = pop()
+                if node.__class__ is TextNode:
+                    continue
+                if ((names is None or node.name in names)
+                        and (pred is None or pred(node))):
+                    out.append(node)
+                if node.children:
+                    stack.extend(node.children[::-1])
+            return out
+        for node in self.children:
+            if node.__class__ is TextNode:
                 continue
             if names is not None and node.name not in names:
                 continue
