@@ -238,27 +238,34 @@ class HtmlExtractor:
             doc.add_title(text=clean_unicode(title_text), orig=title_text,
                           content_layer=FURNITURE)
 
-        # strip boilerplate
-        for el in dom.find_all(["script", "noscript", "style"]):
-            el.decompose()
-        for el in dom.find_all(pred=lambda e: e.has_attr("hidden")):
+        # strip boilerplate - one walk for both removal classes (removal
+        # is idempotent detachment, so nesting between the two classes
+        # lands identically to two sequential walks)
+        boiler = {"script", "noscript", "style"}
+        for el in dom.find_all(
+                pred=lambda e: e.name in boiler or "hidden" in e.attrs):
             el.decompose()
 
         self._fix_invalid_paragraph_structure(dom)
 
         content = dom.body or dom
 
-        # <br> normalization via sentinel
-        for tn in list(content.text_nodes()):
-            if BR_SENTINEL in tn.data:
-                tn.data = tn.data.replace(BR_SENTINEL, "")
-        for br in content.find_all("br"):
+        # <br> normalization via sentinel - one walk collecting both the
+        # sentinel-bearing text nodes and the <br> elements
+        brs = []
+        for node in content.descendants():
+            if node.__class__ is TextNode:
+                if not node.is_comment and BR_SENTINEL in node.data:
+                    node.data = node.data.replace(BR_SENTINEL, "")
+            elif node.name == "br":
+                brs.append(node)
+        for br in brs:
             br.replace_with(TextNode(BR_SENTINEL))
 
-        # furniture before first non-table heading
+        # furniture before first non-table heading (early-break scan)
         header = None
-        for h in content.find_all(list(_HEADING_NAMES)):
-            if h.find_parent("table") is None:
+        for h in content.iter_elements():
+            if h.name in _HEADING_NAMES and h.find_parent("table") is None:
                 header = h
                 break
         self.content_layer = (
@@ -339,6 +346,8 @@ class HtmlExtractor:
         return False
 
     def _is_suppressed_tag(self, tag: Element) -> bool:
+        if not tag.attrs:
+            return False
         if tag.has_attr("hidden"):
             return True
         aria_hidden = tag.get("aria-hidden")
@@ -575,15 +584,14 @@ class HtmlExtractor:
             self.hyperlink = old
 
     def _collect_parent_format_tags(self, item) -> list[str]:
-        tags = []
-        for fmt in FORMAT_TAG_MAP:
-            anc = item.parent
-            while anc is not None:
-                if anc.name == fmt:
-                    tags.append(fmt)
-                    break
-                anc = anc.parent
-        return tags
+        # one ancestor walk, then FORMAT_TAG_MAP iteration order (the
+        # per-format walk was O(formats x depth))
+        anc_names = set()
+        anc = item.parent
+        while anc is not None:
+            anc_names.add(anc.name)
+            anc = anc.parent
+        return [fmt for fmt in FORMAT_TAG_MAP if fmt in anc_names]
 
     def _extract_annotated(
         self,
@@ -617,14 +625,16 @@ class HtmlExtractor:
             if keep_newlines:
                 text = item.data.strip()
             else:
-                text = item.data.replace("\n", " ").replace("\r", " ")
-                text = " ".join(text.split())
-            code = any(ct in self.format_tags for ct in CODE_TAGS)
+                # join(split()) collapses ALL whitespace runs (incl \n\r)
+                # to single spaces
+                text = " ".join(item.data.split())
             if text:
+                code = any(ct in self.format_tags for ct in CODE_TAGS)
                 return AnnotatedTextList([
                     AnnotatedText(text, self.hyperlink, self._formatting, code)
                 ])
             if keep_newlines and item.data.strip("\n\r") == "":
+                code = any(ct in self.format_tags for ct in CODE_TAGS)
                 return AnnotatedTextList([
                     AnnotatedText("\n", self.hyperlink, self._formatting, code)
                 ])
@@ -1011,13 +1021,25 @@ class HtmlExtractor:
                                 added_refs.append(item.self_ref)
                     if inline_ref is not None:
                         added_refs.append(inline_ref)
-            for img_tag in tag.find_all("img"):
+            # one subtree walk classifying into the three emit groups
+            # (same grouped document-order processing as three find_alls)
+            imgs: list = []
+            inputs: list = []
+            cbs: list = []
+            for el in tag.find_all():
+                if el.name == "img":
+                    imgs.append(el)
+                if el.name == "input":
+                    inputs.append(el)
+                if self._is_custom_checkbox_tag(el):
+                    cbs.append(el)
+            for img_tag in imgs:
                 self._emit_image(img_tag)
-            for input_tag in tag.find_all("input"):
+            for input_tag in inputs:
                 ref = self._emit_input(input_tag)
                 if ref is not None:
                     added_refs.append(ref)
-            for cb in tag.find_all(pred=self._is_custom_checkbox_tag):
+            for cb in cbs:
                 ref = self._emit_custom_checkbox(cb)
                 if ref is not None:
                     added_refs.append(ref)
