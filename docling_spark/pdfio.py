@@ -73,11 +73,14 @@ _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 class Lexer:
     """Tokenizer over a bytes buffer; also used for content streams."""
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "refs")
 
-    def __init__(self, data: bytes, pos: int = 0):
+    def __init__(self, data: bytes, pos: int = 0, refs: bool = True):
+        # refs=False for content streams: they cannot contain indirect
+        # references, so integer tokens skip the "INT INT R" lookahead
         self.data = data
         self.pos = pos
+        self.refs = refs
 
     def skip_ws(self):
         d, i, n = self.data, self.pos, len(self.data)
@@ -143,7 +146,7 @@ class Lexer:
         m = _NUM_RE.fullmatch(tok)
         if m:
             # possible indirect reference: INT INT R
-            if b"." not in tok and tok[:1] != b"-":
+            if self.refs and b"." not in tok and tok[:1] != b"-":
                 save = self.pos
                 self.skip_ws()
                 tok2 = self.read_token()

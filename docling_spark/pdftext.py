@@ -620,7 +620,7 @@ class PdfTextExtractor:
     def _run(self, content: bytes, resources: dict, base_ctm,
              glyphs: list, depth: int, images: list | None = None):
         r = self.doc.resolve
-        lex = Lexer(content, 0)
+        lex = Lexer(content, 0, refs=False)
         stack: list = []
         ctm = base_ctm
         gstack: list = []
@@ -641,8 +641,18 @@ class PdfTextExtractor:
             if lex.pos >= n:
                 break
             c = content[lex.pos]
-            if (c in b"/([<" or c == 0x5B
-                    or (0x30 <= c <= 0x39) or c in (0x2B, 0x2D, 0x2E)):
+            if (0x30 <= c <= 0x39) or c in (0x2B, 0x2D, 0x2E):
+                # number fast path: content streams never hold indirect
+                # refs, so skip read_object's regex + "INT INT R"
+                # lookahead (the hottest token class by far)
+                tok = lex.read_token()
+                try:
+                    stack.append(float(tok) if b"." in tok
+                                 else int(tok))
+                except ValueError:
+                    stack.append(tok)  # malformed numeric-ish keyword
+                continue
+            if c in b"/([<" or c == 0x5B:
                 try:
                     stack.append(lex.read_object())
                 except PdfError:
