@@ -311,6 +311,20 @@ def _q_emb_knn(spark, sf_dir):
             .select("query_id", "nbr_id", "rank"))
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality gate flags (textfns.gopher_quality_flags)."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.gopher_quality_flags(docs)
+
+
+def _q_dup_passages(spark, sf_dir):
+    """Cross-document duplicated-passage profile
+    (textfns.duplicated_passage_stats): 20-word disjoint passages,
+    'duplicated' = exact text in >=2 distinct docs."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.duplicated_passage_stats(docs, block_words=20)
+
+
 def _q_emb_knn_ivf(spark, sf_dir):
     """IVF-flat ANN (similarity.ivf_topk): seeded coarse centroids,
     inverted-list assignment by nearest centroid, probe-limited exact
@@ -641,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "emb_knn_bruteforce": _q_emb_knn,
         "emb_knn_ivf": _q_emb_knn_ivf,
+        "gopher_quality": _q_gopher_quality,
+        "dup_passages": _q_dup_passages,
         "near_dup_groups": _q_near_dup_groups,
         "doc_chunks": _q_doc_chunks,
         "doc_confidence": _q_doc_confidence,
@@ -1092,6 +1108,78 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cosine DESC, nbr_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        # Gopher quality-gate twin (textfns.gopher_quality_flags): same
+        # word splits, same inclusive bounds, same stopword-distinct rule
+        "gopher_quality": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w,
+                       regexp_split_to_array(lower(text),
+                                             '[^0-9a-z_]+') AS lw,
+                       length(regexp_replace(text, '\s+', '', 'g'))
+                           AS n_nonws,
+                       length(text) - length(
+                           regexp_replace(text, '[#…]', '', 'g')) AS n_sym
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       n_nonws / greatest(len(w), 1) AS mean_wl,
+                       len(list_filter(w,
+                           x -> regexp_matches(x, '[a-zA-Z]')))
+                           / CAST(greatest(len(w), 1) AS DOUBLE)
+                           AS alpha_frac,
+                       n_sym / CAST(greatest(len(w), 1) AS DOUBLE)
+                           AS sym_ratio,
+                       len(list_filter(
+                           ['the','be','to','of','and','that','have',
+                            'with'],
+                           s -> list_contains(lw, s))) AS n_stops
+                FROM base
+            )
+            SELECT doc_id, n_words,
+                   n_words BETWEEN 50 AND 100000 AS words_ok,
+                   mean_wl BETWEEN 3.0 AND 10.0 AS word_len_ok,
+                   sym_ratio <= 0.1 AS symbol_ok,
+                   alpha_frac >= 0.8 AS alpha_ok,
+                   n_stops >= 2 AS stop_ok,
+                   (n_words BETWEEN 50 AND 100000)
+                       AND (mean_wl BETWEEN 3.0 AND 10.0)
+                       AND (sym_ratio <= 0.1)
+                       AND (alpha_frac >= 0.8)
+                       AND (n_stops >= 2) AS pass_gopher
+            FROM m
+        """,
+        # duplicated-passage twin (textfns.duplicated_passage_stats):
+        # identical disjoint 20-word blocks, df = distinct docs per exact
+        # block text, dup = df >= 2
+        "dup_passages": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+            ), blk AS (
+                SELECT doc_id,
+                       array_to_string(
+                           list_slice(w, i*20+1, i*20+20), ' ') AS block
+                FROM words,
+                     UNNEST(range(greatest(
+                         CAST(ceil(len(w)/20.0) AS BIGINT), 1))) AS t(i)
+            ), dfc AS (
+                SELECT block, count(DISTINCT doc_id) AS df
+                FROM blk GROUP BY block
+            ), per AS (
+                SELECT b.doc_id, count(*) AS n_blocks,
+                       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dup_blocks
+                FROM blk b JOIN dfc d USING (block)
+                GROUP BY b.doc_id
+            )
+            SELECT doc_id, n_blocks, n_dup_blocks,
+                   round(n_dup_blocks / greatest(n_blocks, 1), 4)
+                       AS dup_ratio
+            FROM per
         """,
         # IVF-flat ANN twin: identical strided codebook (min vec_id per
         # 8 even id-range buckets), identical nearest-centroid assignment

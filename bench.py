@@ -126,7 +126,7 @@ def main() -> None:
         "ngram_jaccard_dups", "doc_fingerprints", "emb_cosine_dups",
         "emb_knn_bruteforce", "minhash_near_dups", "simhash_near_dups",
         "emb_knn_lsh", "emb_knn_ivf", "doc_chunks", "near_dup_groups",
-        "doc_confidence",
+        "doc_confidence", "gopher_quality", "dup_passages",
     ]
     for name in bench_queries:
         fn = qs[name]

@@ -128,6 +128,112 @@ def doc_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+
+# Gopher's English-presence stopword list (Rae et al. 2021, "quality
+# filtering" appendix): a doc must contain >=2 distinct entries.
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(documents: DataFrame,
+                         min_words: int = 50,
+                         max_words: int = 100_000) -> DataFrame:
+    """Gopher-style repetition/quality gate as pure column algebra.
+
+    Per-document booleans for the deterministic subset of the Gopher
+    rules (line-shape rules need newline structure the corpus may lack):
+
+    - ``words_ok``: whitespace word count in [min_words, max_words]
+    - ``word_len_ok``: mean word length in [3, 10]
+    - ``symbol_ok``: (# + ellipsis) to word ratio <= 0.1
+    - ``alpha_ok``: >=80% of words contain an alphabetic char
+    - ``stop_ok``: >=2 distinct entries of the Gopher stopword list
+    - ``pass_gopher``: all of the above
+
+    One projection, no shuffle, no UDF - the filter pushes down to the
+    scan when used as a WHERE clause at 100 TB.
+    """
+    words = _word_list("text")
+    n_words = F.size(words)
+    mean_wl = (F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+               / F.greatest(n_words, F.lit(1)))
+    n_symbols = (F.length(F.col("text"))
+                 - F.length(F.regexp_replace(F.col("text"),
+                                             r"[#…]", "")))
+    alpha_frac = (F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+                  / F.greatest(n_words, F.lit(1)))
+    lowered = _word_tokens("text")
+    n_stops = F.size(F.array_intersect(
+        F.array_distinct(lowered),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    words_ok = n_words.between(min_words, max_words)
+    word_len_ok = mean_wl.between(3.0, 10.0)
+    symbol_ok = (n_symbols / F.greatest(n_words, F.lit(1))) <= 0.1
+    alpha_ok = alpha_frac >= 0.8
+    stop_ok = n_stops >= 2
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        words_ok.alias("words_ok"),
+        word_len_ok.alias("word_len_ok"),
+        symbol_ok.alias("symbol_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & word_len_ok & symbol_ok & alpha_ok & stop_ok)
+        .alias("pass_gopher"))
+
+
+def _word_list(col="text") -> Column:
+    """Whitespace-split word array of the trimmed text (no lowering)."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def passage_blocks(documents: DataFrame, block_words: int = 20) -> DataFrame:
+    """Explode each document into disjoint ``block_words``-word passages
+    (doc_id, block_i, block). The passage is the dedup unit for
+    cross-document repeated-span removal (CCNet/RefinedWeb-style
+    paragraph dedup, adapted to newline-free corpora)."""
+    words = _word_list("text")
+    nblocks = F.ceil(F.size(words) / F.lit(block_words)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(nblocks, F.lit(1)) - 1)
+    blocks = F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(words, i * block_words + 1, block_words), " "))
+    return documents.select(
+        "doc_id", F.posexplode(blocks).alias("block_i", "block"))
+
+
+def duplicated_passage_stats(documents: DataFrame,
+                             block_words: int = 20,
+                             min_docs: int = 2) -> DataFrame:
+    """Per-document duplicated-passage profile.
+
+    A passage is 'duplicated' when its exact text occurs in
+    >= ``min_docs`` DISTINCT documents. Output: (doc_id, n_blocks,
+    n_dup_blocks, dup_ratio).
+
+    100-TB shape: one explode (~n_words/block_words rows), one
+    hash-groupBy on the md5 key (uniform by construction), one equi-join
+    back, one per-doc aggregate. The countDistinct is exact to stay
+    oracle-checkable; at fleet scale swap for approx_count_distinct or a
+    (h, doc_id) dedup + count, which bounds the hot-key state the same
+    way the LSH paths cap hot buckets.
+    """
+    b = passage_blocks(documents, block_words).withColumn(
+        "h", F.md5("block"))
+    df_counts = (b.groupBy("h")
+                 .agg(F.countDistinct("doc_id").alias("df")))
+    per_doc = (b.join(df_counts, "h")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum(F.when(F.col("df") >= min_docs, 1)
+                          .otherwise(0)).alias("n_dup_blocks")))
+    return per_doc.select(
+        "doc_id", "n_blocks", "n_dup_blocks",
+        F.round(F.col("n_dup_blocks") / F.greatest("n_blocks", F.lit(1)),
+                4).alias("dup_ratio"))
+
+
 def doc_fingerprints(documents, window: int = 8, stride: int = 4,
                      k: int = 8):
     """Rolling-hash document fingerprint sketch (winnowing-style).

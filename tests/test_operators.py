@@ -288,6 +288,44 @@ def test_lsh_multi_table_recall_on_random_data(spark, emb):
     assert recall_many >= recall_few
 
 
+def test_gopher_flags_hand_vectors(spark):
+    """Hand-checked Gopher gate rows: a clean 60-word English doc passes;
+    too-short, symbol-heavy, and non-alpha docs fail the right flag."""
+    good = ("the quick brown fox jumps over the lazy dog and that was "
+            "fine to see because many good words have come along with "
+            "more plain text that reads well and keeps going on in a "
+            "steady stream of normal english prose until the end of "
+            "the line where it stops after enough words have been said "
+            "here now") * 1
+    rows = [(1, good), (2, "too short"),
+            (3, " ".join(["####"] * 60)),
+            (4, " ".join(["12345"] * 60))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textfns.gopher_quality_flags(df).collect()}
+    assert out[1]["pass_gopher"]
+    assert not out[2]["words_ok"]
+    assert not out[3]["alpha_ok"] and not out[3]["stop_ok"]
+    assert not out[4]["alpha_ok"]
+
+
+def test_duplicated_passages_planted(spark):
+    """A 20-word passage planted into 3 docs is flagged in all three;
+    unique passages are not."""
+    shared = " ".join(f"tok{i}" for i in range(20))
+    rows = [(1, shared + " " + " ".join(f"a{i}" for i in range(20))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(20))),
+            (3, shared + " " + " ".join(f"c{i}" for i in range(20))),
+            (4, " ".join(f"d{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textfns.duplicated_passage_stats(df).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["n_blocks"] == 2 and out[d]["n_dup_blocks"] == 1, out[d]
+        assert out[d]["dup_ratio"] == 0.5
+    assert out[4]["n_dup_blocks"] == 0
+
+
 def test_ivf_recall_clustered_data(spark):
     """IVF-flat on clustered embeddings: with 8 seeded centroids and
     2-probe search, recall vs brute-force top-k is >=0.9 while each

@@ -74,6 +74,22 @@ def test_doc_fingerprints_stays_jvm_side(spark):
     assert "mapInPandas" not in plan
 
 
+def test_gopher_quality_single_projection(spark):
+    """The Gopher gate is one scan-side projection: no shuffle (Exchange),
+    no Python UDF, scan pruned to (doc_id, text)."""
+    plan = _plan(spark, "gopher_quality")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_passages_no_cartesian_no_udf(spark):
+    """Passage dedup: explode + hash-groupBy + equi-join, all JVM-side."""
+    plan = _plan(spark, "dup_passages")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_emb_knn_ivf_broadcast_probes_no_cartesian(spark):
     """IVF search joins the corpus to BROADCAST query probes on the
     list_id equi-key: the corpus side never shuffles on data size and
