@@ -258,6 +258,30 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
         yield pd.DataFrame(out)
 
 
+def load_pages(spark, source: str, fmt: str = "auto") -> DataFrame:
+    """Resolve the pages input (north rule: an Iceberg table of
+    Common-Crawl-style pages) to a DataFrame.
+
+    - ``fmt="table"`` or a catalog-style identifier (no path separator):
+      ``spark.read.table`` - the Iceberg path when the session's catalog
+      is configured (iceberg tables are read through their catalog name,
+      which also enables snapshot/partition pruning);
+    - ``fmt="iceberg"``: ``spark.read.format("iceberg").load`` for
+      direct path-based Iceberg access (needs the iceberg-spark runtime
+      on the cluster classpath);
+    - otherwise: a parquet directory (the sandbox testdata layout).
+
+    Either way the result is lazily scanned - column pruning down to
+    (url, html) and filter pushdown happen at the source.
+    """
+    if fmt == "table" or (fmt == "auto" and "/" not in source
+                          and "\\" not in source):
+        return spark.read.table(source)
+    if fmt == "iceberg":
+        return spark.read.format("iceberg").load(source)
+    return spark.read.parquet(source)
+
+
 def partition_pages(
     pages: DataFrame,
     num_partitions: Optional[int] = None,

@@ -26,7 +26,12 @@ import time
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True,
-                    help="pages table path (parquet/iceberg dir)")
+                    help="pages input: catalog table name (iceberg) or "
+                         "parquet/iceberg path")
+    ap.add_argument("--input-format", default="auto",
+                    choices=["auto", "table", "iceberg", "parquet"],
+                    help="how to resolve --input (auto: catalog table "
+                         "when the value has no path separator)")
     ap.add_argument("--output", required=True, help="run output directory")
     ap.add_argument("--buckets", type=int, default=256,
                     help="url-hash commit buckets (resume granularity)")
@@ -63,7 +68,7 @@ def main() -> int:
                 zf.write(py, f"docling_spark/{py.name}")
         spark.sparkContext.addPyFile(str(z))
 
-    pages = spark.read.parquet(args.input)
+    pages = engine.load_pages(spark, args.input, fmt=args.input_format)
     t0 = time.time()
     ck = engine.CheckpointedExtraction(
         spark, args.output, num_buckets=args.buckets,

@@ -171,3 +171,18 @@ def test_extract_pages_with_doctags_column(spark):
     # default schema unchanged
     cols = engine.extract_pages(df, repartition=False).columns
     assert "doctags" not in cols
+
+
+def test_load_pages_resolves_table_and_parquet(spark, tmp_path):
+    """load_pages: a catalog-style identifier goes through
+    spark.read.table (the Iceberg route), a path reads parquet."""
+    rows = [("https://x/a.html", b"<p>hi</p>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    df.createOrReplaceTempView("pages_tbl")
+    via_table = engine.load_pages(spark, "pages_tbl")
+    assert via_table.count() == 1
+    p = str(tmp_path / "pages_pq")
+    df.write.parquet(p)
+    via_path = engine.load_pages(spark, p)
+    assert via_path.count() == 1
+    assert set(via_path.columns) == {"url", "html"}
