@@ -213,19 +213,21 @@ def seed_centroids(embeddings: DataFrame, n_centroids: int = 8,
     groupBy + one K-row fetch - the codebook is driver state by
     construction (like the LSH hyperplanes) and is broadcast into
     literal expressions, never shuffled."""
-    mn, mx = embeddings.agg(F.min("vec_id"), F.max("vec_id")).first()
-    span = max(int(mx) - int(mn) + 1, 1)
-    bucket = F.floor((F.col("vec_id") - F.lit(int(mn)))
-                     * n_centroids / span)
-    seed_ids = [r[0] for r in embeddings
-                .groupBy(bucket.alias("b"))
-                .agg(F.min("vec_id").alias("sid"))
-                .select("sid").collect()]
-    rows = (embeddings.where(F.col("vec_id").isin(seed_ids))
-            .select("vec_id", col).orderBy("vec_id").collect())
+    bounds = embeddings.agg(F.min("vec_id").alias("mn"),
+                            F.max("vec_id").alias("mx"))
+    bucket = F.floor(
+        (F.col("vec_id") - F.col("mn")) * n_centroids
+        / F.greatest(F.col("mx") - F.col("mn") + 1, F.lit(1)))
+    # single action: broadcast 1-row bounds, min_by picks the smallest-id
+    # vector per bucket in the same aggregate
+    rows = (embeddings.crossJoin(F.broadcast(bounds))
+            .groupBy(bucket.alias("b"))
+            .agg(F.min("vec_id").alias("sid"),
+                 F.min_by(col, "vec_id").alias("emb"))
+            .orderBy("sid").collect())
     cents = []
     for r in rows:
-        v = [float(x) for x in r[col]]
+        v = [float(x) for x in r["emb"]]
         n = math.sqrt(sum(x * x for x in v)) or 1.0
         cents.append([x / n for x in v])
     return cents
