@@ -540,22 +540,31 @@ def _q_pdf_text_cells(spark, sf_dir):
 
 
 def _q_minhash_near_dups(spark, sf_dir):
-    docs = _load(spark, sf_dir, "documents").limit(500)
+    # doc_id predicate, not a bare limit: the subset must be
+    # deterministic across executions (and match the oracle's WHERE)
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     # plant near-duplicates: append a tail to a copy of each 25th doc
     clones = (docs.where(F.col("doc_id") % 25 == 0)
               .withColumn("doc_id", F.col("doc_id") + 1_000_000)
               .withColumn("text", F.concat("text", F.lit(" trailing tail"))))
+    # hash_mode="md5": the oracle-replicable hash family - DuckDB
+    # rebuilds the identical signatures/bands, turning the former
+    # rows-only check into an exact value-level oracle (production
+    # default stays xxhash64; the banding/verify pipeline is shared).
     return (dedup.near_duplicates(docs.unionByName(clones),
-                                  k=5, num_hashes=32, bands=8, threshold=0.5)
+                                  k=5, num_hashes=32, bands=8,
+                                  threshold=0.5, hash_mode="md5")
             .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
 
 
 def _q_simhash_dups(spark, sf_dir):
-    docs = _load(spark, sf_dir, "documents").limit(300)
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     clones = (docs.where(F.col("doc_id") % 50 == 0)
               .withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    # md5 hash family: DuckDB rebuilds identical simhashes (exact
+    # value-level oracle instead of the former rows-only check)
     return dedup.simhash_near_duplicates(docs.unionByName(clones),
-                                         max_hamming=3)
+                                         max_hamming=3, hash_mode="md5")
 
 
 def _q_lang_quality(spark, sf_dir):
@@ -682,6 +691,135 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout_stages": _q_pdf_layout_stages,
         "media_features": _q_media_features,
     }
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                        k: int = 5, threshold: float = 0.5) -> str:
+    """DuckDB twin of ``_q_minhash_near_dups`` (hash_mode="md5").
+
+    The hash family is md5-60bit: CAST('0x' || substr(md5(seed || \\x01
+    || shingle), 1, 15) AS BIGINT) == Spark conv(substring(md5(...)))
+    (verified value-equal). Seeds and band slicing mirror
+    ``dedup.minhash_signatures`` / ``minhash_banded`` exactly.
+    """
+    rpb = num_hashes // bands
+    h = ("CAST(CONCAT('0x', substr(md5(CONCAT('{s}', chr(1), shingle)),"
+         " 1, 15)) AS BIGINT)")
+    mins = ",\n                   ".join(
+        f"min({h.format(s=s)}) AS h{s}" for s in range(num_hashes))
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"h{b * rpb + j}" for j in range(rpb))
+        + ") AS bucket FROM sig"
+        for b in range(bands))
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 500
+        ), corpus AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   text || ' trailing tail' AS text
+            FROM base WHERE doc_id % 25 = 0
+        ), norm AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       lower(regexp_replace(trim(text), '\\s+', ' ',
+                                            'g')), '\\s+') AS w
+            FROM corpus
+        ), sh AS (
+            SELECT DISTINCT doc_id, s AS shingle FROM (
+                SELECT doc_id,
+                       array_to_string(
+                           list_slice(w, i+1, i+{k}), ' ') AS s
+                FROM norm,
+                     UNNEST(range(greatest(len(w)-{k}, 0)+1)) AS t(i)
+            ) WHERE length(s) > 0
+        ), sig AS (
+            SELECT doc_id,
+                   {mins}
+            FROM sh GROUP BY doc_id
+        ), banded AS (
+            {band_selects}
+        ), cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM banded l
+            JOIN banded r ON l.band = r.band AND l.bucket = r.bucket
+                         AND l.doc_id < r.doc_id
+        ), inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS inter_size
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(inter_size / (sa.n + sb.n - inter_size), 4)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE inter_size / (sa.n + sb.n - inter_size) >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(bits: int = 64, max_hamming: int = 3) -> str:
+    """DuckDB twin of ``_q_simhash_dups`` (hash_mode="md5"): identical
+    per-token md5-60bit hashes, 63 sign-bit votes, 4 x 16-bit band
+    blocking, bit_count hamming verify."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 != 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits - 1))
+    sig_expr = "\n                 + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits - 1))
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 300
+        ), corpus AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text
+            FROM base WHERE doc_id % 50 = 0
+        ), toks AS (
+            SELECT doc_id, tok FROM (
+                SELECT doc_id,
+                       UNNEST(regexp_split_to_array(
+                           lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                'g')), '\\s+')) AS tok
+                FROM corpus) WHERE tok <> ''
+        ), hs AS (
+            SELECT doc_id,
+                   CAST(CONCAT('0x', substr(md5(CONCAT(chr(1), tok)),
+                                            1, 15)) AS BIGINT) AS h
+            FROM toks
+        ), agg AS (
+            SELECT doc_id,
+                   {votes}
+            FROM hs GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id,
+                   {sig_expr} AS simhash
+            FROM agg
+        ), banded AS (
+            SELECT doc_id, simhash, b AS band,
+                   (simhash >> (16 * CAST(b AS INTEGER))) & 65535
+                       AS band_val
+            FROM sig, UNNEST(range(4)) AS t(b)
+        ), cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                   l.simhash AS sa, r.simhash AS sb
+            FROM banded l
+            JOIN banded r ON l.band = r.band
+                         AND l.band_val = r.band_val
+                         AND l.doc_id < r.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1234,4 +1372,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 3
         """,
+        # MinHash-LSH twin (dedup.near_duplicates, hash_mode="md5"):
+        # identical shingles, 32 md5-60bit minhashes, 8 bands of 4,
+        # bucket = band signature csv, exact Jaccard verify at 0.5.
+        "minhash_near_dups": _minhash_oracle_sql(),
+        # SimHash twin (dedup.simhash_near_duplicates, hash_mode="md5")
+        "simhash_near_dups": _simhash_oracle_sql(),
     }

@@ -81,9 +81,26 @@ def shingles(documents: DataFrame, k: int = 5) -> DataFrame:
     ).where(F.length("shingle") > 0)
 
 
+def _hash64(col, seed, hash_mode: str = "xxhash64"):
+    """Seeded 60/64-bit hash of a string column.
+
+    ``xxhash64`` (default): the JVM intrinsic - the fast production
+    family. ``md5``: first 15 hex chars of md5('<seed>\\x01' || s) as a
+    60-bit int - slower, but DuckDB computes the IDENTICAL value
+    (CAST('0x'||substr(md5(..),1,15) AS BIGINT)), which lets the whole
+    MinHash/SimHash pipeline run under an exact SQL oracle."""
+    if hash_mode == "md5":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}\x01"), col)), 1, 15),
+            16, 10).cast("long")
+    return F.xxhash64(col, F.lit(seed))
+
+
 def minhash_signatures(documents: DataFrame, k: int = 5,
-                       num_hashes: int = 64) -> DataFrame:
-    """K minhash values per doc: min over xxhash64(shingle, seed) per seed.
+                       num_hashes: int = 64,
+                       hash_mode: str = "xxhash64") -> DataFrame:
+    """K minhash values per doc: min over hash64(shingle, seed) per seed.
 
     One explode + one groupBy; the seed dimension is an array column, so
     the shuffle carries num_hashes longs per doc, not per shingle.
@@ -91,7 +108,7 @@ def minhash_signatures(documents: DataFrame, k: int = 5,
     sh = shingles(documents, k)
     seeds = list(range(num_hashes))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(s))).alias(f"h{s}")
+        F.min(_hash64(F.col("shingle"), s, hash_mode)).alias(f"h{s}")
         for s in seeds
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
@@ -126,37 +143,47 @@ def hot_bucket_stats(banded: DataFrame, keys: list,
 
 
 def minhash_banded(documents: DataFrame, k: int = 5, num_hashes: int = 64,
-                   bands: int = 16) -> DataFrame:
-    """(doc_id, band, bucket) rows: one bucket hash per signature band."""
+                   bands: int = 16,
+                   hash_mode: str = "xxhash64") -> DataFrame:
+    """(doc_id, band, bucket) rows: one bucket hash per signature band.
+
+    In ``hash_mode="md5"`` the bucket key is the band's signature csv
+    itself (the hash only compresses the key; the csv keeps the DuckDB
+    twin byte-exact without a second hash hop)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, k, num_hashes)
+    sig = minhash_signatures(documents, k, num_hashes, hash_mode)
+
+    def _band_key(b):
+        csv = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("signature"),
+                        b * rows_per_band + 1, rows_per_band),
+                lambda x: x.cast("string")))
+        if hash_mode == "md5":
+            return csv
+        # cast: posexplode needs one element type across modes
+        return F.xxhash64(csv).cast("string")
+
     return sig.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("signature"),
-                                    b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"))))
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _band_key)
         ).alias("band", "bucket"),
     )
 
 
 def lsh_candidate_pairs(documents: DataFrame, k: int = 5,
                         num_hashes: int = 64, bands: int = 16,
-                        max_bucket_size: int = 1000) -> DataFrame:
+                        max_bucket_size: int = 1000,
+                        hash_mode: str = "xxhash64") -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Buckets larger than ``max_bucket_size`` are excluded before the
     self-join (see :func:`_cap_hot_buckets`) so degenerate boilerplate
     buckets can never go quadratic.
     """
-    banded = minhash_banded(documents, k, num_hashes, bands)
+    banded = minhash_banded(documents, k, num_hashes, bands, hash_mode)
     banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -203,24 +230,30 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame,
 
 def near_duplicates(documents: DataFrame, k: int = 5, num_hashes: int = 64,
                     bands: int = 16, threshold: float = 0.8,
-                    max_bucket_size: int = 1000) -> DataFrame:
+                    max_bucket_size: int = 1000,
+                    hash_mode: str = "xxhash64") -> DataFrame:
     """MinHash-LSH candidates verified by exact shingle Jaccard."""
     pairs = lsh_candidate_pairs(documents, k, num_hashes, bands,
-                                max_bucket_size)
+                                max_bucket_size, hash_mode)
     return (ngram_jaccard(documents, pairs, k)
             .where(F.col("jaccard") >= threshold))
 
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+def simhash(documents: DataFrame, bits: int = 64,
+            hash_mode: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per doc: sign aggregation of per-token hashes.
 
     Pure column algebra: explode tokens, per-bit +-1 votes via bit tests on
-    xxhash64(token), aggregate sums, reassemble the sign bits.
+    hash64(token), aggregate sums, reassemble the sign bits. In
+    ``hash_mode="md5"`` (the oracle family, see :func:`_hash64`) the top
+    4 hash bits are constant-zero, so those positions vote -1 on every
+    token - identically in the SQL twin, keeping hamming distances exact.
     """
     toks = documents.select(
         "doc_id", F.explode(F.split(normalized_text(), r"\s+")).alias("tok"))
     toks = toks.where(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    h = (_hash64(F.col("tok"), "", "md5") if hash_mode == "md5"
+         else F.xxhash64("tok"))
     votes = [
         F.sum(F.when(
             F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) != 0, 1)
@@ -234,14 +267,15 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_banded(documents: DataFrame) -> DataFrame:
+def simhash_banded(documents: DataFrame,
+                   hash_mode: str = "xxhash64") -> DataFrame:
     """(doc_id, simhash, band, band_val) rows: 4 x 16-bit sub-bands.
 
     Pigeonhole: any pair within hamming<=3 of 64 bits shares at least one
     of the 4 bands exactly. Exploding bands into rows turns the previous 4
     unioned self-joins into ONE equi-join keyed on (band, band_val) - one
     shuffle instead of four."""
-    sig = simhash(documents)
+    sig = simhash(documents, hash_mode=hash_mode)
     band_arr = F.array(*[
         F.shiftrightunsigned(F.col("simhash"), 16 * i)
         .bitwiseAND(F.lit(0xFFFF))
@@ -254,13 +288,14 @@ def simhash_banded(documents: DataFrame) -> DataFrame:
 
 def simhash_near_duplicates(documents: DataFrame,
                             max_hamming: int = 3,
-                            max_bucket_size: int = 1000) -> DataFrame:
+                            max_bucket_size: int = 1000,
+                            hash_mode: str = "xxhash64") -> DataFrame:
     """Candidate pairs whose simhashes differ in <= max_hamming bits.
 
     Block on 4 x 16-bit sub-bands, cap hot buckets (16-bit keys give only
     65k buckets/band, so web boilerplate WILL pile up - see
     :func:`_cap_hot_buckets`), then verify with bit_count."""
-    banded = simhash_banded(documents)
+    banded = simhash_banded(documents, hash_mode)
     banded = _cap_hot_buckets(banded, ["band", "band_val"], max_bucket_size)
     l = banded.alias("l")
     r = banded.alias("r")
