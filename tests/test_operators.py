@@ -121,6 +121,30 @@ def test_streaming_batch_twins(spark, events):
     assert sessions.agg(F.sum("n_events")).collect()[0][0] == events.count()
 
 
+def test_streaming_extraction_runs(spark, tmp_path):
+    """stream_extract_pages: the batch extraction UDF under readStream -
+    files landing in the source dir are extracted with per-doc error
+    envelopes intact."""
+    src = tmp_path / "pages_stream"
+    rows = [("https://s/good.html", b"<html><body><p>hi</p></body></html>"),
+            ("https://s/broken.html", b"\xff\xfe garbage \x00"),
+            ("https://s/empty.html", b"")]
+    spark.createDataFrame(rows, "url string, html binary") \
+        .write.parquet(str(src))
+    q = (streaming.stream_extract_pages(spark, str(src))
+         .writeStream.format("memory").queryName("extract_stream")
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    got = {r["url"]: r for r in
+           spark.sql("select * from extract_stream").collect()}
+    assert len(got) == 3
+    assert got["https://s/good.html"]["status"] == "success"
+    assert got["https://s/good.html"]["n_texts"] >= 1
+    # a poison doc yields an error envelope row, never a query failure
+    assert all(r["status"] in ("success", "failure") for r in got.values())
+
+
 def test_streaming_stream_runs(spark, tmp_path):
     """Real Structured Streaming micro-batch over the events parquet."""
     import shutil
