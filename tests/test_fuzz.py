@@ -49,3 +49,49 @@ def test_markdown_backend_total_on_text(text):
     to_markdown(doc)
     to_indented_text(doc)
     to_json(doc)
+
+
+def test_engine_dispatch_total_on_corrupted_binaries():
+    """Truncations and bit-flips of REAL format fixtures, driven through
+    the engine dispatch: every row must yield a status envelope - a
+    corrupt binary can never raise out of the UDF (Spark task contract).
+    Structured corruption reaches far deeper parser states than random
+    bytes."""
+    import pathlib
+    import random
+
+    import pandas as pd
+
+    from docling_spark.engine import _extract_batches
+
+    ref = pathlib.Path("/root/reference/tests/data")
+    fixtures = []
+    for pat in ("pdf/sources/code_and_formula.pdf",
+                "docx/sources/Strict.docx",
+                "xlsx/sources/xlsx_01.xlsx",
+                "pptx/sources/powerpoint_comments.pptx",
+                "odf/sources/odf_presentation_01.odp",
+                "jats/sources/elife-56337.xml"):
+        p = ref / pat
+        if p.exists():
+            fixtures.append((p.name, p.read_bytes()))
+    assert len(fixtures) >= 5, f"fixtures missing: {fixtures}"
+    rng = random.Random(1234)
+    rows_url, rows_raw = [], []
+    for name, raw in fixtures:
+        for i in range(6):
+            cut = rng.randrange(1, len(raw))
+            rows_url.append(f"https://f/{i}/{name}")
+            rows_raw.append(raw[:cut])
+        flipped = bytearray(raw)
+        for _ in range(16):
+            pos = rng.randrange(len(flipped))
+            flipped[pos] ^= 1 << rng.randrange(8)
+        rows_url.append(f"https://f/flip/{name}")
+        rows_raw.append(bytes(flipped))
+    batch = pd.DataFrame({"url": rows_url, "html": rows_raw})
+    outs = list(_extract_batches([batch]))
+    total = sum(len(o) for o in outs)
+    assert total == len(rows_url)
+    for o in outs:
+        assert set(o["status"]) <= {"success", "failure"}
