@@ -171,8 +171,11 @@ class MarkdownConverter:
                 filename: str = "", binary_hash: int = 0) -> Doc:
         text = _decode(raw).replace("\r\n", "\n").replace("\r", "\n")
         text = _protect(text)
+        # mimetype "text/html" replicates the reference md backend's
+        # recorded origin (md groundtruth json/yaml exports all carry
+        # text/html - an InputDocument quirk the goldens bake in)
         doc = Doc(name=name, filename=filename or f"{name}.md",
-                  binary_hash=binary_hash, mimetype="text/markdown")
+                  binary_hash=binary_hash, mimetype="text/html")
         self.doc = doc
         self.parents: list = [None] * 10   # heading hierarchy stack
         self.level = 0
@@ -331,65 +334,45 @@ class MarkdownConverter:
 
     # -- emitters -------------------------------------------------------
     def _emit_heading(self, level: int, text: str) -> None:
+        """FLAT tree: the reference md backend threads ``parent_item``
+        through the marko AST recursion, so headings never become parents
+        of following siblings - every top-level block hangs off body
+        (``md_backend.py:368-398``, yaml groundtruth body.children).
+        A single fully-formatted run is stripped into Formatting flags on
+        the heading itself (``md_backend.py:466-475`` Emphasis handling);
+        the md serializer re-emits the markers, keeping export identical.
+        """
         doc = self.doc
         text = text.strip()
-        if level == 1:
-            for k in range(len(self.parents)):
-                self.parents[k] = None
-            self.level = 0
-            runs = _parse_inline(text)
-            if len(runs) > 1:
-                title = doc.add_title("")
-                inline = doc.add_inline_group(parent=title)
-                for r in runs:
-                    seg = r.text.strip()
-                    if not seg:
-                        continue
-                    fmt = (Formatting(bold=r.bold, italic=r.italic)
-                           if (r.bold or r.italic) else None)
-                    if r.code:
-                        doc.add_code(text=seg, parent=inline, formatting=fmt)
-                    else:
-                        doc.add_text(label="text", text=seg, parent=inline,
-                                     formatting=fmt, hyperlink=r.href)
-            else:
-                title = doc.add_title(text)
-            self.parents[1] = title
-            self.level = 1
+        runs = _parse_inline(text)
+
+        def _mk(txt, fmt=None, href=None):
+            if level == 1:
+                return doc.add_title(txt, formatting=fmt, hyperlink=href)
+            return doc.add_heading(txt, level=level - 1,
+                                   formatting=fmt, hyperlink=href)
+
+        if len(runs) > 1:
+            item = _mk("")
+            inline = doc.add_inline_group(parent=item)
+            for r in runs:
+                seg = r.text.strip()
+                if not seg:
+                    continue
+                fmt = (Formatting(bold=r.bold, italic=r.italic)
+                       if (r.bold or r.italic) else None)
+                if r.code:
+                    doc.add_code(text=seg, parent=inline, formatting=fmt)
+                else:
+                    doc.add_text(label="text", text=seg, parent=inline,
+                                 formatting=fmt, hyperlink=r.href)
+        elif runs:
+            r = runs[0]
+            fmt = (Formatting(bold=r.bold, italic=r.italic)
+                   if (r.bold or r.italic) else None)
+            _mk(r.text.strip(), fmt, r.href)
         else:
-            lvl = level - 1
-            if lvl > self.level:
-                for k in range(self.level, lvl):
-                    self.parents[k + 1] = doc.add_group(
-                        name=f"header-{k + 1}", label="section",
-                        parent=self.parents[k])
-                self.level = lvl
-            elif lvl < self.level:
-                for k in range(len(self.parents)):
-                    if k > lvl + 1:
-                        self.parents[k] = None
-                self.level = lvl
-            runs = _parse_inline(text)
-            if len(runs) > 1:
-                heading = doc.add_heading(
-                    "", level=self.level, parent=self.parents[self.level])
-                inline = doc.add_inline_group(parent=heading)
-                for r in runs:
-                    seg = r.text.strip()
-                    if not seg:
-                        continue
-                    fmt = (Formatting(bold=r.bold, italic=r.italic)
-                           if (r.bold or r.italic) else None)
-                    if r.code:
-                        doc.add_code(text=seg, parent=inline, formatting=fmt)
-                    else:
-                        doc.add_text(label="text", text=seg, parent=inline,
-                                     formatting=fmt, hyperlink=r.href)
-            else:
-                heading = doc.add_heading(
-                    text, level=self.level, parent=self.parents[self.level])
-            self.parents[self.level + 1] = heading
-            self.level += 1
+            _mk("")
 
     def _runs_to_items(self, text: str, parent) -> None:
         doc = self.doc
@@ -499,6 +482,19 @@ class MarkdownConverter:
                     else:
                         doc.add_text(label="text", text=seg, parent=inline,
                                      formatting=fmt, hyperlink=r.href)
+            elif runs:
+                # single fully-formatted run: markers strip into
+                # Formatting flags on the item (reference md_backend
+                # Emphasis/StrongEmphasis handling); serializer re-emits
+                r = runs[0]
+                seg = _unescape(re.sub(r"\s+", " ", r.text).strip())
+                seg = re.sub(r"^(\d+)\.", r"\1 .", seg)
+                fmt = (Formatting(bold=r.bold, italic=r.italic)
+                       if (r.bold or r.italic) else None)
+                item = doc.add_list_item(
+                    text=seg, enumerated=ordered,
+                    marker="", parent=group, formatting=fmt,
+                    hyperlink=r.href)
             else:
                 item = doc.add_list_item(
                     text=clean, enumerated=ordered,

@@ -475,13 +475,18 @@ class OdfConverter:
                 continue  # the reference's PIL.open would raise
             pic = self.doc.add_picture(parent=parent,
                                        content_layer=content_layer)
+            # PIL-round-trip re-encode: the reference stores
+            # ImageRef.from_pil output, not the source bytes
+            # (pngio.encode_png_like_pil is byte-identical to PIL's save)
+            from .pngio import reencode_png_like_pil
+            payload = reencode_png_like_pil(data) or data
             pic.image = {
                 "mimetype": "image/png",
                 "dpi": 72,
                 "size": {"width": float(info[0]),
                          "height": float(info[1])},
                 "uri": ("data:image/png;base64,"
-                        + base64.b64encode(data).decode("ascii")),
+                        + base64.b64encode(payload).decode("ascii")),
             }
             count += 1
         return count
