@@ -171,11 +171,13 @@ class MarkdownConverter:
                 filename: str = "", binary_hash: int = 0) -> Doc:
         text = _decode(raw).replace("\r\n", "\n").replace("\r", "\n")
         text = _protect(text)
-        # mimetype "text/html" replicates the reference md backend's
-        # recorded origin (md groundtruth json/yaml exports all carry
-        # text/html - an InputDocument quirk the goldens bake in)
+        # "text/markdown" matches the CURRENT reference md backend
+        # (md_backend.py:687); its shipped yaml/json groundtruth carries
+        # text/html from an older generation run - those goldens are
+        # verified item-level (verify_docitems), not byte-level, so the
+        # current code is the authority
         doc = Doc(name=name, filename=filename or f"{name}.md",
-                  binary_hash=binary_hash, mimetype="text/html")
+                  binary_hash=binary_hash, mimetype="text/markdown")
         self.doc = doc
         self.parents: list = [None] * 10   # heading hierarchy stack
         self.level = 0

@@ -645,5 +645,20 @@ def _otsl_cells(item: TableItem) -> str:
     return "".join(out)
 
 
+def to_yaml(doc: Doc) -> str:
+    """YAML export (reference ``DoclingDocument.save_as_yaml``:
+    ``OutputFormat`` includes yaml; groundtruth at
+    ``tests/data/md/groundtruth/*.md.yaml``): the json-export dict
+    dumped with sorted keys, block style, unicode preserved - the exact
+    shape ``yaml.safe_dump`` gives, so ``load_from_yaml`` round-trips."""
+    import json as _json
+
+    import yaml as _yaml
+
+    data = _json.loads(to_json(doc))
+    return _yaml.safe_dump(data, sort_keys=True, default_flow_style=False,
+                           allow_unicode=True)
+
+
 def to_doctags(doc: Doc) -> str:
     return DocTagsSerializer(doc).serialize()

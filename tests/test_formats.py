@@ -160,3 +160,31 @@ def test_asciidoc_md_byte_identical(name):
 def test_asciidoc_never_raises_on_garbage():
     for raw in (b"", b"|=== \n|unclosed", b"= ", b"image::[", b"\xff\xfe"):
         to_markdown(convert_asciidoc(raw, name="g"))
+
+
+def test_md_yaml_goldens_item_level():
+    """YAML sink + md-backend structural parity: the reference verifies
+    its md yaml goldens ITEM-level (tests/test_backend_markdown.py
+    verify_docitems - the goldens' origin/mimetype is stale vs current
+    code), so we pin the same: every text item's (label, text,
+    formatting) matches the shipped groundtruth, and to_yaml round-trips
+    through yaml.safe_load."""
+    import pathlib
+
+    import yaml
+
+    from docling_spark.serialize import to_yaml
+
+    src = pathlib.Path("/root/reference/tests/data/md/sources")
+    gt = pathlib.Path("/root/reference/tests/data/md/groundtruth")
+    for stem in ("inline_and_formatting", "mixed_without_h1"):
+        doc = convert_markdown((src / f"{stem}.md").read_bytes(),
+                               name=stem, filename=f"{stem}.md")
+        ours = yaml.safe_load(to_yaml(doc))
+        ref = yaml.safe_load((gt / f"{stem}.md.yaml").read_text())
+        ot = [(t["label"], t["text"], t.get("formatting"))
+              for t in ours["texts"]]
+        rt = [(t["label"], t["text"], t.get("formatting"))
+              for t in ref["texts"]]
+        assert ot == rt, f"{stem}: text items diverge"
+        assert len(ours["tables"]) == len(ref["tables"])
