@@ -183,6 +183,10 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 elif ext in ("xlsx", "xlsm"):
                     doc = convert_xlsx(raw, name=name,
                                        filename=tail, binary_hash=bh)
+                elif ext == "xls":
+                    from .legacy import convert_xls
+                    doc = convert_xls(raw, name=name,
+                                      filename=tail, binary_hash=bh)
                 elif ext == "pptx":
                     doc = convert_pptx(raw, name=name,
                                        filename=tail, binary_hash=bh)

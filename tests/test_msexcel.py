@@ -198,3 +198,43 @@ def test_merged_index_bounds_cover_valueless_ranges():
     idx = _MergedIndex([(5, 5, 7, 8)])
     assert idx.bounds == (5, 5, 7, 8)
     assert idx.contains(6, 6) and idx.span_at(5, 5) == (3, 4)
+
+
+class TestLegacyXls:
+    """Legacy BIFF8 .xls through the OLE2 reader (docling_spark.legacy),
+    sharing the xlsx table pipeline: 1/1 shipped golden byte-identical
+    in all three export formats."""
+
+    def test_legacy_xls_goldens(self):
+        import functools
+        import hashlib
+        import pathlib
+
+        from docling_spark.legacy import convert_xls
+        from docling_spark.serialize import (to_indented_text, to_json,
+                                             to_markdown)
+        src = pathlib.Path(
+            "/root/reference/tests/data/xls/sources/legacy_sample.xls")
+        gt = pathlib.Path("/root/reference/tests/data/xls/groundtruth")
+        raw = src.read_bytes()
+        bh = int.from_bytes(hashlib.sha256(raw).digest()[-8:], "big")
+        doc = convert_xls(raw, name="legacy_sample",
+                          filename="legacy_sample.xls", binary_hash=bh)
+        for ext, fn in (("md", to_markdown), ("itxt", to_indented_text),
+                        ("json", functools.partial(to_json, indent=2))):
+            assert fn(doc) == (gt / f"legacy_sample.xls.{ext}").read_text(), ext
+
+    def test_ole2_reader_streams(self):
+        from docling_spark.legacy import OleFile
+        raw = open("/root/reference/tests/data/xls/sources/"
+                   "legacy_sample.xls", "rb").read()
+        ole = OleFile(raw)
+        wb = ole.stream("Workbook")
+        assert wb is not None and wb[:2] == b"\x09\x08"  # BIFF8 BOF
+
+    def test_corrupt_xls_raises_cleanly(self):
+        import pytest
+
+        from docling_spark.legacy import convert_xls
+        with pytest.raises(Exception):
+            convert_xls(b"\xd0\xcf\x11\xe0garbage")
