@@ -74,7 +74,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                      ebcdic_layouts: Optional[dict] = None,
                      xbrl_taxonomies: Optional[dict] = None,
                      latex_inputs: Optional[dict] = None,
-                     with_doctags: bool = False
+                     with_doctags: bool = False,
+                     with_html: bool = False
                      ) -> Iterator[pd.DataFrame]:
     r"""mapInPandas worker: one call per Arrow batch; per-doc error envelope.
 
@@ -119,6 +120,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
         out = {k.name: [] for k in EXTRACT_SCHEMA.fields}
         if with_doctags:
             out["doctags"] = []
+        if with_html:
+            out["html"] = []
         for url, html in zip(pdf["url"].values, pdf["html"].values):
             # Coercion stays INSIDE the try: a row with an unexpected type
             # (string html, None url) must become a failure envelope, never
@@ -242,6 +245,9 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 out["error"].append(None)
                 if with_doctags:
                     out["doctags"].append(to_doctags(doc))
+                if with_html:
+                    from .serialize_html import to_html
+                    out["html"].append(to_html(doc))
             except Exception as exc:  # never fail the task for one doc
                 out["url"].append(url)
                 out["status"].append("failure")
@@ -258,6 +264,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 out["error"].append(f"{type(exc).__name__}: {exc}")
                 if with_doctags:
                     out["doctags"].append(None)
+                if with_html:
+                    out["html"].append(None)
             out["partition_id"].append(pid)
         yield pd.DataFrame(out)
 
@@ -325,6 +333,7 @@ def extract_pages(
     xbrl_taxonomies: Optional[dict] = None,
     latex_inputs: Optional[dict] = None,
     with_doctags: bool = False,
+    with_html: bool = False,
 ) -> DataFrame:
     """The main job: pages(url, html, ...) -> extraction results.
 
@@ -334,24 +343,31 @@ def extract_pages(
     a driver-side dict small enough to broadcast with the task.
     ``with_doctags`` adds a DocTags export column (reference OutputFormat
     doctags; serialize.to_doctags) - opt-in so the default schema stays
-    stable for downstream consumers.
+    stable for downstream consumers. ``with_html`` likewise adds the
+    standalone-page HTML export (serialize_html.to_html, reference
+    OutputFormat html).
     """
     cols = pages.select("url", "html")
     if repartition:
         cols = partition_pages(cols, num_partitions, skew_threshold)
     schema = EXTRACT_SCHEMA
+    extra_fields = []
     if with_doctags:
-        schema = StructType(EXTRACT_SCHEMA.fields
-                            + [StructField("doctags", StringType(), True)])
+        extra_fields.append(StructField("doctags", StringType(), True))
+    if with_html:
+        extra_fields.append(StructField("html", StringType(), True))
+    if extra_fields:
+        schema = StructType(EXTRACT_SCHEMA.fields + extra_fields)
     if ebcdic_layouts is None and xbrl_taxonomies is None \
-            and latex_inputs is None and not with_doctags:
+            and latex_inputs is None and not with_doctags and not with_html:
         fn = _extract_batches
     else:
         def fn(batches, _lay=ebcdic_layouts, _tax=xbrl_taxonomies,
-               _lx=latex_inputs, _dt=with_doctags):
+               _lx=latex_inputs, _dt=with_doctags, _wh=with_html):
             return _extract_batches(batches, ebcdic_layouts=_lay,
                                     xbrl_taxonomies=_tax,
-                                    latex_inputs=_lx, with_doctags=_dt)
+                                    latex_inputs=_lx, with_doctags=_dt,
+                                    with_html=_wh)
     return cols.mapInPandas(fn, schema=schema)
 
 

@@ -186,3 +186,17 @@ def test_load_pages_resolves_table_and_parquet(spark, tmp_path):
     via_path = engine.load_pages(spark, p)
     assert via_path.count() == 1
     assert set(via_path.columns) == {"url", "html"}
+
+
+def test_extract_pages_with_html_column(spark):
+    """Opt-in standalone-HTML export column (OutputFormat html)."""
+    rows = [("https://x/a.html",
+             b"<html><body><h2>T</h2><p>hello</p></body></html>")]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = engine.extract_pages(df, repartition=False,
+                               with_html=True).collect()[0]
+    assert out["status"] == "success"
+    page = out["html"]
+    assert page.startswith("<!DOCTYPE html>")
+    assert "<p>hello</p>" in page and page.rstrip().endswith("</html>")
+    assert "html" not in engine.extract_pages(df, repartition=False).columns
