@@ -311,6 +311,14 @@ def _q_emb_knn(spark, sf_dir):
             .select("query_id", "nbr_id", "rank"))
 
 
+def _q_page_boilerplate(spark, sf_dir):
+    """Tag-density / link-ratio boilerplate scoring over raw html
+    (textfns.boilerplate_scores - the north-star pre-parse filter);
+    rows-only: the synthetic pages table is not a DuckDB view."""
+    pages = _fixture_pages(spark, 64)
+    return textfns.boilerplate_scores(pages)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality gate flags (textfns.gopher_quality_flags)."""
     docs = _load(spark, sf_dir, "documents")
@@ -691,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": _q_emb_knn_lsh,
         "pdf_layout_stages": _q_pdf_layout_stages,
         "media_features": _q_media_features,
+        "page_boilerplate": _q_page_boilerplate,
     }
 
 

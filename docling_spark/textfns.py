@@ -234,6 +234,42 @@ def duplicated_passage_stats(documents: DataFrame,
                 4).alias("dup_ratio"))
 
 
+def boilerplate_scores(pages: DataFrame, html_col: str = "html",
+                       link_ratio_max: float = 0.5,
+                       tag_density_max: float = 0.25) -> DataFrame:
+    """Tag-density / link-ratio boilerplate scoring over raw html
+    (north-star operator: cheap column-algebra pre-filter that runs at
+    the scan BEFORE the full DOM extraction; pages flagged boilerplate
+    can be dropped without paying the Python parse).
+
+    - ``tag_density``: markup tags per html byte - template/chrome-heavy
+      pages score high;
+    - ``link_char_ratio``: anchor-tag count x mean-link-length proxy vs
+      total length - nav/link-farm pages score high;
+    - ``is_boilerplate``: either ratio beyond its threshold.
+
+    All regexp_count/length expressions - whole-stage codegen, no UDF,
+    usable as a pushed-down WHERE at 100 TB.
+    """
+    html_s = F.col(html_col).cast("string")
+    n_bytes = F.length(html_s)
+    n_tags = F.regexp_count(html_s, F.lit(r"<[A-Za-z/!]"))
+    n_links = F.regexp_count(html_s, F.lit(r"<[aA][\s>]"))
+    tag_density = n_tags / F.greatest(n_bytes, F.lit(1))
+    # ~40 html bytes per anchor is the CommonCrawl-ish link footprint;
+    # the proxy avoids extracting anchor text pre-parse
+    link_ratio = (n_links * 40.0) / F.greatest(n_bytes, F.lit(1))
+    return pages.select(
+        "url",
+        n_bytes.alias("html_bytes"),
+        n_tags.cast("long").alias("n_tags"),
+        n_links.cast("long").alias("n_link_tags"),
+        F.round(tag_density, 6).alias("tag_density"),
+        F.round(link_ratio, 6).alias("link_char_ratio"),
+        ((tag_density > tag_density_max)
+         | (link_ratio > link_ratio_max)).alias("is_boilerplate"))
+
+
 def doc_fingerprints(documents, window: int = 8, stride: int = 4,
                      k: int = 8):
     """Rolling-hash document fingerprint sketch (winnowing-style).

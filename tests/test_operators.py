@@ -545,3 +545,25 @@ def test_embedding_cosine_hot_dim_cap(spark):
     pairs = dedup.embedding_cosine_pairs(
         df, top_m=1, threshold=0.0, max_df=5)
     assert pairs.count() == 0
+
+
+def test_boilerplate_scores_column_algebra(spark):
+    """Tag-density/link-ratio pre-parse scoring: a nav-chrome page flags
+    boilerplate, a prose page does not; plan stays UDF-free."""
+    rows = [
+        ("https://b/nav.html",
+         ("<nav>" + "".join(f"<a href='/{i}'>x</a>" for i in range(50))
+          + "</nav>").encode()),
+        ("https://b/prose.html",
+         ("<html><body><p>" + ("word " * 300) + "</p></body></html>"
+          ).encode()),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {r["url"]: r for r in textfns.boilerplate_scores(df).collect()}
+    assert out["https://b/nav.html"]["is_boilerplate"]
+    assert not out["https://b/prose.html"]["is_boilerplate"]
+    assert out["https://b/nav.html"]["n_link_tags"] == 50
+    explained = textfns.boilerplate_scores(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in explained
+    assert "ArrowEvalPython" not in explained
