@@ -75,7 +75,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                      xbrl_taxonomies: Optional[dict] = None,
                      latex_inputs: Optional[dict] = None,
                      with_doctags: bool = False,
-                     with_html: bool = False
+                     with_html: bool = False,
+                     pdf_passwords: Optional[dict] = None
                      ) -> Iterator[pd.DataFrame]:
     r"""mapInPandas worker: one call per Arrow batch; per-doc error envelope.
 
@@ -146,8 +147,14 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 # format dispatch by extension (html default, the
                 # Common-Crawl case); md/csv share the model/serializers
                 if ext == "pdf" or raw[:5] == b"%PDF-":
+                    # encrypted PDFs: per-doc password from the
+                    # broadcastable mapping; default "" covers the
+                    # common owner-restricted empty-user-password case
+                    pw = ((pdf_passwords or {}).get(name)
+                          or (pdf_passwords or {}).get(tail) or "")
                     doc = convert_pdf(raw, name=name,
-                                      filename=tail, binary_hash=bh)
+                                      filename=tail, binary_hash=bh,
+                                      password=pw)
                 elif ext == "md" and (b"<|ref|>" in raw[:65536]
                                       or b"<|det|>" in raw[:65536]):
                     # DeepSeek-OCR annotated markdown (content sniff on
@@ -334,6 +341,7 @@ def extract_pages(
     latex_inputs: Optional[dict] = None,
     with_doctags: bool = False,
     with_html: bool = False,
+    pdf_passwords: Optional[dict] = None,
 ) -> DataFrame:
     """The main job: pages(url, html, ...) -> extraction results.
 
@@ -359,15 +367,17 @@ def extract_pages(
     if extra_fields:
         schema = StructType(EXTRACT_SCHEMA.fields + extra_fields)
     if ebcdic_layouts is None and xbrl_taxonomies is None \
-            and latex_inputs is None and not with_doctags and not with_html:
+            and latex_inputs is None and not with_doctags \
+            and not with_html and pdf_passwords is None:
         fn = _extract_batches
     else:
         def fn(batches, _lay=ebcdic_layouts, _tax=xbrl_taxonomies,
-               _lx=latex_inputs, _dt=with_doctags, _wh=with_html):
+               _lx=latex_inputs, _dt=with_doctags, _wh=with_html,
+               _pw=pdf_passwords):
             return _extract_batches(batches, ebcdic_layouts=_lay,
                                     xbrl_taxonomies=_tax,
                                     latex_inputs=_lx, with_doctags=_dt,
-                                    with_html=_wh)
+                                    with_html=_wh, pdf_passwords=_pw)
     return cols.mapInPandas(fn, schema=schema)
 
 

@@ -524,7 +524,8 @@ def _order_columns(cells, page_width):
 
 def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
                 binary_hash: int = 0, page_range=None,
-                heading_hierarchy: bool = False) -> Doc:
+                heading_hierarchy: bool = False,
+                password: str = "") -> Doc:
     """PDF bytes -> Doc with per-item provenance.
 
     Pure function of the bytes (Spark UDF contract). ``page_range``
@@ -536,7 +537,8 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
     """
     doc = Doc(name, filename=filename or f"{name}.pdf",
               binary_hash=binary_hash, mimetype="application/pdf")
-    pages = extract_page_cells(raw, page_range=page_range, with_images=True)
+    pages = extract_page_cells(raw, page_range=page_range, with_images=True,
+                               password=password)
     for page_no, width, height, cells, image_rects in pages:
         doc.pages[page_no] = (width, height)
         if not cells and not image_rects:
@@ -739,7 +741,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
         from .headings import apply_heading_hierarchy
         from .pdfio import PdfDocument
         try:
-            outline = PdfDocument(raw).outline()
+            outline = PdfDocument(raw, password=password).outline()
         except Exception:
             outline = []
         sizes = {}

@@ -481,7 +481,7 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 class PdfDocument:
     """Random-access object store + page tree over one PDF byte buffer."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: str = ""):
         if not data.lstrip()[:5].startswith(b"%PDF-"):
             # some crawls prepend garbage; find the header within 1 KB
             idx = data.find(b"%PDF-", 0, 1024)
@@ -500,8 +500,25 @@ class PdfDocument:
             self.xref = {}
         if "Root" not in self.trailer or not self.xref:
             self._scan_all_objects()
-        if self.trailer.get("Encrypt") is not None:
-            raise PdfError("encrypted PDF not supported")
+        self._crypt = None
+        self._encrypt_num = None
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is not None:
+            # strings inside /Encrypt itself are never encrypted, so the
+            # dict parses before the handler exists
+            if isinstance(enc_ref, Ref):
+                self._encrypt_num = enc_ref.num
+            enc = self.resolve(enc_ref)
+            if not isinstance(enc, dict) or str(
+                    enc.get("Filter", "Standard")) != "Standard":
+                raise PdfError("unsupported PDF security handler")
+            ids = self.trailer.get("ID") or []
+            id0 = ids[0] if ids else b""
+            if isinstance(id0, str):
+                id0 = id0.encode("latin-1", errors="replace")
+            from .pdfcrypt import StandardSecurityHandler
+            self._crypt = StandardSecurityHandler(enc, id0, password)
+            self._cache.clear()  # anything parsed pre-handler is raw
 
     # ---- xref loading ----------------------------------------------------
 
@@ -653,9 +670,31 @@ class PdfDocument:
         self._cache[num] = None  # cycle guard
         if entry[0] == "off":
             obj = self._parse_object_at(entry[1], num)
+            if self._crypt is not None and num != self._encrypt_num:
+                obj = self._decrypt_object(obj, num, 0)
         else:
+            # objects inside object streams are covered by the stream's
+            # own encryption - never decrypted individually
             obj = self._objstm_object(entry[1], entry[2], num)
         self._cache[num] = obj
+        return obj
+
+    def _decrypt_object(self, obj, num: int, gen: int):
+        """Walk a freshly parsed top-level object, decrypting strings
+        and stream payloads (xref/metadata streams excluded per spec)."""
+        if isinstance(obj, Stream):
+            t = str(obj.dict.get("Type", ""))
+            obj.dict = self._decrypt_object(obj.dict, num, gen)
+            if t != "XRef":
+                obj.raw = self._crypt.decrypt(obj.raw, num, gen)
+            return obj
+        if isinstance(obj, bytes):
+            return self._crypt.decrypt(obj, num, gen)
+        if isinstance(obj, dict):
+            return {k: self._decrypt_object(v, num, gen)
+                    for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [self._decrypt_object(v, num, gen) for v in obj]
         return obj
 
     def _parse_object_at(self, offset: int, num: int):

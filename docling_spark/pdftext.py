@@ -1141,7 +1141,7 @@ def page_size(doc: PdfDocument, page: dict) -> tuple[float, float]:
     return w, h
 
 
-def extract_page_cells(data: bytes, page_range=None, with_images=False):
+def extract_page_cells(data: bytes, page_range=None, with_images=False, password: str = ""):
     """PDF bytes -> [(page_no 1-based, width, height, cells)] or, with
     ``with_images``, [(page_no, width, height, cells, image_rects)] where
     image_rects are top-left-origin (l, t, r, b) of drawn bitmaps.
@@ -1149,7 +1149,7 @@ def extract_page_cells(data: bytes, page_range=None, with_images=False):
     ``page_range=(lo, hi)`` is the reference's page-range pushdown
     (``pdf_backend.py:59-105``): pages outside it are never parsed.
     """
-    doc = PdfDocument(data)
+    doc = PdfDocument(data, password=password)
     extractor = PdfTextExtractor(doc)
     out = []
     for i, page in enumerate(doc.pages()):

@@ -467,3 +467,61 @@ def test_lone_punct_cell_is_orphan_block_unless_same_row():
     dot2 = TextCell(".", 123, 100, 127, 110, 10.0, False, False)
     blocks = _merge_into_blocks([line, dot2], 10.0)
     assert len(blocks) == 1
+
+
+class TestEncryptedPdf:
+    """Standard security handler (pdfcrypt): the reference's
+    tests/test_pdf_password.py requires conversion of the AESV2
+    fixture to SUCCEED with password "1234"."""
+
+    FIXTURE = ("/root/reference/tests/data/pdf_password/sources/"
+               "2206.01062_pg3.pdf")
+
+    def test_aesv2_fixture_converts(self):
+        from docling_spark.pdfdoc import convert_pdf
+        from docling_spark.serialize import to_markdown
+        raw = open(self.FIXTURE, "rb").read()
+        doc = convert_pdf(raw, name="pg3", password="1234")
+        md = to_markdown(doc)
+        assert "DocLayNet" in md
+        assert len(doc.pages) == 1
+
+    def test_wrong_password_clean_error(self):
+        import pytest
+
+        from docling_spark.pdfio import PdfDocument
+        raw = open(self.FIXTURE, "rb").read()
+        with pytest.raises(ValueError, match="password"):
+            PdfDocument(raw, password="nope")
+
+    def test_aes_and_rc4_known_answers(self):
+        from docling_spark.pdfcrypt import (_aes_decrypt_block,
+                                            _aes_encrypt_block,
+                                            _expand_key, rc4)
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        k = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+        rk = _expand_key(k)
+        assert _aes_encrypt_block(pt, rk) == ct
+        assert _aes_decrypt_block(ct, rk) == pt
+        k256 = bytes(range(32))
+        rk256 = _expand_key(k256)
+        assert _aes_decrypt_block(_aes_encrypt_block(pt, rk256),
+                                  rk256) == pt
+        assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+
+    def test_engine_password_mapping(self, spark):
+        """pdf_passwords rides the UDF closure like ebcdic_layouts; an
+        encrypted doc WITHOUT its password yields a failure envelope,
+        never a task failure."""
+        from docling_spark import engine
+        raw = open(self.FIXTURE, "rb").read()
+        rows = [("https://x/2206.01062_pg3.pdf", raw)]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        ok = engine.extract_pages(
+            df, repartition=False,
+            pdf_passwords={"2206.01062_pg3": "1234"}).collect()[0]
+        assert ok["status"] == "success" and ok["n_pages"] == 1
+        bad = engine.extract_pages(df, repartition=False).collect()[0]
+        assert bad["status"] == "failure"
+        assert "password" in (bad["error"] or "")
