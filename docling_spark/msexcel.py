@@ -888,14 +888,18 @@ def _convert_images(doc, sheet, group, page_no, layer):
         size = _image_size(blob)
         if size is not None:
             import base64
+
+            from .pngio import reencode_png_like_pil
+            # PIL-byte-identical re-encode for PNG sources (matches the
+            # reference's ImageRef.from_pil uri exactly); EMF and other
+            # non-decodable payloads keep the original bytes
+            payload = reencode_png_like_pil(blob) or blob
             pic.image = {
                 "mimetype": "image/png",
                 "dpi": 72,
                 "size": {"width": float(size[0]), "height": float(size[1])},
-                # the reference re-encodes via PIL; we carry the original
-                # bytes (uri is masked in golden comparison)
                 "uri": ("data:image/png;base64,"
-                        + base64.b64encode(blob).decode("ascii")),
+                        + base64.b64encode(payload).decode("ascii")),
             }
 
 

@@ -549,13 +549,19 @@ class PptxConverter:
         prov = self._prov(slide, sp, slide_ind)
         pic = self.doc.add_picture(parent=parent_slide, prov=[prov])
         import base64
+
+        from .pngio import reencode_png_like_pil
+        # the reference re-encodes via PIL (ImageRef.from_pil); our
+        # PIL-byte-identical encoder reproduces its exact data URI for
+        # PNG sources (verified vs the pptx json golden); non-PNG
+        # payloads keep the original bytes
+        payload = reencode_png_like_pil(blob) or blob
         pic.image = {
             "mimetype": "image/png",
             "dpi": _image_dpi(blob),
             "size": {"width": float(info[0]), "height": float(info[1])},
-            # the reference re-encodes via PIL; we carry the original bytes
             "uri": ("data:image/png;base64,"
-                    + base64.b64encode(blob).decode("ascii")),
+                    + base64.b64encode(payload).decode("ascii")),
         }
 
     # -- charts (mspowerpoint_backend.py:880-1097) ---------------------------

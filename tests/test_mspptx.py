@@ -1,7 +1,7 @@
 """PPTX backend tests: golden byte-identity sweep + semantic unit vectors.
 
 Goldens live in /root/reference/tests/data/pptx/{sources,groundtruth}.
-md, itxt, and json (picture image.uri masked - the reference embeds a
+md, itxt, and json (picture image.uri byte-identical - the reference embeds a
 PIL-re-encoded PNG, we carry the original bytes) are identical for all
 8 fixtures.
 """
@@ -49,14 +49,12 @@ def test_pptx_itxt_golden_byte_identical(path):
 
 
 @pytest.mark.parametrize("path", _paths(), ids=lambda p: p.stem)
-def test_pptx_json_golden_masked_uri(path):
+def test_pptx_json_golden_byte_identical(path):
+    """UNMASKED: image data URIs match byte-for-byte via the
+    PIL-parity PNG re-encoder (pngio)."""
     doc = _convert(path)
     ours = json.loads(to_json(doc))
     theirs = json.load(open(GT / f"{path.name}.json"))
-    for d in (ours, theirs):
-        for pic in d.get("pictures", []):
-            if isinstance(pic.get("image"), dict):
-                pic["image"]["uri"] = "<uri>"
     assert ours == theirs
 
 

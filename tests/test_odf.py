@@ -57,14 +57,12 @@ def test_odf_itxt_golden_byte_identical(path):
              if (GT / f"{p.name}.json").exists()
              and p.name not in JSON_OUT_OF_SCOPE],
     ids=lambda p: p.name)
-def test_odf_json_golden_masked_uri(path):
+def test_odf_json_golden_byte_identical(path):
+    """UNMASKED: image data URIs match via the PIL-parity PNG
+    re-encoder (pngio)."""
     doc = _convert(path)
     ours = json.loads(to_json(doc))
     theirs = json.load(open(GT / f"{path.name}.json"))
-    for d in (ours, theirs):
-        for pic in d.get("pictures", []):
-            if isinstance(pic.get("image"), dict):
-                pic["image"]["uri"] = "<uri>"
     assert ours == theirs
 
 
