@@ -43,8 +43,9 @@ def encode_png_like_pil(px) -> bytes:
     co = zlib.compressobj(6, zlib.DEFLATED, wbits, 8, zlib.Z_RLE)
     comp = co.compress(raw) + co.flush()
     out = [b"\x89PNG\r\n\x1a\n", _crc_chunk(b"IHDR", ihdr)]
-    for i in range(0, len(comp), 65536):
-        out.append(_crc_chunk(b"IDAT", comp[i:i + 65536]))
+    # PIL emits IDAT in 8 KiB chunks (ImageFile._save buffer size)
+    for i in range(0, len(comp), 8192):
+        out.append(_crc_chunk(b"IDAT", comp[i:i + 8192]))
     out.append(_crc_chunk(b"IEND", b""))
     return b"".join(out)
 
