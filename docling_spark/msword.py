@@ -415,6 +415,7 @@ class Converter:
         self.last_list_group_parent = None
         self.content_layer = "body"
         self.rels = pkg.rels
+        self._comment_targets: dict = {}
         self._cell_depth = 0
         self._processed_textboxes: set[int] = set()
         self._prev_sibling_is_code = False
@@ -1100,6 +1101,12 @@ class Converter:
                     merge_target.text += joiner + code_text
                     merge_target.orig += joiner + code_text
                     self._pending_code_blank_lines = 0
+                    # re-detect on the accumulated block (reference
+                    # msword_backend.py:2167-2170)
+                    if merge_target.code_language == "unknown":
+                        from .codelang import detect_code_language
+                        merge_target.code_language = \
+                            detect_code_language(merge_target.text)
                 else:
                     # buffered: a block never ends in blank lines
                     self._pending_code_blank_lines += 1
@@ -1107,8 +1114,11 @@ class Converter:
                 refs.append(merge_target.self_ref)
             elif text:
                 self._pending_code_blank_lines = 0
-                ci = self.doc.add_code(text=code_text, parent=parent,
-                                       content_layer=self.content_layer)
+                from .codelang import detect_code_language
+                ci = self.doc.add_code(
+                    text=code_text, parent=parent,
+                    content_layer=self.content_layer,
+                    code_language=detect_code_language(code_text))
                 self._force_new_code_block = False
                 refs.append(ci.self_ref)
         else:
@@ -1129,11 +1139,29 @@ class Converter:
                     hyperlink=link, content_layer=self.content_layer)
                 refs.append(ti.self_ref)
         self._update_history(style_id, style_level, numid, ilevel)
+        # remember which item anchors each comment reference (w:id) so
+        # convert() can attach comment_section groups afterwards
+        for cref in p.findall(f".//{_w('commentReference')}"):
+            cid = cref.get(_w("id"))
+            if cid is not None and refs:
+                self._comment_targets.setdefault(cid, refs[0])
         return refs
 
     # -- tables ------------------------------------------------------------------
     def _cell_text(self, tc: ET.Element) -> str:
-        return "\n".join(self._para_text(p) for p in tc.findall(_w("p")))
+        # checkbox paragraphs drop the box glyph from the flat cell text
+        # (docx_checkboxes json golden: "\n Orange juice" - the leading
+        # space of the item run is kept, only the symbol disappears)
+        parts = []
+        for p in tc.findall(_w("p")):
+            text = self._para_text(p)
+            if self._checkbox_label(p):
+                for sym in _CHECKBOX_SYMBOLS:
+                    if sym in text:
+                        text = text.replace(sym, "", 1)
+                        break
+            parts.append(text)
+        return "\n".join(parts)
 
     def _is_rich_cell(self, tc: ET.Element) -> bool:
         paras = tc.findall(_w("p"))
@@ -1329,7 +1357,8 @@ class Converter:
                     blips = p.findall(f".//{{{A}}}blip")
                     vml = p.findall(f".//{{{V}}}imagedata")
                     if blips:
-                        refs.extend(self._handle_pictures(len(blips)))
+                        refs.extend(self._handle_pictures(len(blips),
+                                                          blips=blips))
                     elif vml:
                         refs.extend(self._handle_pictures(len(vml)))
         finally:
@@ -1337,9 +1366,12 @@ class Converter:
         return refs
 
     # -- pictures -------------------------------------------------------------
-    def _handle_pictures(self, n_images: int) -> list:
+    def _handle_pictures(self, n_images: int, blips=None) -> list:
         """One PictureItem per image; >1 image in a paragraph shares a
-        picture_area group (reference _handle_pictures:3025-3041)."""
+        picture_area group (reference _handle_pictures:3025-3041).
+        When the DrawingML blip elements are available, the referenced
+        image part is stored as a PIL-parity PNG data URI (reference
+        ImageRef.from_pil; byte-identical via pngio)."""
         level = self._get_level()
         parent = self.parents[level - 1]
         if n_images > 1:
@@ -1347,11 +1379,41 @@ class Converter:
                 label="picture_area", parent=parent,
                 content_layer=self.content_layer)
         refs = []
-        for _ in range(n_images):
+        for i in range(n_images):
             pic = self.doc.add_picture(parent=parent,
                                        content_layer=self.content_layer)
+            if blips is not None and i < len(blips):
+                self._attach_image(pic, blips[i])
             refs.append(pic.self_ref)
         return refs
+
+    def _attach_image(self, pic, blip) -> None:
+        import base64
+
+        from .multimodal import decode_image_header
+        from .pngio import reencode_png_like_pil
+        rid = blip.get(f"{{{R}}}embed") or blip.get(f"{{{R}}}link")
+        rel = self.rels.get(rid) if rid else None
+        if rel is None or rel.get("mode") != "Internal":
+            return
+        target = rel["target"]
+        name = target if target.startswith("word/") else f"word/{target}"
+        data = self.pkg._read(name.lstrip("/"))
+        if data is None:
+            return
+        info = decode_image_header(data)
+        if info is None:
+            return
+        payload = reencode_png_like_pil(data)
+        if payload is None:
+            return  # non-PNG payloads: reference PIL-converts; out of scope
+        pic.image = {
+            "mimetype": "image/png",
+            "dpi": 72,
+            "size": {"width": float(info[0]), "height": float(info[1])},
+            "uri": ("data:image/png;base64,"
+                    + base64.b64encode(payload).decode("ascii")),
+        }
 
     # -- native charts ---------------------------------------------------------
     def _handle_chart(self, drawing) -> list:
@@ -1455,7 +1517,8 @@ class Converter:
                 drawings = [d for d in element.findall(f".//{_w('drawing')}")
                             if id(d) not in tb_node_ids]
                 if blips or vml:
-                    added.extend(self._handle_pictures(len(blips or vml)))
+                    added.extend(self._handle_pictures(
+                        len(blips or vml), blips=blips or None))
                     if element.find(f".//{_w('t')}") is not None:
                         added.extend(self._handle_paragraph(element))
                 elif drawings:
@@ -1495,8 +1558,7 @@ class Converter:
                 refs = {"header": {}, "footer": {}}
                 for kind in ("header", "footer"):
                     for ref in sectpr.findall(_w(f"{kind}Reference")):
-                        refs[kind][ref.get(_VAL) or "default"] = ref.get(
-                            f"{{{R}}}id")
+                        refs[kind][ref.get(_w("type")) or "default"] =                             ref.get(f"{{{R}}}id")
                 for kind, label in (("header", "page header"),
                                     ("footer", "page footer")):
                     order = (["first", "default"] if title_pg
@@ -1539,8 +1601,49 @@ class Converter:
         body = self.pkg.document.find(_w("body"))
         if body is not None:
             self._walk(body)
+        self._add_comments()
         self._add_headers_footers()
         return self.doc
+
+    def _add_comments(self) -> None:
+        """word/comments.xml -> comment_section groups on the notes
+        layer, appended after the body content; the anchored item's
+        ``comments`` field references the group (docx_comments golden).
+        Timestamps render as ISO-8601 with milliseconds and +00:00."""
+        root = self.pkg._xml("word/comments.xml")
+        if root is None:
+            return
+        import datetime as _dt
+        for idx, c in enumerate(root.findall(_w("comment"))):
+            cid = c.get(_w("id"))
+            author = c.get(_w("author"))
+            initials = c.get(_w("initials"))
+            date = c.get(_w("date"))
+            body_text = "\n".join(
+                self._para_text(p) for p in c.findall(_w("p"))).strip()
+            head = []
+            if author:
+                head.append(f"author: {author}"
+                            + (f" ({initials})" if initials else ""))
+            if date:
+                try:
+                    ts = _dt.datetime.fromisoformat(
+                        date.replace("Z", "+00:00"))
+                    stamp = ts.isoformat(timespec="milliseconds")
+                except ValueError:
+                    stamp = date
+                head.append(f"time: {stamp}")
+            text = f"[{', '.join(head)}]: {body_text}" if head else body_text
+            group = self.doc.add_group(
+                label="comment_section", name=f"comment-{idx}",
+                content_layer="notes")
+            self.doc.add_text(label="text", text=text, parent=group,
+                              content_layer="notes")
+            target_ref = self._comment_targets.get(cid)
+            if target_ref is not None:
+                target = self.doc.resolve(target_ref)
+                if hasattr(target, "comments"):
+                    target.comments.append(group.self_ref)
 
 
 def convert_docx(raw: bytes, name: str = "file", filename: str = "",

@@ -10,7 +10,8 @@ import pathlib
 import pytest
 
 from docling_spark.msword import DocxPackage, convert_docx
-from docling_spark.serialize import to_indented_text, to_markdown
+from docling_spark.serialize import (to_indented_text, to_json,
+                                     to_markdown)
 
 SRC = pathlib.Path("/root/reference/tests/data/docx/sources")
 GT = pathlib.Path("/root/reference/tests/data/docx/groundtruth")
@@ -133,3 +134,32 @@ def test_textbox_superset_of_golden_documented_reference_bug():
     content = [ln for ln in added if ln.strip()]
     for marker in dropped_markers:
         assert any(marker in ln for ln in content), marker
+
+
+# -------------------------------------------------------- json goldens
+
+# Out of byte-scope: shape/VML/EMF fixtures need rasterization (the
+# reference renders via PIL/LibreOffice), word_sample embeds a JPEG the
+# reference transcodes through libjpeg (bit-exact IDCT parity is not
+# reproducible in pure python), textbox bakes the reference lxml
+# id()-reuse artifact, unit_test_formatting combines the above.
+JSON_OUT_OF_SCOPE = {"docx_vml_images", "drawingml", "test_emf_docx",
+                     "textbox", "unit_test_formatting", "word_sample"}
+
+
+@pytest.mark.parametrize(
+    "stem", [n for n in _names() if n not in JSON_OUT_OF_SCOPE
+             and (GT / f"{n}.docx.json").exists()])
+def test_docx_json_golden_byte_identical(stem):
+    """26/32 docx json goldens byte-identical, NO masking (PIL-parity
+    PNG uris, detected code languages, comment sections, first-page
+    header/footer variants)."""
+    import hashlib
+    import json as _json
+    raw = (SRC / f"{stem}.docx").read_bytes()
+    bh = int.from_bytes(hashlib.sha256(raw).digest()[-8:], "big")
+    doc = convert_docx(raw, name=stem, filename=f"{stem}.docx",
+                       binary_hash=bh)
+    ours = _json.loads(to_json(doc))
+    theirs = _json.load(open(GT / f"{stem}.docx.json"))
+    assert ours == theirs
