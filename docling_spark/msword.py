@@ -1552,13 +1552,17 @@ class Converter:
         emitted: set[str] = set()
         saved_parents = dict(self.parents)
         self.content_layer = "furniture"
+        # a section without its own reference of a given type INHERITS
+        # the previous section's part (python-docx section semantics the
+        # reference walks, msword_backend.py:3563-3570) - refs accumulate
+        refs = {"header": {}, "footer": {}}
         try:
             for sectpr in sectprs:
                 title_pg = sectpr.find(_w("titlePg")) is not None
-                refs = {"header": {}, "footer": {}}
                 for kind in ("header", "footer"):
                     for ref in sectpr.findall(_w(f"{kind}Reference")):
-                        refs[kind][ref.get(_w("type")) or "default"] =                             ref.get(f"{{{R}}}id")
+                        refs[kind][ref.get(_w("type")) or "default"] = \
+                            ref.get(f"{{{R}}}id")
                 for kind, label in (("header", "page header"),
                                     ("footer", "page footer")):
                     order = (["first", "default"] if title_pg
@@ -1588,7 +1592,18 @@ class Converter:
                             content_layer="furniture")
                         self._force_new_code_block = True
                         self._pending_code_blank_lines = 0
-                        self._walk(part)
+                        # blips inside a header/footer resolve through the
+                        # PART's own rels, not the document rels
+                        base = target.lstrip("/").rsplit("/", 1)[-1]
+                        part_rels = self.pkg._rels(
+                            f"word/_rels/{base}.rels")
+                        doc_rels = self.rels
+                        if part_rels:
+                            self.rels = part_rels
+                        try:
+                            self._walk(part)
+                        finally:
+                            self.rels = doc_rels
         finally:
             self.content_layer = "body"
             self.parents = saved_parents

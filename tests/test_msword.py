@@ -142,16 +142,16 @@ def test_textbox_superset_of_golden_documented_reference_bug():
 # reference renders via PIL/LibreOffice), word_sample embeds a JPEG the
 # reference transcodes through libjpeg (bit-exact IDCT parity is not
 # reproducible in pure python), textbox bakes the reference lxml
-# id()-reuse artifact, unit_test_formatting combines the above.
+# id()-reuse artifact.
 JSON_OUT_OF_SCOPE = {"docx_vml_images", "drawingml", "test_emf_docx",
-                     "textbox", "unit_test_formatting", "word_sample"}
+                     "textbox", "word_sample"}
 
 
 @pytest.mark.parametrize(
     "stem", [n for n in _names() if n not in JSON_OUT_OF_SCOPE
              and (GT / f"{n}.docx.json").exists()])
 def test_docx_json_golden_byte_identical(stem):
-    """26/32 docx json goldens byte-identical, NO masking (PIL-parity
+    """27/32 docx json goldens byte-identical, NO masking (PIL-parity
     PNG uris, detected code languages, comment sections, first-page
     header/footer variants)."""
     import hashlib
