@@ -205,14 +205,12 @@ class StandardSecurityHandler:
         self.p = int(enc.get("P", -1)) & 0xFFFFFFFF
         self.encrypt_metadata = bool(enc.get("EncryptMetadata", True))
         self.file_id = file_id
-        # crypt-filter method: V4/V5 name the StmF/StrF filters in /CF
-        self.cfm = "V2"  # RC4 default
-        cf = enc.get("CF")
-        stmf = str(enc.get("StmF", "Identity"))
-        if isinstance(cf, dict) and stmf in cf and isinstance(cf[stmf], dict):
-            self.cfm = str(cf[stmf].get("CFM", "V2"))
-        elif self.v >= 5:
-            self.cfm = "AESV3"
+        # crypt-filter methods: V4/V5 name the StmF/StrF filters in /CF;
+        # pre-V4 has no filter machinery (RC4 per-object keys for both).
+        # StrF defaults to Identity, so a V4 doc can encrypt streams
+        # while leaving strings in the clear.
+        self.cfm = self._filter_method(enc, "StmF")
+        self.strf_cfm = self._filter_method(enc, "StrF")
         pwd = password.encode("latin-1", errors="replace")
         if self.r >= 5:
             valid = hashlib.sha256(pwd + self.u[32:40]).digest() \
@@ -224,6 +222,17 @@ class StandardSecurityHandler:
             self.key = self._key_r234(pwd)
             if not self._check_user_password():
                 raise ValueError("wrong PDF password")
+
+    def _filter_method(self, enc: dict, which: str) -> str:
+        if self.v < 4:
+            return "V2"
+        name = str(enc.get(which, "Identity"))
+        if name == "Identity":
+            return "Identity"
+        cf = enc.get("CF")
+        if isinstance(cf, dict) and name in cf and isinstance(cf[name], dict):
+            return str(cf[name].get("CFM", "V2"))
+        return "AESV3" if self.v >= 5 else "V2"
 
     def _check_user_password(self) -> bool:
         """Algorithm 4/5: recompute U from the derived key."""
@@ -253,11 +262,14 @@ class StandardSecurityHandler:
         return key[:n]
 
     def _key_r6(self, pwd: bytes, enc: dict) -> bytes:
-        # Algorithm 2.A (R6): SHA-256 family hash over password + salts
-        u = self.u
-        valid_salt, key_salt = u[32:40], u[40:48]
-        k = self._hash_r6(pwd, valid_salt, b"")
-        inter = self._hash_r6(pwd, key_salt, b"")
+        # Algorithm 2.A: the intermediate key unwraps /UE into the file
+        # key.  R5 (deprecated AES-256) uses plain SHA-256(pwd+key_salt);
+        # R6 runs the 2.B iterated hash.
+        key_salt = self.u[40:48]
+        if self.r == 5:
+            inter = hashlib.sha256(pwd + key_salt).digest()
+        else:
+            inter = self._hash_r6(pwd, key_salt, b"")
         ue = _as_bytes(enc.get("UE", b""))
         return aes_cbc_no_padding_decrypt(inter, b"\x00" * 16, ue)
 
@@ -274,7 +286,10 @@ class StandardSecurityHandler:
                 blk = bytes(x ^ y for x, y in zip(k1[off:off + 16], prev))
                 prev = _aes_encrypt_block(blk, rk)
                 e.extend(prev)
-            mod = e[-1] % 3 if e else 0
+            # Algorithm 2.B: select the digest by the first 16 bytes of E
+            # taken as a big-endian integer mod 3 (== byte-sum mod 3,
+            # since 256 = 1 mod 3)
+            mod = sum(e[:16]) % 3 if e else 0
             if mod == 0:
                 k = hashlib.sha256(bytes(e)).digest()
             elif mod == 1:
@@ -286,22 +301,28 @@ class StandardSecurityHandler:
                 break
         return k[:32]
 
-    def object_key(self, num: int, gen: int) -> bytes:
+    def object_key(self, num: int, gen: int, cfm: str) -> bytes:
         if self.r >= 5:
             return self.key
         h = hashlib.md5()
         h.update(self.key)
         h.update(struct.pack("<I", num)[:3])
         h.update(struct.pack("<I", gen)[:2])
-        if self.cfm == "AESV2":
+        if cfm == "AESV2":
             h.update(b"sAlT")
         return h.digest()[:min(len(self.key) + 5, 16)]
 
-    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+    def decrypt(self, data: bytes, num: int, gen: int,
+                string: bool = False) -> bytes:
+        """Decrypt a stream payload, or a string when ``string=True``
+        (strings route through /StrF - Identity leaves them as-is)."""
         if not data:
             return data
-        key = self.object_key(num, gen)
-        if self.cfm in ("AESV2", "AESV3"):
+        cfm = self.strf_cfm if string else self.cfm
+        if cfm == "Identity":
+            return data
+        key = self.object_key(num, gen, cfm)
+        if cfm in ("AESV2", "AESV3"):
             return aes_cbc_decrypt(key, data)
         return rc4(key, data)
 

@@ -685,11 +685,13 @@ class PdfDocument:
         if isinstance(obj, Stream):
             t = str(obj.dict.get("Type", ""))
             obj.dict = self._decrypt_object(obj.dict, num, gen)
-            if t != "XRef":
-                obj.raw = self._crypt.decrypt(obj.raw, num, gen)
+            if t == "XRef" or (t == "Metadata"
+                               and not self._crypt.encrypt_metadata):
+                return obj  # stored in the clear per spec
+            obj.raw = self._crypt.decrypt(obj.raw, num, gen)
             return obj
         if isinstance(obj, bytes):
-            return self._crypt.decrypt(obj, num, gen)
+            return self._crypt.decrypt(obj, num, gen, string=True)
         if isinstance(obj, dict):
             return {k: self._decrypt_object(v, num, gen)
                     for k, v in obj.items()}

@@ -38,6 +38,13 @@ def _has_doctype(text) -> bool:
         text = bytes(text)
         if text[:2] in (b"\xff\xfe", b"\xfe\xff"):   # UTF-16 payloads
             return _has_doctype(text.decode("utf-16", "replace"))
+        # expat also auto-detects BOM-less UTF-16 from a null-interleaved
+        # prolog ("<\x00?\x00" / "\x00<\x00?"); without this re-scan a
+        # UTF-16 DOCTYPE would slip past the byte-level matcher below
+        if text[:4:2] == b"<?" and text[1:4:2] == b"\x00\x00":
+            return _has_doctype(text.decode("utf-16-le", "replace"))
+        if text[:4:2] == b"\x00\x00" and text[1:4:2] == b"<?":
+            return _has_doctype(text.decode("utf-16-be", "replace"))
         ws, lt, pi, pi_end = b" \t\r\n", b"<", b"<?", b"?>"
         cm, cm_end, dt = b"<!--", b"-->", b"<!DOCTYPE"
         bom = b"\xef\xbb\xbf"

@@ -525,3 +525,183 @@ class TestEncryptedPdf:
         bad = engine.extract_pages(df, repartition=False).collect()[0]
         assert bad["status"] == "failure"
         assert "password" in (bad["error"] or "")
+
+
+class TestAes256Pdf:
+    """R5/R6 (AES-256) key derivation — round-5 ADVICE: Algorithm 2.B
+    must pick SHA-256/384/512 by the first 16 bytes of E as a
+    big-endian integer mod 3 (== byte-sum mod 3), and R5's
+    intermediate key is plain SHA-256(pwd+key_salt), no 2.B loop.
+    No R6 fixture ships with the reference, so these build synthetic
+    encrypted PDFs with an in-test writer and round-trip them."""
+
+    FILE_KEY = bytes(range(32))
+    VALID_SALT = b"VALSALT!"
+    KEY_SALT = b"KEYSALT!"
+    PLAINTEXT = b"BT /F1 12 Tf 72 720 Td (Secret R6 text) Tj ET"
+    STRING_PT = b"encrypted string value"
+
+    @staticmethod
+    def _cbc_enc(key, iv, data, pad=True):
+        from docling_spark.pdfcrypt import _aes_encrypt_block, _expand_key
+        if pad:
+            p = 16 - len(data) % 16
+            data = data + bytes([p]) * p
+        rk = _expand_key(key)
+        out, prev = bytearray(), iv
+        for off in range(0, len(data), 16):
+            blk = bytes(x ^ y for x, y in zip(data[off:off + 16], prev))
+            prev = _aes_encrypt_block(blk, rk)
+            out.extend(prev)
+        return bytes(out)
+
+    @classmethod
+    def _enc_obj(cls, data, pad=True):
+        """AESV3 per-object payload: random IV || CBC ciphertext.
+        Deterministic IV for test reproducibility."""
+        iv = b"\x11" * 16
+        return iv + cls._cbc_enc(cls.FILE_KEY, iv, data, pad=pad)
+
+    _build_cache: dict = {}
+
+    @classmethod
+    def _build(cls, r, pwd="1234", strf="StdCF", encrypt_metadata=True):
+        key = (r, pwd, strf, encrypt_metadata)
+        if key in cls._build_cache:
+            return cls._build_cache[key]
+        import hashlib
+
+        from docling_spark.pdfcrypt import StandardSecurityHandler as S
+        p = pwd.encode()
+        if r == 5:
+            uhash = hashlib.sha256(p + cls.VALID_SALT).digest()
+            inter = hashlib.sha256(p + cls.KEY_SALT).digest()
+        else:
+            uhash = S._hash_r6(p, cls.VALID_SALT, b"")
+            inter = S._hash_r6(p, cls.KEY_SALT, b"")
+        u = uhash + cls.VALID_SALT + cls.KEY_SALT
+        ue = cls._cbc_enc(inter, b"\x00" * 16, cls.FILE_KEY, pad=False)
+        o = b"\x00" * 48  # owner entries unused by user-password open
+        oe = b"\x00" * 32
+
+        stream_ct = cls._enc_obj(cls.PLAINTEXT)
+        if strf == "Identity":
+            string_out = cls.STRING_PT       # stored in the clear
+        else:
+            string_out = cls._enc_obj(cls.STRING_PT)
+        meta_xml = b"<?xpacket?><x:xmpmeta/>"
+        meta_out = meta_xml if not encrypt_metadata \
+            else cls._enc_obj(meta_xml)
+
+        em = "" if encrypt_metadata else " /EncryptMetadata false"
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R /Metadata 6 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Contents 4 0 R /PieceInfo << /T <"
+                + string_out.hex().encode() + b"> >> >>"),
+            4: (b"<< /Length " + str(len(stream_ct)).encode()
+                + b" >>\nstream\n" + stream_ct + b"\nendstream"),
+            5: ("<< /Filter /Standard /V 5 /R {r} /Length 256"
+                " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                " /StmF /StdCF /StrF /{strf}{em} /P -4"
+                " /U <{u}> /UE <{ue}> /O <{o}> /OE <{oe}> >>".format(
+                    r=r, strf=strf, em=em, u=u.hex(), ue=ue.hex(),
+                    o=o.hex(), oe=oe.hex()).encode()),
+            6: (b"<< /Type /Metadata /Subtype /XML /Length "
+                + str(len(meta_out)).encode() + b" >>\nstream\n"
+                + meta_out + b"\nendstream"),
+        }
+        out = bytearray(b"%PDF-1.7\n")
+        offsets = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+        xref_off = len(out)
+        out += b"xref\n0 7\n0000000000 65535 f \n"
+        for num in sorted(objs):
+            out += b"%010d 00000 n \n" % offsets[num]
+        out += (b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 5 0 R"
+                b" /ID [<00112233445566778899aabbccddeeff>"
+                b" <00112233445566778899aabbccddeeff>] >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % xref_off)
+        cls._build_cache[key] = bytes(out)
+        return cls._build_cache[key]
+
+    def _open(self, raw, pwd="1234"):
+        from docling_spark.pdfio import PdfDocument, Ref
+        doc = PdfDocument(raw, password=pwd)
+        page = doc.resolve(Ref(3, 0))
+        contents = doc.resolve(page["Contents"])
+        string = doc.resolve(page["PieceInfo"])["T"]
+        meta = doc.resolve(Ref(6, 0))
+        return contents.raw, string, meta.raw
+
+    def test_r6_roundtrip(self):
+        raw = self._build(6)
+        stream, string, meta = self._open(raw)
+        assert stream == self.PLAINTEXT
+        assert string == self.STRING_PT
+        assert meta == b"<?xpacket?><x:xmpmeta/>"
+
+    def test_r5_roundtrip(self):
+        # R5 intermediate key = plain SHA-256(pwd+key_salt) - the 2.B
+        # loop here would derive a different key and reject "1234"
+        stream, string, _ = self._open(self._build(5))
+        assert stream == self.PLAINTEXT and string == self.STRING_PT
+
+    def test_r6_wrong_password(self):
+        import pytest
+        with pytest.raises(ValueError, match="password"):
+            self._open(self._build(6), pwd="nope")
+
+    def test_strf_identity_leaves_strings_clear(self):
+        _, string, _ = self._open(self._build(6, strf="Identity"))
+        assert string == self.STRING_PT
+
+    def test_encrypt_metadata_false_skips_metadata_stream(self):
+        _, _, meta = self._open(self._build(6, encrypt_metadata=False))
+        assert meta == b"<?xpacket?><x:xmpmeta/>"
+
+    def test_hash_2b_matches_cleanroom_spec(self):
+        """Pin Algorithm 2.B against an independently-written spec
+        transcription (ISO 32000-2 7.6.4.3.4): K = SHA-256(pwd+salt);
+        repeat { K1 = (pwd+K+udata)*64; E = AES-128-CBC(K[:16],
+        iv=K[16:32], K1); K = {SHA-256,384,512}[E[:16] as BE int mod 3]
+        (E) } until round >= 64 and E[-1] <= round-32."""
+        import hashlib
+
+        from docling_spark.pdfcrypt import (StandardSecurityHandler,
+                                            _aes_encrypt_block,
+                                            _expand_key)
+
+        def spec_2b(pwd, salt, udata=b"", last_byte_rule=False):
+            k = hashlib.sha256(pwd + salt + udata).digest()
+            rnd = 0
+            while True:
+                rnd += 1
+                k1 = (pwd + k + udata) * 64
+                rk = _expand_key(k[:16])
+                prev, e = k[16:32], bytearray()
+                for off in range(0, len(k1), 16):
+                    blk = bytes(a ^ b for a, b in
+                                zip(k1[off:off + 16], prev))
+                    prev = _aes_encrypt_block(blk, rk)
+                    e += prev
+                sel = (e[-1] if last_byte_rule
+                       else int.from_bytes(bytes(e[:16]), "big")) % 3
+                k = (hashlib.sha256, hashlib.sha384,
+                     hashlib.sha512)[sel](bytes(e)).digest()
+                if rnd >= 64 and e[-1] <= rnd - 32:
+                    return k[:32]
+
+        diverged = 0
+        for pwd, salt in ((b"1234", b"VALSALT!"), (b"", b"\x00" * 8),
+                          (b"aZ9!", bytes(range(8)))):
+            got = StandardSecurityHandler._hash_r6(pwd, salt, b"")
+            assert got == spec_2b(pwd, salt), (pwd, salt)
+            # the round-4 bug selected the digest by E[-1] % 3; prove
+            # the vector set distinguishes the two rules
+            if got != spec_2b(pwd, salt, last_byte_rule=True):
+                diverged += 1
+        assert diverged > 0

@@ -54,3 +54,22 @@ def test_xbrl_instance_with_dtd_rejected():
     from docling_spark.xbrl import convert_xbrl
     with pytest.raises(xmlsafe.DTDForbidden):
         convert_xbrl(BOMB)
+
+
+def test_bomless_utf16_bomb_rejected():
+    """Round-5 ADVICE: expat auto-detects BOM-less UTF-16 from the
+    null-interleaved '<?' prolog, so the DOCTYPE guard must re-scan
+    after decoding — without it the bomb parses and expands."""
+    payload = BOMB.decode("ascii")
+    for enc in ("utf-16-le", "utf-16-be"):
+        with pytest.raises(xmlsafe.DTDForbidden):
+            xmlsafe.fromstring(payload.encode(enc))
+
+
+def test_bomless_utf16_plain_xml_still_parses():
+    # expat accepts BOM-less UTF-16 with an XML declaration; the guard
+    # must not reject clean documents
+    doc = "<?xml version='1.0'?><a><b>t</b></a>"
+    for enc in ("utf-16-le", "utf-16-be"):
+        root = xmlsafe.fromstring(doc.encode(enc))
+        assert root.tag == "a" and root[0].text == "t"
