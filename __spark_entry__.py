@@ -479,6 +479,26 @@ def _q_extract_misc(spark, sf_dir):
                       F.md5("md").alias("md_md5"))
 
 
+def _q_extract_vlm(spark, sf_dir):
+    """Chandra-OCR-2 HTML + dots.ocr JSON + DeepSeek-OCR markdown VLM
+    predictions through the Spark engine's content-sniff dispatch
+    (rows-only; fixture assertions pinned by tests/test_vlmparsers.py
+    and tests/test_deepseekocr.py)."""
+    import pathlib
+    _ensure_shipped(spark)
+    rows = []
+    for folder, pattern in (("html_chandra", "*.html"),
+                            ("json_dots", "*.json"),
+                            ("md_deepseek", "*.md")):
+        src = pathlib.Path(f"/root/reference/tests/data/{folder}/sources")
+        rows += [(f"https://fixtures.test/{folder}/{p.name}",
+                  p.read_bytes()) for p in sorted(src.glob(pattern))]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    res = engine.extract_pages(pages, repartition=False)
+    return res.select("url", "status", "n_texts", "n_tables", "n_pictures",
+                      F.md5("md").alias("md_md5"))
+
+
 def _q_extract_arxiv(spark, sf_dir):
     """Multi-file arXiv LaTeX projects through the Spark engine: each
     project's main.tex plus an {filename: bytes} inputs mapping for
@@ -689,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_jats_fixtures": _q_extract_jats,
         "extract_uspto_fixtures": _q_extract_uspto,
         "extract_misc_fixtures": _q_extract_misc,
+        "extract_vlm_fixtures": _q_extract_vlm,
         "pdf_text_cells": _q_pdf_text_cells,
         "extract_xbrl_fixtures": _q_extract_xbrl,
         "extract_arxiv_projects": _q_extract_arxiv,

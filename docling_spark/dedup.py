@@ -27,15 +27,23 @@ def normalized_text(col="text"):
 MAX_GROUP_IDS = 100
 
 
+SAMPLE_SALTS = 32
+
+
 def exact_duplicates(documents: DataFrame,
-                     max_ids: int = MAX_GROUP_IDS) -> DataFrame:
+                     max_ids: int = MAX_GROUP_IDS,
+                     n_salts: int = SAMPLE_SALTS) -> DataFrame:
     """Groups of byte-identical (normalized) docs: fingerprint -> ids.
 
     ``dup_count``/``keeper_id`` are exact; ``doc_ids`` carries only the
-    ``max_ids`` smallest member ids - the per-fingerprint row_number
-    filter bounds executor memory BEFORE the collect (a plain
-    collect_list + slice would still buffer the whole group).
-    """
+    ``max_ids`` smallest member ids, found with a TWO-PHASE SALTED
+    top-N: phase 1 takes the per-(fingerprint, salt) N smallest (the
+    sort task for a degenerate 10^8-member boilerplate fingerprint is
+    1/n_salts of the group, spread over n_salts parallel tasks), phase
+    2 merges the <= n_salts*N survivors per fingerprint - a bounded
+    input, so its per-fingerprint window cannot straggle. The overall
+    N smallest are a subset of the per-salt N smallest, so the result
+    is identical to a single global window (oracle-checked)."""
     fp = documents.select(
         "doc_id", F.md5(normalized_text()).alias("fingerprint"))
     counts = (
@@ -44,9 +52,17 @@ def exact_duplicates(documents: DataFrame,
              F.min("doc_id").alias("keeper_id"))
         .where(F.col("dup_count") > 1)
     )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    salted = fp.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)))
+    w1 = Window.partitionBy("fingerprint", "salt").orderBy("doc_id")
+    survivors = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= max_ids)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("fingerprint").orderBy("doc_id")
     sample = (
-        fp.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= max_ids)
         .groupBy("fingerprint")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
@@ -56,14 +72,18 @@ def exact_duplicates(documents: DataFrame,
 
 
 def dedup_keep_first(documents: DataFrame) -> DataFrame:
-    """Exact dedup: keep the smallest doc_id per fingerprint."""
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    """Exact dedup: keep the smallest doc_id per fingerprint.
+
+    Hash-aggregate (map-side partial min absorbs skewed fingerprints)
+    + semi-join on (fingerprint, keeper id) instead of a
+    per-fingerprint window sort - no single task ever sorts a
+    degenerate fingerprint's full membership."""
+    fpd = documents.withColumn("fingerprint", F.md5(normalized_text()))
+    keepers = fpd.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"))
     return (
-        documents
-        .withColumn("fingerprint", F.md5(normalized_text()))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn", "fingerprint")
+        fpd.join(keepers, ["fingerprint", "doc_id"], "left_semi")
+        .drop("fingerprint")
     )
 
 

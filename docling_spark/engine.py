@@ -106,6 +106,8 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
     from .msword import convert_docx
     from .odf import convert_odf
     from .deepseekocr import convert_deepseekocr
+    from .vlmparsers import (convert_chandra, convert_dots, sniff_chandra,
+                             sniff_dots)
     from .ebcdic import convert_ebcdic
     from .metsgbs import convert_metsgbs, looks_like_metsgbs
     from .pdfdoc import convert_pdf
@@ -222,6 +224,14 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                 elif ext == "boxnote":
                     doc = convert_boxnote(raw, name=name,
                                           filename=tail, binary_hash=bh)
+                elif ext in ("html", "htm") and sniff_chandra(raw):
+                    # chandra-ocr-2 VLM output: top-level divs with
+                    # data-bbox/data-label in a 0-1000 grid
+                    doc = convert_chandra(raw, name=name, filename=tail)
+                elif ext == "json" and sniff_dots(raw):
+                    # dots.ocr/dots.mocr VLM output: JSON array of
+                    # {bbox, category, text} layout elements
+                    doc = convert_dots(raw, name=name, filename=tail)
                 elif ext == "tex":
                     lx = ((latex_inputs or {}).get(name)
                           or (latex_inputs or {}).get(tail))

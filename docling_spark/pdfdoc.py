@@ -78,11 +78,12 @@ class _Block:
                 max(c.r for c in self.cells), max(c.b for c in self.cells))
 
     def prov_bbox(self) -> tuple[float, float, float, float]:
-        """Export bbox: glyph-INK vertical extents (reference parity);
-        layout decisions use the nominal bbox() instead."""
-        return (min(c.l for c in self.cells),
+        """Export bbox: CapHeight/scaled-Descent vertical extents and
+        whitespace-trimmed horizontal extents (reference cell-rect
+        parity); layout decisions use the nominal bbox() instead."""
+        return (min(getattr(c, "ink_l", c.l) for c in self.cells),
                 min(getattr(c, "ink_t", c.t) for c in self.cells),
-                max(c.r for c in self.cells),
+                max(getattr(c, "ink_r", c.r) for c in self.cells),
                 max(getattr(c, "ink_b", c.b) for c in self.cells))
 
 

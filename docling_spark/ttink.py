@@ -129,6 +129,12 @@ class TrueTypeInk:
         return a * 2, b * 2
 
     def _gid_box(self, gid: int, depth: int = 0) -> tuple | None:
+        """EXACT outline bbox (curve extrema, like FreeType's
+        FT_Outline_Get_BBox which docling-parse renders through), not
+        the glyf-header control box: quadratic off-curve points can
+        overshoot the ink, and the groundtruth loc grid is fine enough
+        to see the difference. Falls back to the header box when the
+        point data doesn't parse."""
         if depth > 4:
             return None
         try:
@@ -140,12 +146,164 @@ class TrueTypeInk:
         g = self.glyf_off + a
         n_contours, xmin, ymin, xmax, ymax = struct.unpack(
             ">hhhhh", self.data[g:g + 10])
-        # composite glyphs carry a valid bbox in the header too (required
-        # by spec) - trust it; recursion only if the header box is
-        # degenerate
         if xmin == ymin == xmax == ymax == 0 and n_contours < 0:
             return None
-        return (xmin, ymin, xmax, ymax)
+        header_box = (xmin, ymin, xmax, ymax)
+        try:
+            if n_contours >= 0:
+                exact = self._simple_exact_box(g, n_contours)
+            else:
+                exact = self._composite_box(g, depth)
+            return exact if exact is not None else header_box
+        except (struct.error, IndexError, ValueError):
+            return header_box
+
+    def _simple_exact_box(self, g: int, n_contours: int) -> tuple | None:
+        data = self.data
+        p = g + 10
+        end_pts = struct.unpack(f">{n_contours}H",
+                                data[p:p + 2 * n_contours])
+        p += 2 * n_contours
+        n_pts = (end_pts[-1] + 1) if end_pts else 0
+        if n_pts == 0:
+            return None
+        ins_len = struct.unpack(">H", data[p:p + 2])[0]
+        p += 2 + ins_len
+        flags = []
+        while len(flags) < n_pts:
+            fl = data[p]; p += 1
+            flags.append(fl)
+            if fl & 8:  # repeat
+                rep = data[p]; p += 1
+                flags.extend([fl] * rep)
+        flags = flags[:n_pts]
+        xs = []
+        v = 0
+        for fl in flags:
+            if fl & 2:
+                d = data[p]; p += 1
+                v += d if fl & 16 else -d
+            elif not fl & 16:
+                v += struct.unpack(">h", data[p:p + 2])[0]; p += 2
+            xs.append(v)
+        ys = []
+        v = 0
+        for fl in flags:
+            if fl & 4:
+                d = data[p]; p += 1
+                v += d if fl & 32 else -d
+            elif not fl & 32:
+                v += struct.unpack(">h", data[p:p + 2])[0]; p += 2
+            ys.append(v)
+        lo_x = lo_y = 1e9
+        hi_x = hi_y = -1e9
+        start = 0
+        for ce in end_pts:
+            n = ce - start + 1
+            if n <= 0:
+                start = ce + 1
+                continue
+            pts = [(xs[start + i], ys[start + i], bool(flags[start + i] & 1))
+                   for i in range(n)]
+            # rotate so the contour starts on-curve (insert implied
+            # midpoint when it is entirely off-curve)
+            if not pts[0][2]:
+                if pts[-1][2]:
+                    pts = pts[-1:] + pts[:-1]
+                else:
+                    mx = (pts[0][0] + pts[-1][0]) / 2.0
+                    my = (pts[0][1] + pts[-1][1]) / 2.0
+                    pts = [(mx, my, True)] + pts
+            cx, cy = pts[0][0], pts[0][1]
+            if cx < lo_x: lo_x = cx
+            if cx > hi_x: hi_x = cx
+            if cy < lo_y: lo_y = cy
+            if cy > hi_y: hi_y = cy
+            seq = pts[1:] + [pts[0]]
+            i = 0
+            while i < len(seq):
+                x1, y1, on1 = seq[i]
+                if on1:
+                    cx, cy = x1, y1
+                    i += 1
+                else:
+                    # quadratic: find the on-curve end (explicit or
+                    # implied midpoint)
+                    if i + 1 < len(seq):
+                        x2, y2, on2 = seq[i + 1]
+                        if not on2:
+                            x2, y2 = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+                            i += 1
+                        else:
+                            i += 2
+                    else:
+                        x2, y2 = pts[0][0], pts[0][1]
+                        i += 1
+                    for p0, p1, p2, is_x in ((cx, x1, x2, True),
+                                             (cy, y1, y2, False)):
+                        den = p0 - 2.0 * p1 + p2
+                        if den:
+                            t = (p0 - p1) / den
+                            if 0.0 < t < 1.0:
+                                v = ((1 - t) * (1 - t) * p0
+                                     + 2 * (1 - t) * t * p1 + t * t * p2)
+                                if is_x:
+                                    if v < lo_x: lo_x = v
+                                    if v > hi_x: hi_x = v
+                                else:
+                                    if v < lo_y: lo_y = v
+                                    if v > hi_y: hi_y = v
+                    cx, cy = x2, y2
+                if cx < lo_x: lo_x = cx
+                if cx > hi_x: hi_x = cx
+                if cy < lo_y: lo_y = cy
+                if cy > hi_y: hi_y = cy
+            start = ce + 1
+        if lo_x > hi_x:
+            return None
+        return (lo_x, lo_y, hi_x, hi_y)
+
+    def _composite_box(self, g: int, depth: int) -> tuple | None:
+        data = self.data
+        p = g + 10
+        lo_x = lo_y = 1e9
+        hi_x = hi_y = -1e9
+        while True:
+            flags, gi = struct.unpack(">HH", data[p:p + 4])
+            p += 4
+            if flags & 1:  # ARG_1_AND_2_ARE_WORDS
+                a1, a2 = struct.unpack(">hh", data[p:p + 4]); p += 4
+            else:
+                a1, a2 = struct.unpack(">bb", data[p:p + 2]); p += 2
+            sx = sy = 1.0
+            s01 = s10 = 0.0
+            if flags & 8:       # WE_HAVE_A_SCALE
+                sx = sy = struct.unpack(">h", data[p:p + 2])[0] / 16384.0
+                p += 2
+            elif flags & 0x40:  # X_AND_Y_SCALE
+                sx, sy = (v / 16384.0 for v in
+                          struct.unpack(">hh", data[p:p + 4]))
+                p += 4
+            elif flags & 0x80:  # 2x2
+                sx, s01, s10, sy = (v / 16384.0 for v in
+                                    struct.unpack(">hhhh", data[p:p + 8]))
+                p += 8
+            dx, dy = (a1, a2) if flags & 2 else (0, 0)  # ARGS_ARE_XY
+            sub = self._gid_box(gi, depth + 1)
+            if sub is not None:
+                x0, y0, x1, y1 = sub
+                for px, py in ((x0, y0), (x1, y0), (x0, y1), (x1, y1)):
+                    tx = sx * px + s10 * py + dx
+                    ty = s01 * px + sy * py + dy
+                    if tx < lo_x: lo_x = tx
+                    if tx > hi_x: hi_x = tx
+                    if ty < lo_y: lo_y = ty
+                    if ty > hi_y: hi_y = ty
+            if not flags & 0x20:  # MORE_COMPONENTS
+                break
+        if lo_x > hi_x:
+            return None
+        return (lo_x, lo_y, hi_x, hi_y)
 
     def ink_gid(self, gid: int):
         """Ink box by raw glyph id (subset fonts whose /Differences names

@@ -138,11 +138,28 @@ def test_textbox_superset_of_golden_documented_reference_bug():
 
 # -------------------------------------------------------- json goldens
 
-# Out of byte-scope: shape/VML/EMF fixtures need rasterization (the
-# reference renders via PIL/LibreOffice), word_sample embeds a JPEG the
-# reference transcodes through libjpeg (bit-exact IDCT parity is not
-# reproducible in pure python), textbox bakes the reference lxml
-# id()-reuse artifact.
+# FORMAL SCOPE-OUT (round-5 evidence, per file). Each of these five
+# json goldens bakes the output of a native rasterizer stack the
+# reference invokes (msexcel_backend.py:1152-1190 and
+# msword_backend.py:3056-3145: EMF/shape -> LibreOffice -> PDF ->
+# pypdfium2 render(scale=2) -> crop_whitespace -> PIL PNG encode);
+# reproducing it byte-exactly needs LibreOffice's vector rasterizer,
+# pdfium's AA renderer and libjpeg's IDCT, none reimplementable
+# deterministically in pure python:
+# - test_emf_docx: image{1,2}.emf (3.1 MB each) are
+#   HEADER/SETSTRETCHBLTMODE/ELLIPSE/STRETCHDIBITS/EOF - a photo DIB
+#   blitted under an ellipse, golden = 279x282 / 254x267 AA-rendered
+#   PNGs from the LibreOffice chain above.
+# - docx_vml_images: VML shapes re-rendered: source pngs are 587 B /
+#   426 B, goldens are 629 B / 510 B re-encodes at 200x200 / 150x150.
+# - drawingml: DrawingML vector shape groups rasterized to 664x226 /
+#   799x556 / 615x587 PNGs (no source bitmap exists for them at all).
+# - textbox: five shape-rendered PNGs (38x19..1058x230) plus the
+#   reference lxml id()-reuse artifact pinned in the md test.
+# - word_sample: 80 KB source PNG transcoded through libjpeg/PIL to a
+#   71 KB 397x397 PNG (bit-exact IDCT parity not reproducible).
+# Everything NOT bound to a native rasterizer in these files (text,
+# structure, prov) is already byte-identical via the md+itxt goldens.
 JSON_OUT_OF_SCOPE = {"docx_vml_images", "drawingml", "test_emf_docx",
                      "textbox", "word_sample"}
 

