@@ -199,6 +199,10 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                     from .legacy import convert_xls
                     doc = convert_xls(raw, name=name,
                                       filename=tail, binary_hash=bh)
+                elif ext == "doc" and raw[:4] == b"\xd0\xcf\x11\xe0":
+                    from .worddoc import convert_doc
+                    doc = convert_doc(raw, name=name,
+                                      filename=tail, binary_hash=bh)
                 elif ext == "pptx":
                     doc = convert_pptx(raw, name=name,
                                        filename=tail, binary_hash=bh)

@@ -198,10 +198,26 @@ def run_control(nproc: int, per_worker: int = 1500) -> dict:
     return json.loads(lines[-1])
 
 
+def _merge_leg(a: dict, b: dict) -> dict:
+    """Best across two interleaved passes of one leg (the sandbox shows
+    20-50% BETWEEN-process variance on top of within-process variance,
+    so each leg is sampled in two separate JVMs at different times)."""
+    out = dict(a if a["best_sec"] <= b["best_sec"] else b)
+    out["times"] = a["times"] + b["times"]
+    out["slim_times"] = a["slim_times"] + b["slim_times"]
+    sbest = min(out["slim_times"])
+    out["slim_docs_per_sec"] = round(a["docs"] / sbest, 1)
+    return out
+
+
 def run_pair(n: int, xn: int, pages_path: str, n_pages: int,
              reps: int) -> dict:
-    lo = run_spark(n, pages_path, reps)
-    hi = run_spark(xn, pages_path, reps)
+    # interleave low/high/low/high so both legs sample comparable box
+    # conditions; keep each leg's best across both passes
+    lo1 = run_spark(n, pages_path, reps)
+    hi1 = run_spark(xn, pages_path, reps)
+    lo = _merge_leg(lo1, run_spark(n, pages_path, reps))
+    hi = _merge_leg(hi1, run_spark(xn, pages_path, reps))
     factor = xn / n
     eff = hi["docs_per_sec"] / (factor * lo["docs_per_sec"])
     slim_eff = hi["slim_docs_per_sec"] / (factor * lo["slim_docs_per_sec"])
@@ -237,13 +253,21 @@ def main():
 
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # the 8v32 pair runs a 4x larger input: at 17k docs/s a 60k-doc job
+    # finishes in ~3.4s on 32 cores, so fixed job constants (submit,
+    # dispatch, tail) dominate what a real multi-executor run never
+    # sees - each of 1000 executors at 100 TB processes orders of
+    # magnitude more rows per task. Input stays IDENTICAL within each
+    # pair (the north-rule requirement).
+    n_pages_big = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_pages
 
     pages_path = pages_mod.ensure_pages(n_pages)
+    pages_path_big = pages_mod.ensure_pages(n_pages_big)
     # both N->4N pairs: the small pair isolates algorithmic scaling from
     # the sandbox's fixed constants; the big pair is the headline
     pairs = {
         "2_vs_8": run_pair(2, 8, pages_path, n_pages, reps),
-        "8_vs_32": run_pair(8, 32, pages_path, n_pages, reps),
+        "8_vs_32": run_pair(8, 32, pages_path_big, n_pages_big, reps),
     }
     # per-task dispatch constants: noop tasks (zero data, zero compute)
     # isolate the scheduler + python-worker round-trip tax at each
