@@ -333,6 +333,21 @@ def _q_dup_passages(spark, sf_dir):
     return textfns.duplicated_passage_stats(docs, block_words=20)
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII inventory + scrub (textfns.pii_scrub): email/IPv4/intl-phone
+    counts and the md5 of the masked text, all JVM regex algebra the
+    oracle recomputes byte-for-byte."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.pii_scrub(docs)
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters (textfns.repetition_stats):
+    duplicate-line fraction + most-frequent-2gram char fraction."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.repetition_stats(docs)
+
+
 def _q_emb_knn_ivf(spark, sf_dir):
     """IVF-flat ANN (similarity.ivf_topk): seeded coarse centroids,
     inverted-list assignment by nearest centroid, probe-limited exact
@@ -695,6 +710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_ivf": _q_emb_knn_ivf,
         "gopher_quality": _q_gopher_quality,
         "dup_passages": _q_dup_passages,
+        "pii_scrub": _q_pii_scrub,
+        "repetition_stats": _q_repetition_stats,
         "near_dup_groups": _q_near_dup_groups,
         "doc_chunks": _q_doc_chunks,
         "doc_confidence": _q_doc_confidence,
@@ -1319,6 +1336,88 @@ def oracle_sql() -> dict[str, str]:
                        AND (alpha_frac >= 0.8)
                        AND (n_stops >= 2) AS pass_gopher
             FROM m
+        """,
+        # PII-scrub twin (textfns.pii_scrub): same RE2 patterns, same
+        # email -> ip -> phone masking order, so counts AND the masked
+        # text md5 reproduce byte-for-byte
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS n_ipv4,
+                   len(regexp_extract_all(text, '\+\d[\d().-]{7,}\d'))
+                       AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                       '\+\d[\d().-]{7,}\d', '<PHONE>', 'g'))
+                       AS scrubbed_md5,
+                   length(text) - length(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                       '\+\d[\d().-]{7,}\d', '<PHONE>', 'g'))
+                       AS chars_removed
+            FROM documents
+        """,
+        # repetition twin (textfns.repetition_stats): duplicate-line
+        # fraction over non-blank lines + chars inside the most
+        # frequent word 2-gram (ties broken by the lexicographically
+        # LARGEST gram, matching Spark's max_by(struct(c, g)))
+        "repetition_stats": r"""
+            WITH lines AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM documents
+            ), nb AS (
+                SELECT doc_id, n_chars, line, length(line) AS lc
+                FROM lines WHERE trim(line) <> ''
+            ), per_line AS (
+                SELECT doc_id, n_chars, line, lc, count(*) AS c
+                FROM nb GROUP BY ALL
+            ), line_stats AS (
+                SELECT doc_id, n_chars,
+                       1.0 - count(*) / CAST(sum(c) AS DOUBLE)
+                           AS dup_line_frac,
+                       sum(CASE WHEN c > 1 THEN c * lc ELSE 0 END)
+                           / CAST(sum(c * lc) AS DOUBLE)
+                           AS dup_line_char_frac
+                FROM per_line GROUP BY doc_id, n_chars
+            ), words AS (
+                SELECT doc_id, length(text) AS n_chars,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, n_chars,
+                       w[i] || ' ' || w[i + 1] AS g
+                FROM words, unnest(range(1, greatest(len(w), 2))) AS t(i)
+            ), gram_counts AS (
+                SELECT doc_id, n_chars, g, count(*) AS c
+                FROM grams WHERE length(g) > 1 GROUP BY ALL
+            ), top AS (
+                SELECT doc_id, n_chars, g, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, g DESC) AS rn
+                FROM gram_counts
+            )
+            SELECT ls.doc_id,
+                   round(ls.dup_line_frac, 6) AS dup_line_frac,
+                   round(ls.dup_line_char_frac, 6) AS dup_line_char_frac,
+                   round(t.c * length(t.g)
+                         / CAST(greatest(t.n_chars, 1) AS DOUBLE), 6)
+                       AS top_2gram_char_frac
+            FROM line_stats ls
+            LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+                   ON ls.doc_id = t.doc_id
         """,
         # duplicated-passage twin (textfns.duplicated_passage_stats):
         # identical disjoint 20-word blocks, df = distinct docs per exact

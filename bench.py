@@ -127,6 +127,7 @@ def main() -> None:
         "emb_knn_bruteforce", "minhash_near_dups", "simhash_near_dups",
         "emb_knn_lsh", "emb_knn_ivf", "doc_chunks", "near_dup_groups",
         "doc_confidence", "gopher_quality", "dup_passages",
+        "pii_scrub", "repetition_stats",
     ]
     for name in bench_queries:
         fn = qs[name]

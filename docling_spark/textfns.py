@@ -296,3 +296,84 @@ def doc_fingerprints(documents, window: int = 8, stride: int = 4,
         F.array_join(F.slice(F.array_sort(guarded), 1, k), ",")
          .alias("sketch"),
         F.length("_s").alias("n_chars")))
+
+
+# ------------------------------------------------- PII scrubbing
+
+# RE2-compatible patterns (identical semantics in Spark's Java regex and
+# DuckDB's RE2, so the oracle recomputes counts and masked text exactly)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d().-]{7,}\d"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Per-doc PII inventory + scrubbed text (training-data hygiene):
+    counts of emails / IPv4s / +intl-phone spans and the md5 of the
+    text with each span replaced by a typed mask token. Pure JVM
+    column algebra (regexp_count / regexp_replace - no UDF); masking
+    order email -> ip -> phone is fixed so the oracle's nesting
+    reproduces the bytes."""
+    t = F.col("text")
+    masked = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.md5(masked).alias("scrubbed_md5"),
+        (F.length(t) - F.length(masked)).alias("chars_removed"))
+
+
+# --------------------------------------- repetition (Gopher filters)
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (DeepMind Gopher paper, Rae et
+    al. 2021, table A1): duplicate-LINE fraction and the fraction of
+    characters inside the most frequent word 2-gram. One explode +
+    two-level aggregation per signal; no UDFs, no windows over raw
+    text."""
+    lines = documents.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        F.explode(F.filter(
+            F.split(F.col("text"), "\n"),
+            lambda x: F.trim(x) != "")).alias("line"))
+    per_line = (lines.withColumn("lc", F.length("line"))
+                .groupBy("doc_id", "n_chars", "line", "lc")
+                .agg(F.count(F.lit(1)).alias("c")))
+    line_stats = per_line.groupBy("doc_id", "n_chars").agg(
+        (1.0 - F.count(F.lit(1)) / F.sum("c")).alias("dup_line_frac"),
+        (F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("lc"))
+               .otherwise(0)) / F.sum(F.col("c") * F.col("lc")))
+        .alias("dup_line_char_frac"))
+
+    words = documents.select(
+        "doc_id", F.length("text").alias("n_chars"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    grams = words.select(
+        "doc_id", "n_chars",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(size(w) - 1, 1)),"
+            " i -> concat(w[i-1], ' ', w[i]))")).alias("g"))
+    gram_counts = (grams.where(F.length("g") > 1)
+                   .groupBy("doc_id", "n_chars", "g")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    top = gram_counts.groupBy("doc_id", "n_chars").agg(
+        F.max_by(F.struct("c", "g"), F.struct("c", "g")).alias("t"))
+    gram_stats = top.select(
+        "doc_id",
+        (F.col("t.c") * F.length("t.g")
+         / F.greatest(F.col("n_chars"), F.lit(1)))
+        .alias("top_2gram_char_frac"))
+
+    return (line_stats.join(gram_stats, "doc_id", "left")
+            .select("doc_id",
+                    F.round("dup_line_frac", 6).alias("dup_line_frac"),
+                    F.round("dup_line_char_frac", 6)
+                     .alias("dup_line_char_frac"),
+                    F.round("top_2gram_char_frac", 6)
+                     .alias("top_2gram_char_frac")))

@@ -605,3 +605,32 @@ def test_dedup_keep_first_no_window_sort(spark):
     assert "Window" not in plan, plan
     kept = sorted(r["doc_id"] for r in q.collect())
     assert kept == [1, 3, 5]
+
+
+def test_pii_scrub_values(spark):
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "mail me at a.b+c@test-site.org or 10.0.0.1 ok"),
+         (2, "call +1 (555) 123-4567 nope, call +15551234567 yes"),
+         (3, "clean text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textfns.pii_scrub(docs).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ipv4"] == 1
+    # "+1 (555) ..." has a space so only the compact intl form matches
+    assert out[2]["n_phones"] == 1
+    assert out[3]["n_emails"] == out[3]["n_ipv4"] == out[3]["n_phones"] == 0
+    assert out[3]["chars_removed"] == 0
+
+
+def test_repetition_stats_values(spark):
+    from docling_spark import textfns
+    text = "dup line\nunique one\ndup line\nother two"
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b a b a b")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textfns.repetition_stats(docs).collect()}
+    # 4 lines, 3 distinct -> dup_line_frac 0.25; dup chars 16/35
+    assert out[1]["dup_line_frac"] == 0.25
+    assert abs(out[1]["dup_line_char_frac"] - 16 / 35) < 1e-6
+    # "a b" occurs 3x among 5 grams; 3*3/11 chars
+    assert abs(out[2]["top_2gram_char_frac"] - 9 / 11) < 1e-6

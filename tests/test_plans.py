@@ -110,3 +110,20 @@ def test_emb_cosine_dups_no_cartesian_no_udf(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_pii_scrub_single_projection(spark):
+    """PII scrub is one scan-side projection: regexp_count/replace stay
+    in whole-stage codegen - no shuffle, no Python."""
+    plan = _plan(spark, "pii_scrub")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_no_cartesian_no_udf(spark):
+    """Repetition filters: explode + hash aggregations + one equi-join
+    on doc_id, all JVM-side."""
+    plan = _plan(spark, "repetition_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
