@@ -233,11 +233,31 @@ def convert_dots(data: bytes, name: str = "file",
                            filename=filename or f"{name}.json")
 
 
+_CHANDRA_FIRST_DIV = re.compile(
+    rb'\A\s*<div\s[^>]*data-bbox="\d+\s+\d+\s+\d+\s+\d+"[^>]*'
+    rb'data-label="([^"]+)"')
+_CHANDRA_FIRST_DIV_REV = re.compile(
+    rb'\A\s*<div\s[^>]*data-label="([^"]+)"[^>]*'
+    rb'data-bbox="\d+\s+\d+\s+\d+\s+\d+"')
+
+
 def sniff_chandra(data: bytes) -> bool:
-    """A chandra payload is HTML whose top-level divs carry both
-    data-bbox and data-label attributes."""
+    """A chandra payload is a bare sequence of top-level
+    ``<div data-bbox data-label>`` blocks (chandra-ocr-2 VLM output; the
+    reference only ever feeds this parser VLM responses, never crawled
+    pages — ``docling/utils/chandra_utils.py:1-6``).
+
+    The sniff therefore requires the FIRST non-whitespace element to be
+    such a div with a numeric 0-1000 bbox and a known chandra label
+    value; ordinary crawled HTML (doctype/<html>/<head> first, or pages
+    that merely mention data-bbox somewhere) never matches.
+    """
     head = data[:4096]
-    return b"data-bbox=" in head and b"data-label=" in head
+    m = _CHANDRA_FIRST_DIV.match(head) or _CHANDRA_FIRST_DIV_REV.match(head)
+    if not m:
+        return False
+    label = m.group(1).decode("utf-8", errors="replace")
+    return label in _CHANDRA_LABEL_MAP
 
 
 def sniff_dots(data: bytes) -> bool:

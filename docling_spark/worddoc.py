@@ -30,6 +30,7 @@ contribute their cached result text only.
 
 from __future__ import annotations
 
+import bisect
 import io
 import struct
 import zipfile
@@ -66,7 +67,14 @@ def _sprm_operand_len(sprm: int, grp: bytes, i: int) -> int:
         return 3
     if spra == 3:
         return 4
-    # spra == 6: variable, first operand byte = size
+    # spra == 6: variable. The documented exception ([MS-DOC] 2.6.3)
+    # is sprmTDefTable/sprmTDefTable10 (0xD608/0xD606): the operand
+    # starts with a 2-byte cb = "bytes used by the remainder of this
+    # structure, incremented by 1", so the operand spans cb + 1 bytes.
+    # Every other spra==6 sprm has a 1-byte size prefix.
+    if sprm in (0xD608, 0xD606):
+        cb = struct.unpack_from("<H", grp, i)[0]
+        return cb + 1
     return 1 + grp[i]
 
 
@@ -109,6 +117,11 @@ class DocFile:
         self._parse_pieces()
         self.paragraphs = self._parse_papx()
         self.runs = self._parse_chpx()
+        # CHPX runs are disjoint (each FKP covers a distinct fc range),
+        # so a bisect over the sorted starts replaces the linear scan -
+        # char_props/run_end_at are O(log R), keeping heavily-formatted
+        # multi-MB docs (10^5+ runs) linear overall instead of O(R^2)
+        self._run_starts = [a for (a, _, _) in self.runs]
         self.style_names = self._parse_stsh()
         self.lfo_fmt = self._parse_lists()
 
@@ -237,10 +250,21 @@ class DocFile:
         return out
 
     def char_props(self, cp: int) -> dict:
-        for (a, b, props) in self.runs:
+        j = bisect.bisect_right(self._run_starts, cp) - 1
+        if 0 <= j < len(self.runs):
+            a, b, props = self.runs[j]
             if a <= cp < b:
                 return props
         return {}
+
+    def run_end_at(self, cp: int) -> int | None:
+        """End cp of the run covering ``cp`` (None if uncovered)."""
+        j = bisect.bisect_right(self._run_starts, cp) - 1
+        if 0 <= j < len(self.runs):
+            a, b, _ = self.runs[j]
+            if a <= cp < b:
+                return b
+        return None
 
     # -- stylesheet -------------------------------------------------------
     def _parse_stsh(self):
@@ -406,12 +430,8 @@ def doc_to_docx(data: bytes) -> bytes:
         cp = cp0
         while cp < cp1:
             props = doc.char_props(cp)
-            # find run end
-            run_end = cp1
-            for (a, b, _) in doc.runs:
-                if a <= cp < b:
-                    run_end = min(b, cp1)
-                    break
+            b = doc.run_end_at(cp)
+            run_end = min(b, cp1) if b is not None else cp1
             chunk = doc.text_range(cp, run_end)
             buf = []
             for ch in chunk:
@@ -567,8 +587,8 @@ def doc_to_docx(data: bytes) -> bytes:
             based = '<w:basedOn w:val="Heading"/>'
         else:
             based = '<w:basedOn w:val="Normal"/>'
-        styles.append(_STYLE_XML.format(sid=sid, name=escape(name),
-                                        based=based))
+        styles.append(_STYLE_XML.format(
+            sid=sid, name=escape(name, {'"': "&quot;"}), based=based))
 
     nums = []
     for num_id, fmt in sorted(numbering_used.items()):

@@ -173,6 +173,21 @@ class TestDispatch:
         assert sniff_chandra(
             (CHANDRA / "chandra_simple.html").read_bytes())
         assert not sniff_chandra(b"<html><body>regular page</body></html>")
+        # crawled page that merely CONTAINS the attributes must not
+        # dispatch to the VLM parser (it drops non-div content)
+        assert not sniff_chandra(
+            b'<!DOCTYPE html><html><head><title>t</title></head><body>'
+            b'<p>intro</p><div data-bbox="1 2 3 4" data-label="Text">'
+            b'x</div></body></html>')
+        # first-div shape but an unknown label value: not chandra output
+        assert not sniff_chandra(
+            b'<div data-bbox="1 2 3 4" data-label="promo-banner">x</div>')
+        # non-numeric bbox: not chandra output
+        assert not sniff_chandra(
+            b'<div data-bbox="a b c d" data-label="Text">x</div>')
+        # attribute order reversed is still chandra
+        assert sniff_chandra(
+            b'<div data-label="Text" data-bbox="1 2 3 4">x</div>')
         assert sniff_dots((DOTS / "dots_simple.json").read_bytes())
         assert not sniff_dots(b'{"bbox": [1,2,3,4]}')  # not an array
         assert not sniff_dots(b'[{"x": 1}]')
