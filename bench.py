@@ -3,12 +3,23 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": <sf>, ...extras}
+   "queries": {...per-query MEDIAN sec...}, "sf": <sf>, ...extras}
+
+Measurement protocol (round 6): the sandbox shows 20-50% run-to-run
+variance between processes and sizeable within-process noise, so every
+leg is sampled N times (default 3) in INTERLEAVED passes - pass 1 runs
+every leg once, then pass 2, then pass 3 - so each leg's samples see
+comparable (and slowly-varying) box conditions. The recorded value per
+query is the MEDIAN; per-query IQR is emitted as ``iqr_<name>`` and the
+suite-level ``noise_floor`` (median relative IQR across legs) tells the
+round-over-round comparator how big a delta must be before it means
+anything. Same approach as tools/scaling.py's interleaved legs.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[] parallelism (default 32)
   BENCH_PAGES_ROWS    pages-table rows for the extraction leg (default scaled)
+  BENCH_REPS          interleaved passes per leg (default 3)
 """
 
 from __future__ import annotations
@@ -16,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import statistics
 import sys
 import time
 
@@ -23,6 +35,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_REPS = max(1, int(os.environ.get("BENCH_REPS", "3")))
 
 
 def sf_of(path: str) -> float:
@@ -31,6 +44,17 @@ def sf_of(path: str) -> float:
         return float(name.replace("sf", ""))
     except ValueError:
         return 0.0
+
+
+def _median(xs: list[float]) -> float:
+    return statistics.median(xs)
+
+
+def _iqr(xs: list[float]) -> float:
+    if len(xs) < 2:
+        return 0.0
+    q = statistics.quantiles(xs, n=4, method="inclusive")
+    return q[2] - q[0]
 
 
 def main() -> None:
@@ -59,39 +83,26 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
-    # ---- headline: extraction throughput --------------------------------
+    # ---- leg definitions -------------------------------------------------
     pages = spark.read.parquet(pages_path)
     html_bytes = pages.selectExpr("sum(length(html)) b").collect()[0]["b"]
-    # warm python workers (one real task per core) so the measured leg is
-    # steady-state throughput, not process spawn
-    warm = (spark.range(CPUS * 4)
-            .selectExpr("cast(id as string) url",
-                        "cast('<p>warm</p>' as binary) html")
-            .repartition(CPUS))
-    engine.extract_pages(warm, repartition=False).count()
-    # best of 2: the sandbox shows 20-50% run-to-run variance
-    t_extract = None
-    for _ in range(2):
-        t0 = time.perf_counter()
+
+    agg_holder: dict = {}
+
+    def leg_extract():
         res = engine.extract_pages(pages, num_partitions=CPUS)
-        agg = res.selectExpr(
+        agg_holder["html"] = res.selectExpr(
             "count(*) docs",
             "sum(case when status='success' then 1 else 0 end) ok",
             "sum(length(md)) md_bytes").collect()[0]
-        dt = time.perf_counter() - t0
-        t_extract = dt if t_extract is None or dt < t_extract else t_extract
-    timings["extract_pages"] = round(t_extract, 3)
-    extras["extract_docs"] = agg["docs"]
-    extras["extract_ok"] = agg["ok"]
-    extras["docs_per_sec"] = round(agg["docs"] / t_extract, 2)
-    extras["html_mb_per_sec"] = round(html_bytes / 1e6 / t_extract, 2)
 
-    # ---- headline 2: PDF extraction throughput (pure-Python parse) ------
-    import pathlib as _pl
-    pdf_src = _pl.Path("/root/reference/tests/data/pdf/sources")
+    legs: list[tuple[str, object]] = [("extract_pages", leg_extract)]
+
+    pdf_src = pathlib.Path("/root/reference/tests/data/pdf/sources")
     if pdf_src.exists():
         fixtures = [(p.name, p.read_bytes())
                     for p in sorted(pdf_src.glob("*.pdf"))]
@@ -101,23 +112,18 @@ def main() -> None:
                 for i in range(reps) for (name, raw) in fixtures][:n_pdf]
         pdf_df = spark.createDataFrame(rows, "url string, html binary") \
             .repartition(CPUS)
-        t0 = time.perf_counter()
-        # total_pages comes from the engine-emitted n_pages column, not a
-        # hard-coded per-fixture dict (stays correct if the corpus changes)
-        pagg = engine.extract_pages(pdf_df, repartition=False).selectExpr(
-            "count(*) docs",
-            "sum(case when status='success' then 1 else 0 end) ok",
-            "sum(n_pages) pages"
-        ).collect()[0]
-        dt = time.perf_counter() - t0
-        timings["extract_pdf"] = round(dt, 3)
-        extras["pdf_docs"] = pagg["docs"]
-        extras["pdf_ok"] = pagg["ok"]
-        extras["pdf_pages"] = int(pagg["pages"] or 0)
-        extras["pdf_pages_per_sec"] = round((pagg["pages"] or 0) / dt, 2)
-        extras["pdf_docs_per_sec"] = round(pagg["docs"] / dt, 2)
 
-    # ---- operator queries over the sf tables -----------------------------
+        def leg_pdf():
+            # total_pages from the engine-emitted n_pages column, not a
+            # hard-coded per-fixture dict (stays correct if corpus changes)
+            agg_holder["pdf"] = engine.extract_pages(
+                pdf_df, repartition=False).selectExpr(
+                "count(*) docs",
+                "sum(case when status='success' then 1 else 0 end) ok",
+                "sum(n_pages) pages").collect()[0]
+
+        legs.append(("extract_pdf", leg_pdf))
+
     qs = entrymod.queries()
     bench_queries = [
         "tpch_q1_pricing_summary", "tpch_q3_top_orders", "region_revenue",
@@ -129,27 +135,86 @@ def main() -> None:
         "doc_confidence", "gopher_quality", "dup_passages",
         "pii_scrub", "repetition_stats",
     ]
+
+    def make_query_leg(fn):
+        def leg():
+            agg_holder["rows_last"] = fn(spark, SF_DIR).count()
+        return leg
+
+    row_counts: dict[str, int] = {}
     for name in bench_queries:
-        fn = qs[name]
-        try:
-            # best-of-2 (matches the extraction leg): a one-off GC/worker
-            # hiccup must not poison the permanent record
-            runs = []
-            n = None
-            for _ in range(2):
+        legs.append((name, make_query_leg(qs[name])))
+
+    # ---- warm python workers (one real task per core) so pass 1 measures
+    # steady-state throughput, not process spawn --------------------------
+    warm = (spark.range(CPUS * 4)
+            .selectExpr("cast(id as string) url",
+                        "cast('<p>warm</p>' as binary) html")
+            .repartition(CPUS))
+    engine.extract_pages(warm, repartition=False).count()
+
+    # ---- interleaved passes ---------------------------------------------
+    # pass 0 is an unrecorded warm pass: the first execution of every
+    # leg pays one-time plan-compile/codegen cost, which would inflate
+    # the IQR (the medians barely move but the noise floor would read
+    # cold-start, not steady-state). Skippable via BENCH_WARM=0.
+    warm_passes = int(os.environ.get("BENCH_WARM", "1"))
+    for _pass in range(warm_passes + N_REPS):
+        recorded = _pass >= warm_passes
+        for name, leg in legs:
+            if name in errors:
+                continue
+            try:
                 t0 = time.perf_counter()
-                n = fn(spark, SF_DIR).count()
-                runs.append(time.perf_counter() - t0)
-            timings[name] = round(min(runs), 3)
-            extras[f"rows_{name}"] = n
-            spread = max(runs) - min(runs)
-            if spread > 0.5 * max(min(runs), 0.2):
-                extras[f"var_{name}"] = round(spread, 3)
-        except Exception as e:  # keep the bench line parseable
+                leg()
+                dt = time.perf_counter() - t0
+                if recorded:
+                    samples.setdefault(name, []).append(dt)
+                if "rows_last" in agg_holder:
+                    row_counts[name] = agg_holder.pop("rows_last")
+            except Exception as e:  # keep the bench line parseable
+                errors[name] = type(e).__name__
+
+    # ---- aggregate -------------------------------------------------------
+    timings: dict[str, float] = {}
+    rel_iqrs: list[float] = []
+    for name, _ in legs:
+        if name in errors or not samples.get(name):
             timings[name] = -1.0
-            extras[f"error_{name}"] = f"{type(e).__name__}"
+            extras[f"error_{name}"] = errors.get(name, "no_sample")
+            continue
+        xs = samples[name]
+        med = _median(xs)
+        iqr = _iqr(xs)
+        timings[name] = round(med, 3)
+        extras[f"iqr_{name}"] = round(iqr, 3)
+        if med > 0.05:
+            rel_iqrs.append(iqr / med)
+    for name, n in row_counts.items():
+        extras[f"rows_{name}"] = n
+
+    t_extract = timings.get("extract_pages", -1.0)
+    if t_extract > 0 and "html" in agg_holder:
+        agg = agg_holder["html"]
+        extras["extract_docs"] = agg["docs"]
+        extras["extract_ok"] = agg["ok"]
+        extras["docs_per_sec"] = round(agg["docs"] / t_extract, 2)
+        extras["html_mb_per_sec"] = round(
+            html_bytes / 1e6 / t_extract, 2)
+    t_pdf = timings.get("extract_pdf", -1.0)
+    if t_pdf > 0 and "pdf" in agg_holder:
+        pagg = agg_holder["pdf"]
+        extras["pdf_docs"] = pagg["docs"]
+        extras["pdf_ok"] = pagg["ok"]
+        extras["pdf_pages"] = int(pagg["pages"] or 0)
+        extras["pdf_pages_per_sec"] = round((pagg["pages"] or 0) / t_pdf, 2)
+        extras["pdf_docs_per_sec"] = round(pagg["docs"] / t_pdf, 2)
 
     total = round(sum(t for t in timings.values() if t > 0), 3)
+    # suite noise floor: median relative IQR across legs - a
+    # round-over-round delta smaller than this is indistinguishable
+    # from sandbox noise
+    noise_floor = round(_median(rel_iqrs), 3) if rel_iqrs else 0.0
     out = {
         "metric": "extraction+operator suite wall time",
         "value": total,
@@ -157,6 +222,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": CPUS,
+        "reps": N_REPS,
+        "stat": "median",
+        "noise_floor": noise_floor,
         **extras,
     }
     print(json.dumps(out))

@@ -472,12 +472,12 @@ def test_pdf_md_diff_ratchet():
     SRC = pathlib.Path("/root/reference/tests/data/pdf/sources")
     GT = pathlib.Path("/root/reference/tests/data/pdf/groundtruth")
     ceilings = {
-        "amt_handbook_sample": 10,
-        "normal_4pages": 170,
-        "redp5110_sampled": 440,
-        "right_to_left_02": 16,
-        "right_to_left_03": 85,
-        "table_mislabeled_as_picture": 140,
+        "amt_handbook_sample": 8,
+        "normal_4pages": 160,
+        "redp5110_sampled": 430,
+        "right_to_left_02": 12,
+        "right_to_left_03": 80,
+        "table_mislabeled_as_picture": 130,
     }
     for stem, ceiling in ceilings.items():
         raw = (SRC / f"{stem}.pdf").read_bytes()
@@ -486,6 +486,167 @@ def test_pdf_md_diff_ratchet():
         n = sum(1 for ln in difflib.unified_diff(
             gt.splitlines(), md.splitlines()) if ln[:1] in "+-")
         assert n <= ceiling, (stem, n, ceiling)
+
+
+class TestGroundtruthSpacingArtifact:
+    """Formal scope-out for amt_handbook_sample's 8 residual md diff
+    lines (all single-vs-double word-spacing): the groundtruth's own
+    decisions are PROVABLY inconsistent with every rule of the form
+    "emit a second space iff the residual gap after a space glyph
+    exceeds a threshold" - for ANY threshold, including thresholds
+    computed per line from the show operator's parameters.  Each test
+    below measures the actual glyph geometry from the PDF bytes, the
+    actual operator encoding from the decoded content stream, and the
+    actual spacing choice from the groundtruth md, and asserts the
+    contradiction.  The doubling decision therefore lives in internal
+    state of the reference's docling-parse v4 C++ tokenizer (not
+    shipped in /root/reference), unreachable from the page content.
+
+    (The only varying quantity across the counterexample pairs is the
+    residual itself; operator type, font, size, Tw, scale - and for
+    the within-TJ pair literally every byte of context - are equal.)
+    """
+
+    SRC = pathlib.Path(
+        "/root/reference/tests/data/pdf/sources/amt_handbook_sample.pdf")
+    GTMD = pathlib.Path(
+        "/root/reference/tests/data/pdf/groundtruth/amt_handbook_sample.md")
+
+    @pytest.fixture(scope="class")
+    def page0(self):
+        from docling_spark.pdfio import PdfDocument, decode_stream
+        from docling_spark.pdftext import PdfTextExtractor
+        raw = self.SRC.read_bytes()
+        doc = PdfDocument(raw)
+        page = list(doc.pages())[0]
+        glyphs = PdfTextExtractor(doc).page_glyphs(page)
+        r = doc.resolve
+        cont = r(page.get("Contents"))
+        stream = (decode_stream(cont, r) if not isinstance(cont, list)
+                  else b"".join(decode_stream(r(c), r) for c in cont))
+        return glyphs, stream, self.GTMD.read_text()
+
+    @staticmethod
+    def _residuals_after_spaces(glyphs, anchor, span):
+        """Measured gap between each space glyph's right edge and the
+        next glyph, inside the text region [anchor, anchor+span)."""
+        txt = "".join(g[4] for g in glyphs)
+        i = txt.find(anchor)
+        assert i >= 0, anchor
+        off, gi0, gi1 = 0, None, None
+        for gi, g in enumerate(glyphs):
+            if off >= i and gi0 is None:
+                gi0 = gi
+            off += len(g[4])
+            if off > i + span:
+                gi1 = gi
+                break
+        run = glyphs[gi0:gi1]
+        return [round(g[0] - (p[0] + p[2]), 4)
+                for p, g in zip(run, run[1:])
+                if p[4] == " " and g[4] != " "]
+
+    def test_no_threshold_separates_the_two_tj_lines(self, page0):
+        """Counterexample 1 (within plain-Tj lines): the groundtruth
+        double-spaces the line whose word gaps are 1.22 pt and
+        single-spaces the line whose word gaps are 1.26 pt.  Any
+        threshold t must satisfy t <= 1.22 (to double the first) AND
+        t > 1.26 (to single the second): impossible."""
+        glyphs, stream, gt = page0
+        # both lines are single literal-string Tj shows at Tw=0.125,
+        # same font/size (byte-level mechanism evidence):
+        assert (b"0.125 Tw T*\n(stainless steel self-locking nuts, "
+                b"representing the all-metal )Tj") in stream
+        assert (b"0.125 Tw 0 -1.25 TD\n(by hand as its locking action "
+                b"takes places only when the )Tj") in stream
+        doubled = self._residuals_after_spaces(
+            glyphs, "stainless steel self-locking nuts, repre", 50)
+        singled = self._residuals_after_spaces(
+            glyphs, "by hand as its locking", 22)
+        assert doubled and singled
+        # groundtruth's actual choices:
+        assert "stainless  steel  self-locking  nuts," in gt
+        assert "by hand as its locking action" in gt
+        # non-monotonicity: every doubled gap < every singled gap
+        assert max(doubled) < min(singled), (doubled, singled)
+
+    def test_equal_gaps_in_one_tj_get_opposite_treatment(self, page0):
+        """Counterexample 2 (within ONE TJ operator): on the line
+        '(T)0.6 (he)0.6 ( e)0.6 ...' every word gap measures an
+        identical 1.56 pt (Tc=0.031 + Tw=0.125 at scale 10.08), yet
+        the groundtruth single-spaces the first word gap and
+        double-spaces the rest.  Identical inputs, different outputs:
+        no function of the glyph geometry or local operator context
+        can produce this."""
+        glyphs, stream, gt = page0
+        assert (b"0.031 Tc 0.125 Tw 0 -1.45 TD\n"
+                b"[(T)0.6 (he)0.6 ( e)0.6 (l)") in stream
+        res = self._residuals_after_spaces(
+            glyphs, "The elastic stop nut is a", 26)
+        assert len(res) >= 4
+        # the gap the groundtruth singles equals the gaps it doubles
+        assert max(res) - min(res) < 0.01, res
+        assert "The elastic  stop  nut  is  a" in gt
+
+    def test_rtl02_residuals_require_ml_outputs(self):
+        """Per-file record evidence that right_to_left_02's remaining
+        md diff needs three ML-model outputs baked into the
+        groundtruth, none derivable from the page content:
+
+        1. the bottom-margin page number "11" (its cell sits in the
+           bottom 4% of the page - a page-footer zone under every
+           deterministic rule, and rtl_01/rtl_03 groundtruths contain
+           no analogous promoted margin text) is emitted FIRST as body
+           text by the reference's reading-order model;
+        2. the tatweel-stretched decorative table header block (eight
+           ordinary-text cells, no math glyphs) is labeled `formula`
+           (exported as formula-not-decoded) by the layout model;
+        3. the page carries a real 148x446 pt image XObject, yet the
+           groundtruth contains no picture item - the layout model
+           did not predict one."""
+        from docling_spark.pdftext import extract_page_cells
+        src = pathlib.Path(
+            "/root/reference/tests/data/pdf/sources/right_to_left_02.pdf")
+        gt = pathlib.Path(
+            "/root/reference/tests/data/pdf/groundtruth/"
+            "right_to_left_02.md").read_text()
+        (_, _w, h, cells, images), = extract_page_cells(
+            src.read_bytes(), with_images=True)
+        # 1. "11" is geometrically a footer, yet groundtruth-first
+        footer = [c for c in cells if c.text == "11"]
+        assert footer and footer[0].t / h > 0.95
+        assert gt.startswith("11\n")
+        # 2. the decorative block is plain Arabic text + tatweel
+        #    (U+0640) stretching, not math - yet GT says formula
+        deco = [c for c in cells if "ــ" in c.text]
+        assert len(deco) >= 6
+        assert "<!-- formula-not-decoded -->" in gt
+        # 3. a real image XObject on the page, no GT picture item
+        assert images
+        assert "<!-- image -->" not in gt
+
+    def test_cross_show_sites_are_non_monotone(self, page0):
+        """Counterexample 3 (trailing space -> Tm-positioned fraction
+        digit, four structurally identical sites): the groundtruth
+        doubles at residuals +0.017 and -0.035 but singles at -0.041
+        and +0.171.  A threshold rule needs every singled residual
+        below every doubled one; here the singled +0.171 (D) sits far
+        ABOVE both doubled sites, and the doubled -0.035 (B) is only
+        0.006 pt from the singled -0.041 (C)."""
+        glyphs, stream, gt = page0
+        a = self._residuals_after_spaces(glyphs, "6 up to 1", 12)[-1]
+        b = self._residuals_after_spaces(glyphs, "s from 1", 10)[-1]
+        c = self._residuals_after_spaces(glyphs, "inch to 1", 12)[-1]
+        d = self._residuals_after_spaces(glyphs, "8 up to 3", 12)[-1]
+        assert "up to  1 / 4 inch, the " in gt     # A doubled
+        assert "ranges from  1 / 4 inch" in gt     # B doubled
+        assert "inch to 1 / 6 inch" in gt          # C singled
+        assert "up to 3 / 8 inch" in gt            # D singled
+        # a threshold rule needs max(singled) < min(doubled); the
+        # groundtruth violates it by a 0.2 pt margin:
+        assert max(c, d) > min(a, b) + 0.2, (a, b, c, d)
+        # and the doubled/singled pair B/C are 0.006 pt apart:
+        assert abs(b - c) < 0.01, (b, c)
 
 
 def test_isolated_punctuation_splits_to_own_cell():
