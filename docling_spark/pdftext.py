@@ -377,6 +377,11 @@ class Font:
         if (not self.is_cid and 0 < code < 0x20
                 and code not in self.encoding):
             return "/.notdef"
+        # an explicit Differences entry naming .notdef also wins over a
+        # stray ToUnicode mapping (table_mislabeled: code 31 -> .notdef
+        # with ToUnicode U+2010; groundtruth keeps "/.notdef")
+        if self.encoding.get(code) == "/.notdef":
+            return "/.notdef"
         u = self.to_unicode.get(code)
         if u is not None:
             return u
