@@ -475,7 +475,8 @@ def _q_extract_misc(spark, sf_dir):
     _ensure_shipped(spark)
     rows = []
     for folder, pattern in (("boxnote", "*.boxnote"), ("latex", "*.tex"),
-                            ("xls", "*.xls"), ("doc", "*.doc")):
+                            ("xls", "*.xls"), ("doc", "*.doc"),
+                            ("ppt", "*.ppt")):
         src = pathlib.Path(f"/root/reference/tests/data/{folder}/sources")
         rows += [(f"https://fixtures.test/{folder}/{p.name}",
                   p.read_bytes()) for p in sorted(src.glob(pattern))]

@@ -203,6 +203,10 @@ def _extract_batches(batches: Iterable[pd.DataFrame],
                     from .worddoc import convert_doc
                     doc = convert_doc(raw, name=name,
                                       filename=tail, binary_hash=bh)
+                elif ext == "ppt" and raw[:4] == b"\xd0\xcf\x11\xe0":
+                    from .pptbin import convert_ppt
+                    doc = convert_ppt(raw, name=name,
+                                      filename=tail, binary_hash=bh)
                 elif ext == "pptx":
                     doc = convert_pptx(raw, name=name,
                                        filename=tail, binary_hash=bh)
