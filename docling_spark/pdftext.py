@@ -841,11 +841,21 @@ class PdfTextExtractor:
         # exactly is its own textline cell in the reference parser: its
         # advance-rect joins the cluster bbox. Pen-continuous trailing
         # whitespace merges into the previous cell and is trimmed, like
-        # whitespace inside a show string.
+        # whitespace inside a show string (multi_page: the headers'
+        # trailing space shows start exactly at the previous show's
+        # advance end and the groundtruth rects exclude them).
         if len(glyphs) > n_before and all(
                 not g[4].strip() for g in glyphs[n_before:]):
+            g0 = glyphs[n_before]
+            continues_pen = (
+                self._pen is not None
+                and abs(g0[0] - self._pen[0]) < 0.03
+                and abs(g0[1] - self._pen[1]) < 0.03)
+            # flag 2 = merged-and-trimmed (contributes text flow but no
+            # geometry); True = own cell (advance rect joins the bbox)
+            flag = 2 if continues_pen else True
             for i in range(n_before, len(glyphs)):
-                glyphs[i] = glyphs[i][:14] + (True,)
+                glyphs[i] = glyphs[i][:14] + (flag,)
         # pen position after this show (device space), for the next call
         gx = tm[4] + ts * tm[2]
         gy = tm[5] + ts * tm[3]
@@ -1143,12 +1153,18 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
             else:
                 ink_top, ink_bot = top_y, bot_y
             visible = [g for g in run if g[4].strip()]
+            # whitespace contributes its advance rect UNLESS it came
+            # from a pen-continuous whitespace-only show (flag 2:
+            # merged-and-trimmed, no geometry).  In-string whitespace -
+            # including a trailing space inside a show like "through "
+            # - joins the box (multi_page groundtruth right edges sit
+            # at those spaces' advance ends).
             ws_cells = [g for g in run
-                        if len(g) > 14 and g[14] and not g[4].strip()]
+                        if not g[4].strip()
+                        and not (len(g) > 14 and g[14] == 2)]
             if visible or ws_cells:
-                # right edge: last VISIBLE glyph's ink extent (FreeType
-                # outline x1), advance fallback; whitespace-only show
-                # strings keep their full advance rect
+                # visible right edge: the glyph's ink extent (FreeType
+                # outline x1), advance fallback
                 xs0, xs1 = [], []
                 for g in visible:
                     xs0.append(g[0])

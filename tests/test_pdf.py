@@ -399,11 +399,30 @@ class TestPdfDoctags:
     BYTE_IDENTICAL = ["code_and_formula"]
 
     # (min exact locs, max per-loc deviation) per md-identical fixture
+    # round 6: pen-continuous whitespace-only shows now merge+trim and
+    # in-string trailing whitespace joins the ink union - net loc
+    # movement: rtl_01 6->7 exact, multi_page 184->182 (the remaining
+    # deltas are right edges docling-parse derives from FreeType state
+    # we cannot observe: the groundtruth extents are N/64 pt values
+    # that match neither the glyf control box, exact curve extrema,
+    # the advance, nor grid-fit ceilings)
     RATCHET = {
-        "multi_page": (184, 4),
+        "multi_page": (182, 4),
         "picture_classification": (39, 3),
-        "right_to_left_01": (6, 3),
+        "right_to_left_01": (7, 2),
         "2305.03393v1-pg9": (36, 4),
+    }
+
+    # every remaining groundtruth doctags file carries a diff-count pin
+    # so regressions on the not-yet-identical fixtures stay visible:
+    # (max full diff lines, max structure-stripped diff lines)
+    DIFF_CEILING = {
+        "amt_handbook_sample": (14, 8),
+        "normal_4pages": (179, 147),
+        "redp5110_sampled": (290, 254),
+        "right_to_left_02": (13, 13),
+        "right_to_left_03": (49, 45),
+        "table_mislabeled_as_picture": (77, 77),
     }
 
     @pytest.mark.parametrize("stem", BYTE_IDENTICAL)
@@ -432,6 +451,27 @@ class TestPdfDoctags:
         worst = max(abs(a - b) for a, b in zip(gl, ol))
         assert exact >= min_exact, (exact, min_exact)
         assert worst <= max_dev, (worst, max_dev)
+
+    @pytest.mark.parametrize("stem", sorted(DIFF_CEILING))
+    def test_doctags_diff_ratcheted(self, stem):
+        import difflib
+        import re
+        from docling_spark.pdfdoc import convert_pdf
+        from docling_spark.serialize import to_doctags
+        raw = (self.SRC / f"{stem}.pdf").read_bytes()
+        dt = to_doctags(convert_pdf(raw, name=stem))
+        gt = (self.GT / f"{stem}.doctags.txt").read_text()
+        max_full, max_stripped = self.DIFF_CEILING[stem]
+
+        def lines(a, b):
+            return sum(1 for ln in difflib.unified_diff(
+                a.splitlines(), b.splitlines()) if ln[:1] in "+-")
+
+        strip = lambda s: re.sub(r"<loc_\d+>", "", s)  # noqa: E731
+        full = lines(gt, dt)
+        stripped = lines(strip(gt), strip(dt))
+        assert full <= max_full, (full, max_full)
+        assert stripped <= max_stripped, (stripped, max_stripped)
 
 
 def test_pdf_md_diff_ratchet():
