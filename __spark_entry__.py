@@ -319,6 +319,21 @@ def _q_page_boilerplate(spark, sf_dir):
     return textfns.boilerplate_scores(pages)
 
 
+def _q_bpe_token_stats(spark, sf_dir):
+    """Whitespace + BPE-ish-pretoken counting per doc
+    (textfns.bpe_token_stats) - the training-data budgeting operator;
+    pure scan-side projection, oracle recomputes the same regex in RE2."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.bpe_token_stats(docs)
+
+
+def _q_source_profile(spark, sf_dir):
+    """Corpus-composition profile per source (textfns.source_profile):
+    docs/chars/langs per source with map-side partial aggregation."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.source_profile(docs)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality gate flags (textfns.gopher_quality_flags)."""
     docs = _load(spark, sf_dir, "documents")
@@ -713,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_passages": _q_dup_passages,
         "pii_scrub": _q_pii_scrub,
         "repetition_stats": _q_repetition_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "source_profile": _q_source_profile,
         "near_dup_groups": _q_near_dup_groups,
         "doc_chunks": _q_doc_chunks,
         "doc_confidence": _q_doc_confidence,
@@ -738,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": _q_emb_knn_lsh,
         "pdf_layout_stages": _q_pdf_layout_stages,
         "media_features": _q_media_features,
+        # oracle reads the same deterministic pages parquet via
+        # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
     }
 
@@ -868,6 +887,34 @@ def _simhash_oracle_sql(bits: int = 64, max_hamming: int = 3) -> str:
         SELECT doc_a, doc_b,
                CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _boilerplate_oracle_sql() -> str:
+    """DuckDB twin of ``_q_page_boilerplate``: the same
+    regexp_count/length column algebra over the SAME deterministic
+    pages fixture parquet (ensure_pages is idempotent and path-stable,
+    so the oracle can read it directly with read_parquet)."""
+    path = pages_mod.ensure_pages(64)
+    return f"""
+        WITH p AS (
+            SELECT url, decode(html) AS s
+            FROM read_parquet('{path}/*.parquet')
+        ), m AS (
+            SELECT url,
+                   length(s) AS html_bytes,
+                   len(regexp_extract_all(s, '<[A-Za-z/!]')) AS n_tags,
+                   len(regexp_extract_all(s, '<[aA][\\s>]')) AS n_link_tags
+            FROM p
+        )
+        SELECT url, html_bytes, n_tags, n_link_tags,
+               round(n_tags / greatest(html_bytes, 1), 6) AS tag_density,
+               round(n_link_tags * 40.0 / greatest(html_bytes, 1), 6)
+                   AS link_char_ratio,
+               (n_tags / greatest(html_bytes, 1) > 0.25)
+               OR (n_link_tags * 40.0 / greatest(html_bytes, 1) > 0.5)
+                   AS is_boilerplate
+        FROM m
     """
 
 
@@ -1509,4 +1556,34 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _minhash_oracle_sql(),
         # SimHash twin (dedup.simhash_near_duplicates, hash_mode="md5")
         "simhash_near_dups": _simhash_oracle_sql(),
+        "bpe_token_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_extract_all(trim(text), '\S+'))
+                   END AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+                   )) AS n_bpe_tokens,
+                   round(length(text) / greatest(
+                       len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+                       )), 1), 4) AS chars_per_token
+            FROM documents
+        """,
+        "source_profile": r"""
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en_docs,
+                   min(doc_id) AS first_doc_id
+            FROM documents
+            GROUP BY source
+        """,
+        # tag-density / link-ratio boilerplate twin over the same
+        # deterministic pages fixture parquet the Spark query reads
+        "page_boilerplate": _boilerplate_oracle_sql(),
     }

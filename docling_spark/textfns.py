@@ -377,3 +377,51 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
                      .alias("dup_line_char_frac"),
                     F.round("top_2gram_char_frac", 6)
                      .alias("top_2gram_char_frac")))
+
+
+# ------------------------------------------- tokenization + corpus mix
+
+# BPE-ish pretokenizer (GPT-2-style, RE2-safe subset: English
+# contraction suffixes, letter runs, digit runs, punctuation runs -
+# each optionally space-prefixed - and residual whitespace runs).
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+
+
+def bpe_token_stats(documents: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document token counting for training-data budgeting:
+    whitespace tokens, BPE-ish pretokens (GPT-2-style regex above,
+    expressible identically in Java regex and RE2 so a SQL oracle can
+    recompute it), and chars-per-token - the standard corpus-size
+    conversion factor.
+
+    Pure scan-side column algebra: one projection, no shuffle, no UDF -
+    at 100 TB this runs inside the parquet scan stage.
+    """
+    n_chars = F.length(F.col(col))
+    n_ws = token_count(col)
+    n_bpe = F.regexp_count(F.col(col), F.lit(BPE_TOKEN_PATTERN))
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        F.round(n_chars / F.greatest(n_bpe, F.lit(1)), 4)
+         .alias("chars_per_token"))
+
+
+def source_profile(documents: DataFrame) -> DataFrame:
+    """Corpus-composition profile per source: the first question asked
+    of any 100-TB training mix ("how much of each source, how long,
+    which languages").  One hash aggregation on a low-cardinality key -
+    map-side partial aggregation makes the shuffle a few rows per
+    executor regardless of corpus size.
+    """
+    return (documents.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.countDistinct("lang").alias("n_langs"),
+                 F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                  .alias("n_en_docs"),
+                 F.min("doc_id").alias("first_doc_id")))

@@ -634,3 +634,36 @@ def test_repetition_stats_values(spark):
     assert abs(out[1]["dup_line_char_frac"] - 16 / 35) < 1e-6
     # "a b" occurs 3x among 5 grams; 3*3/11 chars
     assert abs(out[2]["top_2gram_char_frac"] - 9 / 11) < 1e-6
+
+
+def test_bpe_token_stats_values(spark):
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! It's 2024.", "en", "s", 24),
+         (2, "   ", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {r["doc_id"]: r for r in
+            textfns.bpe_token_stats(docs).collect()}
+    # "Hello" ","  " world" "!"  " It" "'s" " 2024" "." -> 8 pretokens
+    assert rows[1]["n_bpe_tokens"] == 8
+    assert rows[1]["n_ws_tokens"] == 4
+    assert rows[1]["n_chars"] == 24
+    assert rows[1]["chars_per_token"] == 3.0
+    assert rows[2]["n_ws_tokens"] == 0
+
+
+def test_source_profile_values(spark):
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "a", "en", "web", 10), (2, "b", "de", "web", 30),
+         (3, "c", "en", "web", 20), (4, "d", "fr", "books", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    rows = {r["source"]: r for r in
+            textfns.source_profile(docs).collect()}
+    assert rows["web"]["n_docs"] == 3
+    assert rows["web"]["total_chars"] == 60
+    assert rows["web"]["avg_chars"] == 20.0
+    assert rows["web"]["n_langs"] == 2
+    assert rows["web"]["n_en_docs"] == 2
+    assert rows["web"]["first_doc_id"] == 1
+    assert rows["books"]["n_docs"] == 1

@@ -127,3 +127,20 @@ def test_repetition_stats_no_cartesian_no_udf(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_token_stats_single_projection(spark):
+    """Token counting is one scan-side projection: regexp_count stays
+    in whole-stage codegen - no shuffle, no Python."""
+    plan = _plan(spark, "bpe_token_stats")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_profile_partial_agg(spark):
+    """Source profile is one hash aggregation with a map-side partial
+    (two HashAggregate operators around a single key Exchange)."""
+    plan = _plan(spark, "source_profile")
+    assert plan.count("Exchange") <= 2  # key agg (+ distinct-lang expand)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
