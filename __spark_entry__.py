@@ -334,6 +334,33 @@ def _q_source_profile(spark, sf_dir):
     return textfns.source_profile(docs)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic md5-bucket stratified sampling
+    (textfns.stratified_sample): keep 25% of en, 50% of de, all else -
+    reproducible membership, zero shuffle (plan-asserted)."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.stratified_sample(
+        docs, rates={"en": 0.25, "de": 0.5})
+
+
+def _q_domain_profile(spark, sf_dir):
+    """Per-host crawl profile (textfns.domain_profile) over the same
+    deterministic pages fixture parquet the boilerplate oracle reads."""
+    pages = _fixture_pages(spark, 64)
+    return textfns.domain_profile(pages)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.benchmark_decontaminate):
+    docs with doc_id % 97 == 0 act as the held-out eval set; every
+    other doc is screened for 8-gram overlap against it (broadcast
+    bench grams, no corpus shuffle on text size)."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.benchmark_decontaminate(corpus, bench, n=8)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality gate flags (textfns.gopher_quality_flags)."""
     docs = _load(spark, sf_dir, "documents")
@@ -754,7 +781,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_quality": _q_lang_quality,
         "emb_knn_lsh": _q_emb_knn_lsh,
         "pdf_layout_stages": _q_pdf_layout_stages,
+        # oracle-twinned round 6 (sha256-derived fake-decode is exactly
+        # replicable in DuckDB):
         "media_features": _q_media_features,
+        "stratified_sample": _q_stratified_sample,
+        "domain_profile": _q_domain_profile,
+        "decontaminate": _q_decontaminate,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -915,6 +947,34 @@ def _boilerplate_oracle_sql() -> str:
                OR (n_link_tags * 40.0 / greatest(html_bytes, 1) > 0.5)
                    AS is_boilerplate
         FROM m
+    """
+
+
+def _domain_profile_oracle_sql() -> str:
+    """DuckDB twin of ``_q_domain_profile``: the same host/path/tld
+    regexes (Java-regex/RE2 common subset) + aggregation over the SAME
+    deterministic pages fixture parquet."""
+    path = pages_mod.ensure_pages(64)
+    return rf"""
+        WITH p AS (
+            SELECT lower(regexp_replace(
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       ':\d+$', '')) AS host,
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS path,
+                   octet_length(html) AS html_bytes
+            FROM read_parquet('{path}/*.parquet')
+        )
+        SELECT host,
+               count(*) AS n_docs,
+               CAST(sum(html_bytes) AS BIGINT) AS total_bytes,
+               round(avg(html_bytes), 4) AS avg_bytes,
+               count(DISTINCT path) AS n_distinct_paths,
+               regexp_extract(host, '\.([a-z0-9-]+)$', 1) AS tld
+        FROM p
+        GROUP BY host
     """
 
 
@@ -1207,6 +1267,91 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM (SELECT doc_id, text FROM documents
                   ORDER BY doc_id LIMIT 200)
+        """,
+        # Full-frame twin of the mapInPandas feature extractor: the text
+        # payloads carry no real media container headers (UTF-8 prose
+        # cannot contain the 0xFF/RIFF/EBML magics), so every row takes
+        # multimodal._fake_decode - a pure sha256 derivation DuckDB can
+        # replicate exactly (hex-slice casts; /2^32 is exact in binary
+        # FP).  This value-gates all 8 output columns of the Arrow UDF,
+        # not just the byte_len/sha256 slice media_inventory covers.
+        "media_features": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 'image'
+                            WHEN doc_id % 3 = 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       strlen(text) AS byte_len,
+                       sha256(text) AS hx
+                FROM (SELECT doc_id, text FROM documents
+                      ORDER BY doc_id LIMIT 200)
+            ), h AS (
+                SELECT media_id, kind, byte_len, hx,
+                       ('0x' || substr(hx, 1, 2))::INT    AS b0,
+                       ('0x' || substr(hx, 3, 2))::INT    AS b1,
+                       ('0x' || substr(hx, 5, 4))::INT    AS u16,
+                       ('0x' || substr(hx, 5, 8))::BIGINT AS u32a,
+                       ('0x' || substr(hx, 9, 8))::BIGINT AS u32b
+                FROM m
+            )
+            SELECT media_id, kind, byte_len, hx AS sha256,
+                   CASE WHEN byte_len = 0 THEN NULL
+                        WHEN kind = 'image' THEN 64 + b0 % 192
+                        WHEN kind = 'video' THEN 320 + b0 % 320
+                        END AS width,
+                   CASE WHEN byte_len = 0 THEN NULL
+                        WHEN kind = 'image' THEN 64 + b1 % 192
+                        WHEN kind = 'video' THEN 240 + b1 % 240
+                        END AS height,
+                   CASE WHEN byte_len = 0 OR kind = 'image' THEN NULL
+                        ELSE CAST(1.0 + (u16 % 600) AS DOUBLE)
+                        END AS duration_s,
+                   CASE WHEN byte_len = 0 THEN 0.0
+                        WHEN kind = 'image' THEN u32a / 4294967296.0
+                        ELSE u32b / 4294967296.0 END AS feature_v0
+            FROM h
+        """,
+        "stratified_sample": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::BIGINT % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, lang, bucket FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 2500
+                                     WHEN 'de' THEN 5000
+                                     ELSE 10000 END
+        """,
+        "decontaminate": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(trim(text), '\s+', ' ',
+                                                'g')), ' ') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [array_to_string(w[i:i+7], ' ')
+                     for i in range(1, greatest(len(w)-7, 0)+1)]
+                )) AS gram
+                FROM words
+            ),
+            bench AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+            ),
+            hits AS (
+                SELECT g.doc_id, count(*) AS n_hit
+                FROM grams g JOIN bench USING (gram)
+                WHERE g.doc_id % 97 <> 0
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hit, 0) AS n_bench_grams,
+                   coalesce(h.n_hit, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "doc_confidence": r"""
             WITH s AS (
@@ -1586,4 +1731,5 @@ def oracle_sql() -> dict[str, str]:
         # tag-density / link-ratio boilerplate twin over the same
         # deterministic pages fixture parquet the Spark query reads
         "page_boilerplate": _boilerplate_oracle_sql(),
+        "domain_profile": _domain_profile_oracle_sql(),
     }

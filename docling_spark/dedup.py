@@ -545,3 +545,53 @@ def embedding_cosine_pairs(embeddings: DataFrame, top_m: int = 4,
                               F.col("emb").alias("eb")), "vec_b")
             .where(cos >= threshold)
             .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")))
+
+
+def word_ngrams(documents: DataFrame, n: int,
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, gram) - each document's DISTINCT word n-grams over the
+    whitespace-normalized lowercased text (the tokenization every
+    dedup/decontamination operator here shares)."""
+    w = F.split(normalized_text(), " ")
+    idx = F.when(
+        F.size(w) >= n,
+        F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+    return documents.select(id_col, F.explode(grams).alias("gram"))
+
+
+def benchmark_decontaminate(documents: DataFrame,
+                            benchmark: DataFrame,
+                            n: int = 8,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Train-test contamination screen: flag every training document
+    sharing any word ``n``-gram with a benchmark/eval set (the
+    GPT-3/Llama decontamination recipe: 8-13 word shingle overlap).
+
+    Output: (doc_id, n_bench_grams, contaminated) for EVERY corpus
+    document - n_bench_grams counts the doc's distinct n-grams that
+    appear anywhere in the benchmark.
+
+    100-TB notes: eval suites are a few MB, so the benchmark's
+    distinct-gram set is BROADCAST - the corpus side is one explode
+    (scan-side, no shuffle) + broadcast hash join + hash-groupBy on
+    doc_id (map-side partial).  The corpus is never shuffled on text
+    size and there is no all-pairs anything.  The final left join
+    attaches hit counts back to the id spine; its right side holds
+    only contaminated ids (usually tiny - AQE broadcasts it).
+    """
+    bench_grams = (word_ngrams(benchmark, n, id_col=id_col)
+                   .select("gram").distinct())
+    corpus_grams = word_ngrams(documents, n, id_col=id_col)
+    hits = (corpus_grams
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bench_grams")))
+    return (documents.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bench_grams", F.lit(0)).cast("long")
+                     .alias("n_bench_grams"))
+            .withColumn("contaminated", F.col("n_bench_grams") > 0))

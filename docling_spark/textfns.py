@@ -425,3 +425,77 @@ def source_profile(documents: DataFrame) -> DataFrame:
                  F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
                   .alias("n_en_docs"),
                  F.min("doc_id").alias("first_doc_id")))
+
+
+def sample_bucket(key_col="doc_id", buckets: int = 10000) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, buckets) from the
+    md5 of the key's decimal string - reproducible across engines
+    (DuckDB computes the identical value), stable across runs and
+    cluster sizes, unlike ``rand()``."""
+    hx = F.md5(F.col(key_col).cast("string"))
+    return (F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+            % F.lit(buckets))
+
+
+def stratified_sample(documents: DataFrame,
+                      rates: dict[str, float],
+                      default_rate: float = 1.0,
+                      stratum_col: str = "lang",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sampling - the training-mix resampler
+    ("keep 25% of English, all of everything else").
+
+    Membership is a pure function of the row key (md5-bucket <
+    rate*10000), so the sample is reproducible run-to-run, is
+    identical at any parallelism, and needs NO shuffle: the filter is
+    a scan-side projection (plan-asserted Exchange-free in
+    tests/test_plans.py).  Contrast df.sampleBy(), whose Bernoulli
+    draw changes with partitioning and seed plumbing.
+
+    100-TB notes: zero-shuffle filter; downstream consumers inherit
+    the input partitioning.  Rates are threshold-compiled once on the
+    driver (int(rate*10000)), never per-row Python.
+    """
+    bucket = sample_bucket(key_col)
+    thr = F.lit(int(round(default_rate * 10000)))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum,
+                     F.lit(int(round(rate * 10000)))).otherwise(thr)
+    return (documents
+            .withColumn("bucket", bucket)
+            .where(F.col("bucket") < thr)
+            .select(key_col, stratum_col, "bucket"))
+
+
+def url_host(col="url") -> Column:
+    """Lowercased host (port stripped) from an absolute URL - pure
+    regexp column algebra (Java regex == RE2 subset, oracle-safe)."""
+    host = F.regexp_extract(F.col(col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    return F.lower(F.regexp_replace(host, r":\d+$", ""))
+
+
+def domain_profile(pages: DataFrame, url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """Per-domain corpus profile over the crawl table: docs, bytes and
+    distinct paths per host + the host's TLD - the first cut for
+    domain-level filtering/weighting of a web corpus.
+
+    One hash aggregation on the host key.  count/sum are map-side
+    partial; countDistinct(path) is Spark's two-phase partial-distinct
+    aggregate, so a hot host (the crawl-skew case) contributes
+    pre-deduplicated path sets per map task rather than raw rows.  At
+    100 TB swap countDistinct for approx_count_distinct if exact path
+    cardinality is not required.
+    """
+    host = url_host(url_col)
+    path = F.regexp_extract(F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    rows = pages.select(
+        host.alias("host"), path.alias("path"),
+        F.length(F.col(html_col)).alias("html_bytes"))
+    return (rows.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("html_bytes").alias("total_bytes"),
+                 F.round(F.avg("html_bytes"), 4).alias("avg_bytes"),
+                 F.countDistinct("path").alias("n_distinct_paths"))
+            .withColumn("tld", F.regexp_extract(F.col("host"),
+                                                r"\.([a-z0-9-]+)$", 1)))

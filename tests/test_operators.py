@@ -667,3 +667,72 @@ def test_source_profile_values(spark):
     assert rows["web"]["n_en_docs"] == 2
     assert rows["web"]["first_doc_id"] == 1
     assert rows["books"]["n_docs"] == 1
+
+
+def test_stratified_sample_deterministic_and_rate_correct(spark, docs):
+    sampled = textfns.stratified_sample(
+        docs, rates={"en": 0.25, "de": 0.5}).cache()
+    # deterministic: identical membership on a re-run with different
+    # parallelism (the rand()-based sampler would fail this)
+    again = textfns.stratified_sample(
+        docs.repartition(7), rates={"en": 0.25, "de": 0.5})
+    a = {r["doc_id"] for r in sampled.collect()}
+    b = {r["doc_id"] for r in again.collect()}
+    assert a == b and a
+    # per-stratum keep rate tracks the target (md5 buckets are uniform;
+    # generous tolerance for the small fixture)
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in
+            sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    en_rate = kept.get("en", 0) / totals["en"]
+    assert 0.10 <= en_rate <= 0.40, en_rate
+    # non-listed strata are kept whole
+    other = [lg for lg in totals if lg not in ("en", "de")]
+    for lg in other:
+        assert kept.get(lg, 0) == totals[lg]
+    sampled.unpersist()
+
+
+def test_benchmark_decontaminate_planted_overlap(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    clean = ("completely different words that never appear in any "
+             "benchmark row at all here truly unique phrasing galore")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra tail words here"), (3, clean)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.benchmark_decontaminate(docs, bench, n=8).collect()}
+    assert out[1]["contaminated"] and out[2]["contaminated"]
+    assert not out[3]["contaminated"]
+    assert out[3]["n_bench_grams"] == 0
+    # doc 1 is the benchmark text itself: every one of its 8-grams hits
+    n_words = len(base.split())
+    assert out[1]["n_bench_grams"] == n_words - 7
+    # short docs (< n words) can never be flagged
+    short = spark.createDataFrame(
+        [(9, "too short to matter")], "doc_id long, text string")
+    out9 = dedup.benchmark_decontaminate(short, bench, n=8).collect()
+    assert out9[0]["n_bench_grams"] == 0 and not out9[0]["contaminated"]
+
+
+def test_domain_profile_values(spark):
+    pages = spark.createDataFrame(
+        [("https://a.example.com/x/1", b"<html>11</html>"),
+         ("https://a.example.com/x/1?q=2", b"<html>222</html>"),
+         ("https://a.example.com:8080/y", b"<p>1</p>"),
+         ("http://b.example.org/z", b"<div>33</div>")],
+        "url string, html binary")
+    rows = {r["host"]: r for r in
+            textfns.domain_profile(pages).collect()}
+    a = rows["a.example.com"]
+    # port stripped, query ignored for the path, distinct paths exact
+    assert a["n_docs"] == 3
+    assert a["n_distinct_paths"] == 2  # /x/1 (twice via ?q) and /y
+    assert a["total_bytes"] == 15 + 16 + 8
+    assert a["tld"] == "com"
+    b = rows["b.example.org"]
+    assert b["n_docs"] == 1 and b["tld"] == "org"

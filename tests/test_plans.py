@@ -144,3 +144,32 @@ def test_source_profile_partial_agg(spark):
     assert plan.count("Exchange") <= 2  # key agg (+ distinct-lang expand)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_stratified_sample_zero_shuffle(spark):
+    """Deterministic sampling is a scan-side filter+projection: the
+    md5-bucket expression stays in whole-stage codegen - no Exchange,
+    no Python."""
+    plan = _plan(spark, "stratified_sample")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcast_bench_no_cartesian(spark):
+    """Decontamination joins the corpus gram stream against a BROADCAST
+    benchmark gram set - the corpus is never shuffled on text size and
+    nothing goes all-pairs."""
+    plan = _plan(spark, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_domain_profile_partial_agg(spark):
+    """Per-host profile: hash aggregation with map-side partials; the
+    distinct-path count uses Spark's two-phase partial-distinct."""
+    plan = _plan(spark, "domain_profile")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
