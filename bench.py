@@ -134,6 +134,7 @@ def main() -> None:
         "emb_knn_lsh", "emb_knn_ivf", "doc_chunks", "near_dup_groups",
         "doc_confidence", "gopher_quality", "dup_passages",
         "pii_scrub", "repetition_stats", "bpe_token_stats", "source_profile",
+        "stratified_sample", "decontaminate", "domain_profile",
     ]
 
     def make_query_leg(fn):
