@@ -773,6 +773,157 @@ def test_lone_punct_cell_is_orphan_block_unless_same_row():
     assert len(blocks) == 1
 
 
+class TestMultiPageDoctagsMLEvidence:
+    """Formal scope-out for multi_page's 30 residual doctags x1 locs:
+    the groundtruth right edges are PROVABLY not a function of the
+    glyph geometry alone - they depend on the reference's ML layout
+    model's predicted cluster regions (which decide whether a trailing
+    whitespace advance rect is absorbed into the item bbox).
+
+    Three byte-level facts measured from the PDF content stream:
+
+    1. The title line and the 'Pre-Digital Era' heading line both end
+       in a pen-continuous whitespace-only show (|pen gap| < 0.01 pt,
+       one space glyph, 0.25 em advance).  Identical structure - yet
+       the groundtruth EXCLUDES the title's whitespace advance
+       (x1 = 221 = last visible glyph's advance end) and INCLUDES the
+       heading's (x1 = 274 = the whitespace advance end).  No rule on
+       (pen gap, font, size, show structure) separates them.
+
+    2. The 'Microsoft Word (1983)' bullet's widest line ends with an
+       in-string trailing space ('ng '): last visible advance end
+       523.09 pt -> loc 439, whitespace advance end 526.12 pt ->
+       loc 442.  The groundtruth says 441 (524.37..525.56 pt) -
+       strictly BETWEEN the only two computable candidates.  No
+       include-or-exclude rule, per show or per line, can emit it.
+
+    3. The same contradiction with the opposite signs exists on one
+       page: 'WordStar (1978)' (gt 439 = EXCLUDE the in-string space)
+       vs 'Other notable software' (gt 434 = INCLUDE the continuous
+       whitespace show, gap -0.0024 pt, same font and size).
+
+    Conclusion: the residual locs encode the ML layout cluster
+    geometry (reference: docling/utils/layout_postprocessor.py cell
+    assignment unions cells into PREDICTED regions), not a
+    deterministic function of the page bytes.  The per-file ratchet in
+    TestPdfDoctags bounds the residual instead."""
+
+    SRC = pathlib.Path("/root/reference/tests/data/pdf/sources")
+    GT = pathlib.Path("/root/reference/tests/data/pdf/groundtruth")
+    W = 595.2  # multi_page MediaBox width, pt
+
+    @pytest.fixture(scope="class")
+    def shows(self):
+        """All show ops of multi_page with pen-continuity measured."""
+        from docling_spark import pdftext as pt
+
+        rows = []
+        page_no = [0]
+        orig_pg = pt.PdfTextExtractor.page_glyphs_and_images
+        orig_show = pt.PdfTextExtractor._show
+
+        def pg(self, page):
+            page_no[0] += 1
+            return orig_pg(self, page)
+
+        def show(self, raw, font, tfs, tc, tw, th, ts, tm, ctm,
+                 tmode, glyphs):
+            n0 = len(glyphs)
+            pen0 = self._pen
+            out = orig_show(self, raw, font, tfs, tc, tw, th, ts, tm,
+                            ctm, tmode, glyphs)
+            new = glyphs[n0:]
+            if new:
+                g0 = new[0]
+                gap = (None if pen0 is None
+                       else abs(g0[0] - pen0[0]) + abs(g0[1] - pen0[1]))
+                rows.append({
+                    "page": page_no[0], "y": g0[1], "x0": g0[0],
+                    "xend": new[-1][0] + new[-1][2],
+                    "txt": "".join(g[4] for g in new), "gap": gap,
+                    "vis_end": max((g[0] + max(g[2], 0.0) for g in new
+                                    if g[4].strip()), default=None),
+                })
+            return out
+
+        pt.PdfTextExtractor.page_glyphs_and_images = pg
+        pt.PdfTextExtractor._show = show
+        try:
+            from docling_spark.pdfdoc import convert_pdf
+            convert_pdf((self.SRC / "multi_page.pdf").read_bytes(),
+                        name="multi_page")
+        finally:
+            pt.PdfTextExtractor.page_glyphs_and_images = orig_pg
+            pt.PdfTextExtractor._show = orig_show
+        return rows
+
+    def _gt_x1(self, needle):
+        import re
+        gt = (self.GT / "multi_page.doctags.txt").read_text()
+        m = re.search(r"((?:<loc_\d+>){4})" + re.escape(needle), gt)
+        assert m, needle
+        return int(re.findall(r"\d+", m.group(1))[2])
+
+    def _loc(self, x_pt):
+        return round(x_pt / self.W * 500.0)
+
+    def _line(self, shows, page, y, prefix):
+        sel = sorted((s for s in shows
+                      if s["page"] == page and abs(s["y"] - y) < 0.5),
+                     key=lambda s: s["x0"])
+        assert sel and "".join(s["txt"] for s in sel).startswith(prefix)
+        return sel
+
+    def test_title_vs_heading_opposite_ws_treatment(self, shows):
+        # title line (page 1, y 758.64): trailing pen-continuous
+        # whitespace-only show - groundtruth EXCLUDES its advance
+        title = self._line(shows, 1, 758.64, "The Evolution")
+        tail = title[-1]
+        assert not tail["txt"].strip() and tail["gap"] < 0.01
+        vis = max(s["vis_end"] for s in title if s["vis_end"])
+        assert self._gt_x1("The Evolution") == self._loc(vis)
+        assert self._loc(tail["xend"]) == self._loc(vis) + 2  # not gt
+
+        # heading line (page 1, y 687.84): IDENTICAL structure -
+        # trailing pen-continuous whitespace-only show - groundtruth
+        # INCLUDES its advance
+        head = self._line(shows, 1, 687.84, "Pre-")
+        htail = head[-1]
+        assert not htail["txt"].strip() and htail["gap"] < 0.01
+        hvis = max(s["vis_end"] for s in head if s["vis_end"])
+        assert self._gt_x1("Pre-Digital Era") == self._loc(htail["xend"])
+        assert self._loc(htail["xend"]) > self._loc(hvis)
+
+    def test_msword_bullet_gt_between_candidates(self, shows):
+        # 'Microsoft Word (1983)' bullet, widest line ends 'ng ' with
+        # an in-string trailing space: gt x1 is strictly between the
+        # exclude-space and include-space candidates
+        line = self._line(shows, 1, 116.40, "• Microsoft Word")
+        vis = max(s["vis_end"] for s in line if s["vis_end"])
+        allend = max(s["xend"] for s in line)
+        gt = self._gt_x1("Microsoft Word (1983)")
+        assert self._loc(vis) < gt < self._loc(allend), (
+            self._loc(vis), gt, self._loc(allend))
+
+    def test_same_geometry_opposite_treatment_body(self, shows):
+        # WordStar bullet: gt EXCLUDES the widest line's trailing
+        # space ('rn ' in-string, advance end 525.55 -> loc 442 != gt)
+        ws_line = self._line(shows, 1, 144.00, "the first widely")
+        gt_ws = self._gt_x1("WordStar (1978)")
+        assert gt_ws == self._loc(
+            max(s["vis_end"] for s in ws_line if s["vis_end"]))
+        assert gt_ws < self._loc(max(s["xend"] for s in ws_line))
+        # Other-notable paragraph: gt INCLUDES the widest line's
+        # trailing pen-continuous whitespace show (gap -0.0024 pt)
+        on_line = self._line(shows, 2, 758.88, "Other notable")
+        tail = on_line[-1]
+        assert not tail["txt"].strip() and tail["gap"] < 0.01
+        gt_on = self._gt_x1("Other notable")
+        assert gt_on == self._loc(tail["xend"])
+        assert gt_on > self._loc(
+            max(s["vis_end"] for s in on_line if s["vis_end"]))
+
+
 class TestEncryptedPdf:
     """Standard security handler (pdfcrypt): the reference's
     tests/test_pdf_password.py requires conversion of the AESV2
