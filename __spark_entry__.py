@@ -361,6 +361,46 @@ def _q_decontaminate(spark, sf_dir):
     return dedup.benchmark_decontaminate(corpus, bench, n=8)
 
 
+def _q_tfidf_keywords(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (textfns.tfidf_keywords):
+    explode -> tf/df hash aggs -> df-dimension join -> per-doc top-k
+    window; smoothed idf, word-asc tie-break for determinism."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.tfidf_keywords(docs, k=5)
+
+
+def _q_unigram_surprisal(spark, sf_dir):
+    """CCNet-style perplexity proxy (textfns.unigram_surprisal):
+    per-doc average -ln p(word) under the corpus unigram distribution;
+    two map-side-partial aggs + one vocabulary-dimension join."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.unigram_surprisal(docs)
+
+
+def _q_quality_gate(spark, sf_dir):
+    """Exact-percentile quality gate (textfns.quality_gate): keep docs
+    at or above the corpus' 70th quality percentile; one interpolated
+    percentile agg broadcast back as a scalar."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.quality_gate(docs, quantile=0.7)
+
+
+def _q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel view->click->purchase
+    (relational.event_funnel): step i counts only at-or-after the
+    user's qualifying step i-1 time; one user-keyed hash agg per
+    depth, no windows, no cross product."""
+    events = _load(spark, sf_dir, "events")
+    return relational.event_funnel(events, ["view", "click", "purchase"])
+
+
+def _q_embedding_profile(spark, sf_dir):
+    """Per-label embedding QC (similarity.embedding_profile): dim
+    drift, NaN/zero-vector counts, norm envelope - the pre-ANN gate."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.embedding_profile(emb)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality gate flags (textfns.gopher_quality_flags)."""
     docs = _load(spark, sf_dir, "documents")
@@ -787,6 +827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "domain_profile": _q_domain_profile,
         "decontaminate": _q_decontaminate,
+        "tfidf_keywords": _q_tfidf_keywords,
+        "unigram_surprisal": _q_unigram_surprisal,
+        "quality_gate": _q_quality_gate,
+        "event_funnel": _q_event_funnel,
+        "embedding_profile": _q_embedding_profile,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1715,6 +1760,138 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
                        )), 1), 4) AS chars_per_token
             FROM documents
+        """,
+        "tfidf_keywords": r"""
+            WITH words AS (
+                SELECT doc_id, w AS word
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text),
+                                    '[^0-9a-z_]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM words GROUP BY doc_id, word),
+            df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs
+                  FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.word, tf.tf,
+                       round(tf.tf * ln((n.n_docs + 1.0)
+                                        / (df.df + 1.0)), 6) AS score
+                FROM tf JOIN df USING (word) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, word ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, score,
+                   CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "unigram_surprisal": r"""
+            WITH words AS (
+                SELECT doc_id, w AS word
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text),
+                                    '[^0-9a-z_]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM words GROUP BY doc_id, word),
+            counts AS (SELECT word, sum(tf) AS cnt FROM tf
+                       GROUP BY word),
+            total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total
+                      FROM counts)
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   round(sum(tf * -ln(cnt / total)) / sum(tf), 4)
+                       AS avg_surprisal
+            FROM tf JOIN counts USING (word) CROSS JOIN total
+            GROUP BY doc_id
+        """,
+        "quality_gate": r"""
+            WITH feat AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text),
+                                                           '\s+'))
+                       END AS tc,
+                       length(regexp_replace(text, '\s+', '', 'g'))
+                           AS nonws,
+                       CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                           (length(text) - length(regexp_replace(text,
+                               '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0
+                           / length(text) END AS punct,
+                       CAST((length(lower(text)) - length(regexp_replace(lower(text), '\bthe\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\band\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bof\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bto\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bin\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bis\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bthat\b', '', 'g'))) / 4 + (length(lower(text)) - length(regexp_replace(lower(text), '\bit\b', '', 'g'))) / 2 + (length(lower(text)) - length(regexp_replace(lower(text), '\bwas\b', '', 'g'))) / 3 + (length(lower(text)) - length(regexp_replace(lower(text), '\bfor\b', '', 'g'))) / 3 AS BIGINT) AS h_en
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       round(0.3 * (CASE WHEN tc BETWEEN 10 AND 100000
+                                         THEN 1.0
+                                    WHEN tc > 0 THEN 0.3 ELSE 0.0 END)
+                       + 0.25 * (CASE WHEN punct < 0.3 THEN 1.0
+                                 ELSE 0.2 END)
+                       + 0.25 * (CASE WHEN h_en > 0 THEN 1.0
+                                 ELSE 0.4 END)
+                       + 0.2 * (CASE WHEN nonws * 1.0 / greatest(tc, 1)
+                                     BETWEEN 2.0 AND 12.0 THEN 1.0
+                                ELSE 0.3 END), 6) AS score
+                FROM feat
+            ), thr AS (
+                SELECT round(quantile_cont(score, 0.7), 6) AS threshold
+                FROM scored
+            )
+            SELECT doc_id, score, threshold,
+                   score >= threshold AS keep
+            FROM scored CROSS JOIN thr
+        """,
+        "event_funnel": r"""
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t0 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s1 AS (
+                SELECT e.user_id, min(e.ts) AS t0
+                FROM events e JOIN s0 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts >= s0.t0
+                GROUP BY e.user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t0
+                FROM events e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= s1.t0
+                GROUP BY e.user_id
+            )
+            SELECT 0 AS step_idx, 'view' AS step,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s0
+            UNION ALL
+            SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+            UNION ALL
+            SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2
+        """,
+        "embedding_profile": r"""
+            WITH row AS (
+                SELECT label, len(embedding) AS dim,
+                       len(list_filter(embedding, x -> isnan(x))) > 0
+                           AS has_nan,
+                       round(sqrt(list_aggregate(
+                           list_transform(embedding,
+                               x -> CAST(x AS DOUBLE)
+                                    * CAST(x AS DOUBLE)),
+                           'sum')), 6) AS norm
+                FROM embeddings
+            )
+            SELECT label, count(*) AS n_vecs,
+                   count(DISTINCT dim) AS n_dims,
+                   CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nan_vecs,
+                   CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero_vecs,
+                   min(norm) AS min_norm,
+                   max(norm) AS max_norm,
+                   round(avg(norm), 4) AS avg_norm
+            FROM row GROUP BY label
         """,
         "source_profile": r"""
             SELECT source,

@@ -135,6 +135,8 @@ def main() -> None:
         "doc_confidence", "gopher_quality", "dup_passages",
         "pii_scrub", "repetition_stats", "bpe_token_stats", "source_profile",
         "stratified_sample", "decontaminate", "domain_profile",
+        "tfidf_keywords", "unigram_surprisal", "quality_gate",
+        "event_funnel", "embedding_profile",
     ]
 
     def make_query_leg(fn):

@@ -61,3 +61,44 @@ def rollup_agg(df: DataFrame, dims: list[str], aggs: list) -> DataFrame:
 
 def cube_agg(df: DataFrame, dims: list[str], aggs: list) -> DataFrame:
     return df.cube(*dims).agg(*aggs)
+
+
+def event_funnel(events: DataFrame, steps: list[str],
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered conversion funnel: for each user, step i counts only if
+    it happened at-or-after the user's qualifying step i-1 time - the
+    standard product-analytics funnel as one deterministic DataFrame.
+
+    Plan shape: ONE hash aggregation per funnel depth, each a map-side
+    partial groupBy(user) over the (already pruned) events scan joined
+    against the previous step's (user, ts) table on the user key.  No
+    windows, no self-cross-product: depth-k funnels cost k user-keyed
+    shuffles of user-cardinality rows, independent of event volume.
+    A hot user contributes one row per aggregation, so event-count
+    skew collapses at the map side.
+    """
+    assert steps
+    prev = (events.where(F.col(type_col) == steps[0])
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("t0")))
+    out_rows = [prev.select(
+        F.lit(0).alias("step_idx"), F.lit(steps[0]).alias("step"),
+        F.col(user_col)).groupBy("step_idx", "step")
+        .agg(F.count(F.lit(1)).alias("n_users"))]
+    for i, step in enumerate(steps[1:], start=1):
+        cur = (events.where(F.col(type_col) == step)
+               .join(prev, user_col)
+               .where(F.col(ts_col) >= F.col("t0"))
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias("t0")))
+        out_rows.append(cur.select(
+            F.lit(i).alias("step_idx"), F.lit(step).alias("step"),
+            F.col(user_col)).groupBy("step_idx", "step")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+        prev = cur
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out.select("step_idx", "step",
+                      F.col("n_users").cast("long").alias("n_users"))

@@ -307,3 +307,37 @@ def embedding_dedup(embeddings: DataFrame, dim: int,
     return (pairs.where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
             .distinct())
+
+
+def embedding_profile(embeddings: DataFrame, col: str = "embedding",
+                      label_col: str = "label") -> DataFrame:
+    """Per-label embedding-column QC - the gate every vector corpus
+    passes before ANN indexing: vector counts, dimensionality drift
+    (ragged arrays from a bad upstream batch), NaN contamination,
+    zero vectors, and the norm envelope (un-normalized embeddings
+    poison cosine retrieval silently).
+
+    The per-vector norm folds the array left-to-right after casting
+    each element to double, so Spark and a SQL twin produce
+    bit-identical per-row values; only the label-level avg depends on
+    partition order, absorbed by round(4).  One scan-side projection +
+    one map-side-partial hash aggregation on the (tiny) label key -
+    no UDF, no shuffle of vector payloads beyond the partial rows.
+    """
+    vec = F.transform(F.col(col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0),
+                              lambda acc, v: acc + v * v))
+    row = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.size(F.col(col)).alias("dim"),
+        F.exists(F.col(col), lambda x: F.isnan(x)).alias("has_nan"),
+        F.round(norm, 6).alias("norm"))
+    return (row.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.countDistinct("dim").alias("n_dims"),
+                 F.sum(F.col("has_nan").cast("long")).alias("n_nan_vecs"),
+                 F.sum(F.when(F.col("norm") == 0.0, 1).otherwise(0))
+                  .cast("long").alias("n_zero_vecs"),
+                 F.min("norm").alias("min_norm"),
+                 F.max("norm").alias("max_norm"),
+                 F.round(F.avg("norm"), 4).alias("avg_norm")))

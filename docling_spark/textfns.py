@@ -499,3 +499,103 @@ def domain_profile(pages: DataFrame, url_col: str = "url",
                  F.countDistinct("path").alias("n_distinct_paths"))
             .withColumn("tld", F.regexp_extract(F.col("host"),
                                                 r"\.([a-z0-9-]+)$", 1)))
+
+
+def tfidf_keywords(documents: DataFrame, k: int = 5,
+                   col: str = "text") -> DataFrame:
+    """Top-k TF-IDF keywords per document - the standard content
+    descriptor for corpus browsing, topic clustering seeds, and
+    domain-mix auditing of a training corpus.
+
+    Plan shape (100-TB lens): one explode -> (doc, word) hash
+    aggregation for tf, one (word) hash aggregation for df (both
+    map-side partial), a join of tf against the df dimension, and one
+    per-doc top-k window.  The df dimension has vocabulary cardinality
+    (millions of rows, kilobytes per row) - far below the corpus
+    size - and joins on the word key; hot words ('the') are exactly
+    the ones with high df, but the join input is the (doc, word)
+    TF table (already deduplicated per doc), so the per-key fan-out is
+    bounded by n_docs, not token count, and AQE skew-join splits any
+    residual hot partition.  idf uses the smoothed ln((N+1)/(df+1))
+    so no word divides by zero.  Ties break on the word itself, so
+    results are deterministic at any parallelism.
+    """
+    from pyspark.sql import Window
+
+    words = (documents
+             .select("doc_id", F.explode(_word_tokens(col)).alias("word"))
+             .where(F.col("word") != ""))
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (tf.join(df, "word")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "score",
+                  F.round(F.col("tf") * F.log(
+                      (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "word", F.col("tf").cast("long").alias("tf"),
+                    "score", F.col("rank").cast("int").alias("rank")))
+
+
+def unigram_surprisal(documents: DataFrame, col: str = "text") -> DataFrame:
+    """Per-document average unigram surprisal (-ln p(w) under the
+    corpus unigram distribution) - the CCNet-style perplexity proxy
+    used to split a web corpus into quality buckets without a trained
+    LM.  Low = repetitive/common text, high = rare-token soup; both
+    tails get dropped or downweighted in training-data pipelines.
+
+    Two aggregations and one join, all map-side partial: the exploded
+    (doc, word) TF table joins the (word, count) unigram dimension
+    (vocabulary-sized).  The corpus token total is one scalar row,
+    broadcast.  Per-doc surprisal sums weigh tf against ln(count/total);
+    rounding to 4 decimals absorbs float summation-order noise so the
+    result is stable at any parallelism (and hash-comparable to the
+    SQL twin).
+    """
+    words = (documents
+             .select("doc_id", F.explode(_word_tokens(col)).alias("word"))
+             .where(F.col("word") != ""))
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    total = counts.select(F.sum("cnt").cast("double").alias("total"))
+    return (tf.join(counts, "word")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 F.round(
+                     F.sum(F.col("tf")
+                           * -F.log(F.col("cnt") / F.col("total")))
+                     / F.sum("tf"), 4).alias("avg_surprisal")))
+
+
+def quality_gate(documents: DataFrame, quantile: float = 0.7,
+                 col: str = "text") -> DataFrame:
+    """Exact-percentile quality gating: score every document with the
+    composite quality prior and keep those at or above the corpus'
+    q-th quantile - "keep the best 30%" as a reproducible operator.
+
+    The threshold is ONE exact interpolated percentile (Spark
+    ``percentile``; DuckDB ``quantile_cont`` - same linear
+    interpolation), computed in a single aggregation and broadcast
+    back as a scalar, so the gate costs one scan + one 1-row shuffle
+    regardless of corpus size.  At 100 TB swap ``percentile`` for
+    ``percentile_approx`` when a 1e-4 threshold error is acceptable
+    and the score distribution is heavy-tailed.
+    """
+    scored = documents.select(
+        "doc_id", F.round(quality_score(col), 6).alias("score"))
+    thr = scored.agg(
+        F.round(F.expr(f"percentile(score, {quantile})"), 6)
+         .alias("threshold"))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select("doc_id", "score", "threshold",
+                    (F.col("score") >= F.col("threshold")).alias("keep")))

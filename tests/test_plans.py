@@ -173,3 +173,49 @@ def test_domain_profile_partial_agg(spark):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_keywords_broadcast_scalar_no_cartesian(spark):
+    """TF-IDF: tf/df hash aggs + word equi-join + per-doc window; the
+    n_docs scalar is broadcast, nothing goes all-pairs, no Python."""
+    plan = _plan(spark, "tfidf_keywords")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_surprisal_broadcast_scalar_no_cartesian(spark):
+    """Unigram surprisal: two hash aggs + vocabulary-dimension join;
+    the corpus-total scalar is broadcast, no Python."""
+    plan = _plan(spark, "unigram_surprisal")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_gate_single_scan_broadcast_threshold(spark):
+    """Quality gate: score projection + one percentile agg broadcast
+    back as a 1-row scalar - the corpus itself never shuffles."""
+    plan = _plan(spark, "quality_gate")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_event_funnel_user_keyed_no_window(spark):
+    """Funnel: one user-keyed hash agg per depth - no window operator,
+    no cross product, nothing Python-side."""
+    plan = _plan(spark, "event_funnel")
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_profile_single_agg_no_udf(spark):
+    """Embedding QC: scan-side norm fold + one label-keyed hash agg;
+    the vector payload never shuffles (only partial-agg rows do)."""
+    plan = _plan(spark, "embedding_profile")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
