@@ -401,6 +401,22 @@ def _q_embedding_profile(spark, sf_dir):
     return similarity.embedding_profile(emb)
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (textfns.dsir_weights): score every doc
+    by how 'en'-like its hashed-unigram (256-bucket) distribution is;
+    broadcast 256-row bucket dimension, one per-doc agg."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.dsir_weights(docs, F.col("lang") == "en", buckets=256)
+
+
+def _q_vocab_zipf(spark, sf_dir):
+    """Corpus Zipf head (textfns.vocab_zipf_profile): top-50 words by
+    frequency with rank + corpus share; per-partition top-k heaps, the
+    global sort never materializes."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.vocab_zipf_profile(docs, k=50)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality gate flags (textfns.gopher_quality_flags)."""
     docs = _load(spark, sf_dir, "documents")
@@ -832,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": _q_quality_gate,
         "event_funnel": _q_event_funnel,
         "embedding_profile": _q_embedding_profile,
+        "dsir_weights": _q_dsir_weights,
+        "vocab_zipf": _q_vocab_zipf,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1892,6 +1910,68 @@ def oracle_sql() -> dict[str, str]:
                    max(norm) AS max_norm,
                    round(avg(norm), 4) AS avg_norm
             FROM row GROUP BY label
+        """,
+        "dsir_weights": r"""
+            WITH words AS (
+                SELECT doc_id, lang = 'en' AS is_target, w AS word
+                FROM (SELECT doc_id, lang,
+                             unnest(regexp_split_to_array(lower(text),
+                                    '[^0-9a-z_]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            tf AS (
+                SELECT doc_id, is_target,
+                       ('0x' || substr(md5(word), 1, 8))::BIGINT % 256
+                           AS bucket,
+                       count(*) AS tf
+                FROM words GROUP BY 1, 2, 3
+            ),
+            bc AS (
+                SELECT bucket, sum(tf) AS raw_cnt,
+                       sum(CASE WHEN is_target THEN tf ELSE 0 END)
+                           AS tgt_cnt
+                FROM tf GROUP BY bucket
+            ),
+            tot AS (
+                SELECT CAST(sum(raw_cnt) AS DOUBLE) AS raw_total,
+                       CAST(sum(tgt_cnt) AS DOUBLE) AS tgt_total
+                FROM bc
+            ),
+            dim AS (
+                SELECT bucket,
+                       ln((tgt_cnt + 1.0) / (tgt_total + 256.0))
+                       - ln((raw_cnt + 1.0) / (raw_total + 256.0))
+                           AS log_ratio
+                FROM bc CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   round(sum(tf * log_ratio), 4) AS log_weight
+            FROM tf JOIN dim USING (bucket)
+            GROUP BY doc_id
+        """,
+        "vocab_zipf": r"""
+            WITH words AS (
+                SELECT w AS word
+                FROM (SELECT unnest(regexp_split_to_array(lower(text),
+                                    '[^0-9a-z_]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            counts AS (SELECT word, count(*) AS cnt FROM words
+                       GROUP BY word),
+            total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total
+                      FROM counts),
+            ranked AS (
+                SELECT word, cnt, row_number() OVER (
+                    ORDER BY cnt DESC, word ASC) AS rank
+                FROM counts
+            )
+            SELECT CAST(rank AS INTEGER) AS rank, word,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   round(cnt / total, 6) AS share
+            FROM ranked CROSS JOIN total
+            WHERE rank <= 50
         """,
         "source_profile": r"""
             SELECT source,

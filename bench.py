@@ -136,7 +136,7 @@ def main() -> None:
         "pii_scrub", "repetition_stats", "bpe_token_stats", "source_profile",
         "stratified_sample", "decontaminate", "domain_profile",
         "tfidf_keywords", "unigram_surprisal", "quality_gate",
-        "event_funnel", "embedding_profile",
+        "event_funnel", "embedding_profile", "dsir_weights", "vocab_zipf",
     ]
 
     def make_query_leg(fn):

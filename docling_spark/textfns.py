@@ -12,7 +12,7 @@ re-expressed as fleet-scale columns rather than per-page scores.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Tiny embedded stopword lists - deterministic language-ID heuristic.
 STOPWORDS = {
@@ -520,8 +520,6 @@ def tfidf_keywords(documents: DataFrame, k: int = 5,
     so no word divides by zero.  Ties break on the word itself, so
     results are deterministic at any parallelism.
     """
-    from pyspark.sql import Window
-
     words = (documents
              .select("doc_id", F.explode(_word_tokens(col)).alias("word"))
              .where(F.col("word") != ""))
@@ -599,3 +597,76 @@ def quality_gate(documents: DataFrame, quantile: float = 0.7,
     return (scored.crossJoin(F.broadcast(thr))
             .select("doc_id", "score", "threshold",
                     (F.col("score") >= F.col("threshold")).alias("keep")))
+
+
+def dsir_weights(documents: DataFrame, target_filter: Column,
+                 buckets: int = 256, col: str = "text") -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-unigram distribution is,
+    log w(x) = sum_tokens [ln p_target(bucket) - ln p_raw(bucket)].
+    Documents with high weight are up-sampled to steer a 100-TB crawl
+    toward a target domain without training a classifier.
+
+    Features are md5-hashed word buckets (engine-portable: DuckDB
+    computes the identical bucket), add-one smoothed.  Plan shape:
+    one explode -> (doc, bucket) tf agg, two B-row bucket dimensions
+    (B=256 - broadcast, kilobytes), one join, one per-doc agg.  The
+    corpus shuffles only (doc, bucket) partial rows; the dimensions
+    are constant-size regardless of corpus scale.
+    """
+    words = (documents
+             .select("doc_id", target_filter.alias("is_target"),
+                     F.explode(_word_tokens(col)).alias("word"))
+             .where(F.col("word") != ""))
+    b = (F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10)
+         .cast("long") % F.lit(buckets))
+    tf = (words.select("doc_id", "is_target", b.alias("bucket"))
+          .groupBy("doc_id", "is_target", "bucket")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    bucket_counts = (tf.groupBy("bucket")
+                     .agg(F.sum("tf").alias("raw_cnt"),
+                          F.sum(F.when(F.col("is_target"), F.col("tf"))
+                                .otherwise(0)).alias("tgt_cnt")))
+    totals = bucket_counts.agg(
+        F.sum("raw_cnt").cast("double").alias("raw_total"),
+        F.sum("tgt_cnt").cast("double").alias("tgt_total"))
+    dim = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (F.log((F.col("tgt_cnt") + 1.0)
+               / (F.col("tgt_total") + F.lit(float(buckets))))
+         - F.log((F.col("raw_cnt") + 1.0)
+                 / (F.col("raw_total") + F.lit(float(buckets)))))
+        .alias("log_ratio"))
+    return (tf.join(F.broadcast(dim), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("n_tokens"),
+                 F.round(F.sum(F.col("tf") * F.col("log_ratio")), 4)
+                  .alias("log_weight")))
+
+
+def vocab_zipf_profile(documents: DataFrame, k: int = 50,
+                       col: str = "text") -> DataFrame:
+    """Corpus vocabulary head: the k most frequent words with rank and
+    corpus share - the Zipf sanity check run on every new ingest (a
+    head dominated by markup tokens or one language flags a broken
+    upstream filter).
+
+    One explode -> word hash agg (map-side partial) followed by a
+    TakeOrdered(k) - the global sort never materializes, Spark keeps
+    per-partition top-k heaps and merges k rows on the driver side of
+    the exchange.  Ties break on the word itself for determinism.
+    """
+    words = (documents
+             .select(F.explode(_word_tokens(col)).alias("word"))
+             .where(F.col("word") != ""))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    top = (counts.orderBy(F.col("cnt").desc(), F.col("word").asc())
+           .limit(k))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return (top.crossJoin(F.broadcast(total))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "word", F.col("cnt").cast("long").alias("cnt"),
+                    F.round(F.col("cnt") / F.col("total"), 6)
+                     .alias("share")))

@@ -219,3 +219,23 @@ def test_embedding_profile_single_agg_no_udf(spark):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weights_broadcast_dim_no_cartesian(spark):
+    """DSIR: the 256-row bucket dimension joins back by broadcast; the
+    corpus shuffles only (doc, bucket) partial rows, no Python."""
+    plan = _plan(spark, "dsir_weights")
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_zipf_topk_no_global_sort_materialize(spark):
+    """Zipf head: word hash agg then TakeOrdered(k) - per-partition
+    heaps merge k rows, the global sort never materializes; no Python."""
+    plan = _plan(spark, "vocab_zipf")
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
