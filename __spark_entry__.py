@@ -417,6 +417,22 @@ def _q_vocab_zipf(spark, sf_dir):
     return textfns.vocab_zipf_profile(docs, k=50)
 
 
+def _q_sequence_pack(spark, sf_dir):
+    """GPT-style packing manifest (textfns.sequence_pack): concat each
+    (source, md5-subshard) stream in doc_id order, chunk into 128-token
+    sequences; one bounded window per subshard, no UDF."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.sequence_pack(docs, budget=128, subshards=4)
+
+
+def _q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (textfns.perplexity_buckets):
+    tercile thresholds over the unigram-surprisal proxy, broadcast
+    back as one row - the corpus never reshuffles to be bucketed."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.perplexity_buckets(docs)
+
+
 def _q_gopher_quality(spark, sf_dir):
     """Gopher-style quality gate flags (textfns.gopher_quality_flags)."""
     docs = _load(spark, sf_dir, "documents")
@@ -850,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_profile": _q_embedding_profile,
         "dsir_weights": _q_dsir_weights,
         "vocab_zipf": _q_vocab_zipf,
+        "sequence_pack": _q_sequence_pack,
+        "perplexity_buckets": _q_perplexity_buckets,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1949,6 +1967,67 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(tf * log_ratio), 4) AS log_weight
             FROM tf JOIN dim USING (bucket)
             GROUP BY doc_id
+        """,
+        "sequence_pack": r"""
+            WITH t AS (
+                SELECT doc_id, source AS shard,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 4 AS subshard,
+                       len(regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'
+                       )) + 1 AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, shard, subshard,
+                       CAST(n_tokens AS BIGINT) AS n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY shard, subshard
+                                           ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS end_off
+                FROM t
+            )
+            SELECT doc_id, shard, subshard, n_tokens,
+                   CAST(end_off - n_tokens AS BIGINT) AS start_off,
+                   CAST(floor((end_off - n_tokens) / 128.0) AS BIGINT)
+                       AS first_seq,
+                   CAST(floor((end_off - 1) / 128.0) AS BIGINT)
+                       AS last_seq
+            FROM c
+        """,
+        "perplexity_buckets": r"""
+            WITH words AS (
+                SELECT doc_id, w AS word
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(lower(text),
+                                    '[^0-9a-z_]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            tf AS (SELECT doc_id, word, count(*) AS tf
+                   FROM words GROUP BY doc_id, word),
+            counts AS (SELECT word, sum(tf) AS cnt FROM tf
+                       GROUP BY word),
+            total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total
+                      FROM counts),
+            scored AS (
+                SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                       round(sum(tf * -ln(cnt / total)) / sum(tf), 4)
+                           AS avg_surprisal
+                FROM tf JOIN counts USING (word) CROSS JOIN total
+                GROUP BY doc_id
+            ),
+            thr AS (
+                SELECT round(quantile_cont(avg_surprisal, 1.0/3.0), 4)
+                           AS t1,
+                       round(quantile_cont(avg_surprisal, 2.0/3.0), 4)
+                           AS t2
+                FROM scored
+            )
+            SELECT doc_id, n_tokens, avg_surprisal, t1, t2,
+                   CASE WHEN avg_surprisal <= t1 THEN 'head'
+                        WHEN avg_surprisal <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored CROSS JOIN thr
         """,
         "vocab_zipf": r"""
             WITH words AS (

@@ -670,3 +670,71 @@ def vocab_zipf_profile(documents: DataFrame, k: int = 50,
             .select("rank", "word", F.col("cnt").cast("long").alias("cnt"),
                     F.round(F.col("cnt") / F.col("total"), 6)
                      .alias("share")))
+
+
+def sequence_pack(documents: DataFrame, budget: int = 2048,
+                  subshards: int = 16, shard_col: str = "source",
+                  col: str = "text") -> DataFrame:
+    """GPT-style sequence-packing manifest: concatenate each shard's
+    documents (doc_id order, one EOS token between docs) and chunk the
+    stream into fixed ``budget``-token training sequences.  The output
+    maps every document to its byte-free token span: start offset in
+    the shard stream plus the first/last sequence index it lands in -
+    exactly what a downstream tokenizer-writer needs to emit packed
+    training shards without re-scanning text.
+
+    Token counts are BPE-ish pretokens (same Java/RE2-portable regex
+    as bpe_token_stats) + 1 EOS.  Shards are (shard_col, md5-subshard
+    of doc_id): the running-sum window partitions on that pair, so the
+    per-task sort is bounded by the subshard size - at 100 TB you raise
+    ``subshards`` and every window task stays memory-sized while the
+    packing remains deterministic (md5 bucketing is engine-portable
+    and parallelism-independent, unlike monotonically_increasing_id).
+    One window over one shuffle; no UDF, no driver state.
+    """
+    n_tok = (F.regexp_count(F.col(col), F.lit(BPE_TOKEN_PATTERN))
+             + F.lit(1)).cast("long")
+    t = documents.select(
+        "doc_id", F.col(shard_col).alias("shard"),
+        sample_bucket("doc_id", subshards).alias("subshard"),
+        n_tok.alias("n_tokens"))
+    w = (Window.partitionBy("shard", "subshard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    end_off = F.sum("n_tokens").over(w)
+    return (t.withColumn("end_off", end_off)
+            .select("doc_id", "shard", "subshard", "n_tokens",
+                    (F.col("end_off") - F.col("n_tokens"))
+                    .alias("start_off"),
+                    F.floor((F.col("end_off") - F.col("n_tokens"))
+                            / F.lit(budget)).alias("first_seq"),
+                    F.floor((F.col("end_off") - 1) / F.lit(budget))
+                    .alias("last_seq")))
+
+
+def perplexity_buckets(documents: DataFrame,
+                       col: str = "text") -> DataFrame:
+    """CCNet-style head/middle/tail corpus split: rank every document
+    by its unigram surprisal (perplexity proxy) and bucket at the
+    corpus terciles - 'head' is the most-fluent third that pretraining
+    mixes keep at full weight, 'tail' the rare-token soup that gets
+    downsampled or dropped.
+
+    Built on unigram_surprisal (two hash aggs + vocabulary join); the
+    tercile thresholds are ONE interpolated-percentile row broadcast
+    back, so the corpus never reshuffles to be bucketed.  Thresholds
+    and scores are rounded to the same 4 decimals, making the bucket
+    edges engine-portable (Spark percentile == DuckDB quantile_cont).
+    """
+    scored = unigram_surprisal(documents, col)
+    thr = scored.agg(
+        F.round(F.expr("percentile(avg_surprisal, 1.0D/3.0D)"), 4)
+         .alias("t1"),
+        F.round(F.expr("percentile(avg_surprisal, 2.0D/3.0D)"), 4)
+         .alias("t2"))
+    return (scored.crossJoin(F.broadcast(thr))
+            .select("doc_id", "n_tokens", "avg_surprisal", "t1", "t2",
+                    F.when(F.col("avg_surprisal") <= F.col("t1"),
+                           "head")
+                     .when(F.col("avg_surprisal") <= F.col("t2"),
+                           "middle")
+                     .otherwise("tail").alias("bucket")))

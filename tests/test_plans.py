@@ -239,3 +239,23 @@ def test_vocab_zipf_topk_no_global_sort_materialize(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequence_pack_bounded_window_one_shuffle(spark):
+    """Packing: one running-sum window partitioned on (shard,
+    subshard) - bounded per-task sort, exactly one exchange, no
+    Python."""
+    plan = _plan(spark, "sequence_pack")
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perplexity_buckets_broadcast_thresholds(spark):
+    """Tercile split: the threshold row is broadcast back; the scored
+    corpus is never reshuffled for bucketing, no Python."""
+    plan = _plan(spark, "perplexity_buckets")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
