@@ -1160,3 +1160,170 @@ class TestAes256Pdf:
             if got != spec_2b(pwd, salt, last_byte_rule=True):
                 diverged += 1
         assert diverged > 0
+
+
+@needs_corpus
+class TestNormal4pagesMLEvidence:
+    """Per-file record evidence that normal_4pages' remaining md diff
+    (159 lines, bounded by the ratchet) is entangled with the
+    reference's ML layout/reading-order state baked into the
+    groundtruth, not with any page-derivable rule."""
+
+    @pytest.fixture(scope="class")
+    def doc(self):
+        raw = (SRC / "normal_4pages.pdf").read_bytes()
+        pages = extract_page_cells(raw, with_images=True)
+        gt = (GT / "normal_4pages.md").read_text()
+        return pages, gt
+
+    def test_section_number_order_inverted(self, doc):
+        """Both numbered section headings draw the number box LEFT of
+        the title text on the same baseline ("1 들어가며",
+        "2 코로나-19 관련 보험 현황"), yet the groundtruth emits the
+        number AFTER the text in both headings - the reading-order
+        model's within-cluster ordering over predicted boxes, not a
+        geometric rule (left-to-right yields number first)."""
+        pages, gt = doc
+        _, _, _, cells0, _ = pages[0]
+        num = next(c for c in cells0 if c.text.strip() == "1"
+                   and 420 < c.t < 440)
+        txt = next(c for c in cells0 if c.text.strip() == "들어가며")
+        assert num.r < txt.l            # number strictly left
+        assert abs(num.t - txt.t) < 2   # same baseline
+        assert "## 들어가며 1" in gt        # yet text-then-number
+        _, _, _, cells1, _ = pages[1]
+        num2 = next(c for c in cells1 if c.text.strip() == "2"
+                    and c.t < 120)
+        txt2 = next(c for c in cells1
+                    if c.text.strip() == "코로나-19 관련 보험 현황")
+        assert num2.r < txt2.l and abs(num2.t - txt2.t) < 2
+        assert "## 코로나-19 관련 보험 현황 2" in gt
+
+    def test_docstart_image_above_geometrically_earlier_text(self, doc):
+        """The groundtruth's FIRST item is a picture, but both page-1
+        image XObjects sit far BELOW the masthead text (제1695호 at
+        t=84, 발행일 at t=110 vs images at t=305 and t=421): the
+        reading-order model hoisted a predicted picture cluster above
+        text that every geometric ordering emits first."""
+        pages, gt = doc
+        _, _, _, cells0, images0 = pages[0]
+        assert gt.lstrip().startswith("<!-- image -->")
+        masthead = next(c for c in cells0 if c.text.strip() == "제1695호")
+        assert len(images0) == 2
+        assert all(img[1] > masthead.b + 100 for img in images0), images0
+
+    def test_footnote_merge_self_inconsistent(self, doc):
+        """Four 'N)'-prefixed footnote lines share the same left
+        margin (l=65.2) and uniform ~12.7pt leading at the page
+        bottom, yet the groundtruth keeps the first two as separate
+        paragraphs while merging the last two AND the indented
+        continuation line into ONE paragraph - opposite treatments of
+        structurally identical lines = predicted-cluster membership,
+        not geometry."""
+        pages, gt = doc
+        _, _, _, cells0, _ = pages[0]
+        fns = sorted((c for c in cells0
+                      if abs(c.l - 65.2) < 0.5 and c.t > 700),
+                     key=lambda c: c.t)
+        assert len(fns) == 3  # 2) 생명보험은, 1) 한국표준, 2) 감염병
+        texts = [c.text.strip()[:12] for c in fns]
+        assert texts[0].startswith("2) 생명보험은")
+        assert texts[1].startswith("1) 한국표준질병")
+        assert texts[2].startswith("2) 감염병의")
+        # separate paragraph for the outer footnotes...
+        assert "\n\n2) 생명보험은" in gt
+        # ...but the inner pair + continuation merged into one line
+        assert ("사고 2) 감염병의 예방 및 관리에 관한 법률 제2조 제2호에서 "
+                "규정한 감염병 그러나, 약관상" in gt)
+
+    def test_picture_items_subset_of_xobjects(self, doc):
+        """7 real image XObjects across the 4 pages, only 3 picture
+        items in the groundtruth - which 4 get no item is the layout
+        model's picture prediction (rtl_02 precedent)."""
+        pages, gt = doc
+        assert sum(len(i) for _, _, _, _, i in pages) == 7
+        assert gt.count("<!-- image -->") == 3
+
+
+@needs_corpus
+class TestRedpMLEvidence:
+    """Per-file record evidence that redp5110_sampled's remaining md
+    diff (425 lines, bounded by the ratchet) is entangled with two ML
+    models' predictions baked into the groundtruth: TableFormer cell
+    structure and layout-model furniture labels."""
+
+    @pytest.fixture(scope="class")
+    def doc(self):
+        raw = (SRC / "redp5110_sampled.pdf").read_bytes()
+        pages = extract_page_cells(raw, with_images=True)
+        gt = (GT / "redp5110_sampled.md").read_text()
+        return pages, gt
+
+    def test_toc_table_cells_scramble_printed_lines(self, doc):
+        """The printed TOC page is one clean text line per entry, each
+        carrying its own page number (verified from the extracted
+        cells), yet the groundtruth renders it as a table whose cells
+        SCRAMBLE those lines: 3.1.1's and 3.1.2's titles merged into
+        one cell paired with page 14 only; '16 18' (3.1.2's and 3.2's
+        page numbers) jammed into a single number cell on 3.2's row;
+        '3.6' detached from its own title and glued onto 3.6.1's row;
+        and the single line '3.6.5 Defining and creating column
+        masks...26' split mid-phrase ACROSS TWO ROWS with crossed
+        page numbers (masks|26 vs ...column|28).  No deterministic
+        parse of one-line-per-entry input produces cross-row cell
+        scrambling - these are TableFormer's predicted cell rects."""
+        pages, gt = doc
+        _, _, _, cells, _ = pages[1]  # TOC page
+        def line(prefix):
+            return next(c.text.strip() for c in cells
+                        if c.text.strip().startswith(prefix))
+        # the page itself: each entry is ONE line with its own number
+        assert line("3.1.1  Row permission").endswith("14")
+        assert line("3.1.2  Enabling").endswith("16")
+        assert line("3.2  Special registers").endswith("18")
+        assert line("3.6.5  Defining").endswith("26")
+        assert line("3.6.6  Activating RCAC").endswith("28")
+        # the groundtruth table: scrambled cells
+        assert ("3.1.1 Row permission and column mask definitions . . . . . ."
+                " . . . . . . . . . . . . . . . . 3.1.2 Enabling and "
+                "activating RCAC") in gt
+        assert "| 16 18 |" in gt
+        assert ("| 3.6 3.6.1 Assigning the QIBM_DB_SECADM function ID to "
+                "the consultants. . . . . . . | 23 |") in gt
+        assert ("| masks . . . . . . . . . . . . . . . . . . . . . . . . . "
+                ". . . . | 26 |") in gt
+        assert "| 3.6.5 Defining and creating column | 28 |" in gt
+
+    def test_margin_inclusion_is_ml_label_not_geometry(self, doc):
+        """Cells in the SAME bottom-margin band (t within 754-756 of a
+        792pt page) get opposite groundtruth treatment: every body
+        page's running footer and page number is EXCLUDED (the title
+        string appears only twice - cover + chapter opener - never as
+        the 7 footer repetitions; '© Copyright IBM Corp' never
+        appears; no standalone page-number lines), while the cover's
+        'ibm.com'/'/redbooks' at t=750 and the t=26 top-margin 'Front
+        cover'/'Back cover' ARE body text.  A y-threshold rule cannot
+        produce both; the furniture decision is the layout model's
+        per-cluster page-header/footer label."""
+        import re
+        pages, gt = doc
+        # footer cells exist on body pages at t~754.8
+        footer_pages = [p for p, _, _, cells, _ in
+                        ((pno, w, h, c, i) for pno, w, h, c, i in pages)
+                        if any(c.text.strip() == "Row and Column Access "
+                               "Control Support in IBM DB2 for i"
+                               and c.t > 750 for c in cells)]
+        assert len(footer_pages) >= 5
+        # ...but the string appears only twice in gt (cover + opener)
+        assert gt.count(
+            "Row and Column Access Control Support in IBM DB2 for i") == 2
+        assert "© Copyright IBM Corp" not in gt
+        assert not re.search(r"(?m)^(iii|xi|27|124)$", gt)
+        # same margin bands, opposite label on the covers:
+        _, _, _, cells0, _ = pages[0]
+        assert any(c.text.strip() == "Front cover" and c.t < 30
+                   for c in cells0)
+        assert any(c.text.strip() == "ibm.com" and c.t > 745
+                   for c in cells0)
+        assert "Front cover" in gt and "ibm.com" in gt
+        assert "Back cover" in gt
