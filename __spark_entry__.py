@@ -417,6 +417,17 @@ def _q_vocab_zipf(spark, sf_dir):
     return textfns.vocab_zipf_profile(docs, k=50)
 
 
+def _q_incremental_novelty(spark, sf_dir):
+    """Cross-snapshot recrawl gate (dedup.incremental_novelty):
+    docs with doc_id % 3 == 0 act as the prior snapshot; the rest are
+    the new crawl, screened per-source by content fingerprint -
+    digest-only join, text never shuffles."""
+    docs = _load(spark, sf_dir, "documents")
+    prior = docs.where(F.col("doc_id") % 3 == 0)
+    new = docs.where(F.col("doc_id") % 3 != 0)
+    return dedup.incremental_novelty(new, prior)
+
+
 def _q_sequence_pack(spark, sf_dir):
     """GPT-style packing manifest (textfns.sequence_pack): concat each
     (source, md5-subshard) stream in doc_id order, chunk into 128-token
@@ -868,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_zipf": _q_vocab_zipf,
         "sequence_pack": _q_sequence_pack,
         "perplexity_buckets": _q_perplexity_buckets,
+        "incremental_novelty": _q_incremental_novelty,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1967,6 +1979,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(tf * log_ratio), 4) AS log_weight
             FROM tf JOIN dim USING (bucket)
             GROUP BY doc_id
+        """,
+        "incremental_novelty": r"""
+            WITH fp AS (
+                SELECT doc_id, source,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ',
+                                                'g'))) AS fingerprint
+                FROM documents
+            ),
+            prior AS (SELECT DISTINCT fingerprint FROM fp
+                      WHERE doc_id % 3 = 0),
+            new_docs AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
+            flagged AS (
+                SELECT n.source,
+                       p.fingerprint IS NULL AS novel
+                FROM new_docs n LEFT JOIN prior p USING (fingerprint)
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN novel THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   round(avg(CASE WHEN novel THEN 1.0 ELSE 0.0 END), 6)
+                       AS novelty_rate
+            FROM flagged GROUP BY source
         """,
         "sequence_pack": r"""
             WITH t AS (

@@ -137,7 +137,7 @@ def main() -> None:
         "stratified_sample", "decontaminate", "domain_profile",
         "tfidf_keywords", "unigram_surprisal", "quality_gate",
         "event_funnel", "embedding_profile", "dsir_weights", "vocab_zipf",
-        "sequence_pack", "perplexity_buckets",
+        "sequence_pack", "perplexity_buckets", "incremental_novelty",
     ]
 
     def make_query_leg(fn):

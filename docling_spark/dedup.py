@@ -595,3 +595,36 @@ def benchmark_decontaminate(documents: DataFrame,
                     F.coalesce("n_bench_grams", F.lit(0)).cast("long")
                      .alias("n_bench_grams"))
             .withColumn("contaminated", F.col("n_bench_grams") > 0))
+
+
+def incremental_novelty(new_docs: DataFrame, prior_docs: DataFrame,
+                        source_col: str = "source") -> DataFrame:
+    """Cross-snapshot incremental dedup: which documents of a NEW
+    crawl snapshot are novel vs a PRIOR corpus, summarized per source
+    - the recrawl gate every periodic web pipeline runs before paying
+    for extraction/tokenization of pages it already holds.
+
+    Both sides reduce to (fingerprint) md5 projections before any
+    shuffle, so the join moves 16-byte digests, never text: at 100 TB
+    the prior corpus contributes one distinct-fingerprint set (its
+    own map-side partial dedup) and the anti/semi decision is a plain
+    hash join on that digest - no window, no Python, and AQE
+    broadcasts the smaller side when a delta crawl meets a big base.
+    Per-source novelty rates come from one low-cardinality hash agg.
+    """
+    new_fp = new_docs.select(
+        "doc_id", F.col(source_col).alias("source"),
+        F.md5(normalized_text()).alias("fingerprint"))
+    prior_fp = (prior_docs
+                .select(F.md5(normalized_text()).alias("fingerprint"))
+                .distinct())
+    flagged = (new_fp.join(prior_fp.withColumn("seen", F.lit(1)),
+                           "fingerprint", "left")
+               .withColumn("novel", F.col("seen").isNull()))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("novel"), 1).otherwise(0))
+                  .cast("long").alias("n_novel"),
+                 F.round(F.avg(F.when(F.col("novel"), 1.0)
+                               .otherwise(0.0)), 6)
+                  .alias("novelty_rate")))

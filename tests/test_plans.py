@@ -259,3 +259,14 @@ def test_perplexity_buckets_broadcast_thresholds(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_novelty_digest_join_no_window(spark):
+    """Recrawl gate: both sides reduce to md5 digests before the join
+    (text never shuffles), one low-cardinality agg, no window, no
+    Python."""
+    plan = _plan(spark, "incremental_novelty")
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
