@@ -428,6 +428,22 @@ def _q_incremental_novelty(spark, sf_dir):
     return dedup.incremental_novelty(new, prior)
 
 
+def _q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise source vocabulary Jaccard (textfns.source_vocab_overlap):
+    corpus-mix diagnostic; vocab self-join fan-out bounded by S^2
+    sources (a dimension cardinality), sizes joined back by broadcast."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.source_vocab_overlap(docs, min_count=2)
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort-retention triangle (relational.retention_cohorts):
+    first-event-week cohorts x week offsets; two user-keyed aggs, one
+    user-keyed join, broadcast cohort sizes."""
+    events = _load(spark, sf_dir, "events")
+    return relational.retention_cohorts(events)
+
+
 def _q_sequence_pack(spark, sf_dir):
     """GPT-style packing manifest (textfns.sequence_pack): concat each
     (source, md5-subshard) stream in doc_id order, chunk into 128-token
@@ -880,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "perplexity_buckets": _q_perplexity_buckets,
         "incremental_novelty": _q_incremental_novelty,
+        "source_vocab_overlap": _q_source_vocab_overlap,
+        "retention_cohorts": _q_retention_cohorts,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -2001,6 +2019,67 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN novel THEN 1.0 ELSE 0.0 END), 6)
                        AS novelty_rate
             FROM flagged GROUP BY source
+        """,
+        "source_vocab_overlap": r"""
+            WITH words AS (
+                SELECT source AS src, w AS word
+                FROM (SELECT source,
+                             unnest(regexp_split_to_array(lower(text),
+                                    '[^0-9a-z_]+')) AS w
+                      FROM documents)
+                WHERE w <> ''
+            ),
+            vocab AS (
+                SELECT src, word FROM words
+                GROUP BY src, word HAVING count(*) >= 2
+            ),
+            sizes AS (SELECT src, count(*) AS vocab FROM vocab
+                      GROUP BY src),
+            inter AS (
+                SELECT a.src AS src_a, b.src AS src_b,
+                       count(*) AS common
+                FROM vocab a JOIN vocab b USING (word)
+                WHERE a.src < b.src
+                GROUP BY a.src, b.src
+            )
+            SELECT i.src_a, i.src_b,
+                   CAST(sa.vocab AS BIGINT) AS vocab_a,
+                   CAST(sb.vocab AS BIGINT) AS vocab_b,
+                   CAST(i.common AS BIGINT) AS common,
+                   round(i.common /
+                         (sa.vocab + sb.vocab - i.common), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.src = i.src_a
+            JOIN sizes sb ON sb.src = i.src_b
+        """,
+        "retention_cohorts": r"""
+            WITH firsts AS (
+                SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY user_id
+            ),
+            activity AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                FROM events
+            ),
+            cells AS (
+                SELECT f.cohort_week,
+                       CAST(datediff('day', CAST(f.cohort_week AS DATE),
+                                     CAST(a.week AS DATE)) / 7 AS INT)
+                           AS week_offset,
+                       count(*) AS active_users
+                FROM activity a JOIN firsts f USING (user_id)
+                GROUP BY 1, 2
+            ),
+            sizes AS (
+                SELECT cohort_week, count(*) AS cohort_users
+                FROM firsts GROUP BY cohort_week
+            )
+            SELECT c.cohort_week, c.week_offset,
+                   CAST(s.cohort_users AS BIGINT) AS cohort_users,
+                   CAST(c.active_users AS BIGINT) AS active_users,
+                   round(c.active_users * 1.0 / s.cohort_users, 4)
+                       AS retention
+            FROM cells c JOIN sizes s USING (cohort_week)
         """,
         "sequence_pack": r"""
             WITH t AS (

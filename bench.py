@@ -138,6 +138,7 @@ def main() -> None:
         "tfidf_keywords", "unigram_surprisal", "quality_gate",
         "event_funnel", "embedding_profile", "dsir_weights", "vocab_zipf",
         "sequence_pack", "perplexity_buckets", "incremental_novelty",
+        "source_vocab_overlap", "retention_cohorts",
     ]
 
     def make_query_leg(fn):

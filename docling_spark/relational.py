@@ -102,3 +102,44 @@ def event_funnel(events: DataFrame, steps: list[str],
         out = out.unionByName(r)
     return out.select("step_idx", "step",
                       F.col("n_users").cast("long").alias("n_users"))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort-retention triangle: users are cohorted by the
+    week of their first event; each (cohort_week, week_offset) cell
+    counts how many of that cohort were active ``week_offset`` weeks
+    later, plus the retention rate - the standard product-analytics
+    retention matrix as one deterministic DataFrame.
+
+    Plan shape: two user-keyed aggregations (first-event min and the
+    distinct (user, week) activity set - both collapse map-side, so a
+    hot user contributes one partial row per partition per week), one
+    user-keyed join between two already-user-partitioned sides, and a
+    final agg down to the weeks x offsets triangle.  Cohort sizes are
+    a weeks-cardinality table joined back by broadcast.  Event-volume
+    skew never reaches the join: both join inputs are user-cardinality.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    firsts = (events.groupBy(user_col)
+              .agg(F.min(ts_col).alias("first_ts")))
+    cohorts = firsts.select(
+        user_col, F.date_trunc("week", "first_ts").alias("cohort_week"))
+    activity = (events
+                .select(F.col(user_col), week.alias("week"))
+                .distinct())
+    offset = (F.datediff(F.col("week").cast("date"),
+                         F.col("cohort_week").cast("date"))
+              / 7).cast("int")
+    cells = (activity.join(cohorts, user_col)
+             .groupBy("cohort_week", offset.alias("week_offset"))
+             .agg(F.count(F.lit(1)).alias("active_users")))
+    sizes = (cohorts.groupBy("cohort_week")
+             .agg(F.count(F.lit(1)).alias("cohort_users")))
+    return (cells.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week",
+                    F.col("week_offset"),
+                    F.col("cohort_users").cast("long").alias("cohort_users"),
+                    F.col("active_users").cast("long").alias("active_users"),
+                    F.round(F.col("active_users") / F.col("cohort_users"), 4)
+                     .alias("retention")))

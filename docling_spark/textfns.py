@@ -738,3 +738,53 @@ def perplexity_buckets(documents: DataFrame,
                      .when(F.col("avg_surprisal") <= F.col("t2"),
                            "middle")
                      .otherwise("tail").alias("bucket")))
+
+
+def source_vocab_overlap(documents: DataFrame, min_count: int = 2,
+                         group_col: str = "source",
+                         col: str = "text") -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources: for every
+    (source_a, source_b) pair, the Jaccard similarity of their
+    vocabularies (words seen >= ``min_count`` times in the source).
+    The corpus-mix diagnostic run before blending crawl snapshots -
+    two sources sharing ~all their vocabulary are near-mirrors and a
+    candidate for source-level dedup, while a near-zero overlap flags
+    a language/domain outlier in the mix.
+
+    Plan shape: one explode -> (source, word) hash agg (map-side
+    partial collapses repeats), a df-filtered vocabulary self-join on
+    the word key, and one pair agg.  The self-join fan-out per word is
+    bounded by S^2 where S = number of sources - a dimension-table
+    cardinality (tens..hundreds), NOT data volume, so the join output
+    is O(V * S^2) worst case and in practice far smaller; per-source
+    vocab V grows sublinearly with corpus size (Heaps' law).  The
+    S-row size table joins back by broadcast.  No cartesian, no UDF.
+    """
+    words = (documents
+             .select(F.col(group_col).alias("src"),
+                     F.explode(_word_tokens(col)).alias("word"))
+             .where(F.col("word") != ""))
+    vocab = (words.groupBy("src", "word")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .where(F.col("cnt") >= min_count)
+             .select("src", "word"))
+    sizes = vocab.groupBy("src").agg(F.count(F.lit(1)).alias("vocab"))
+    inter = (vocab.alias("a")
+             .join(vocab.alias("b"), "word")
+             .where(F.col("a.src") < F.col("b.src"))
+             .groupBy(F.col("a.src").alias("src_a"),
+                      F.col("b.src").alias("src_b"))
+             .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col("src").alias("src_a"),
+                      F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("src").alias("src_b"),
+                      F.col("vocab").alias("vocab_b"))
+    union_sz = F.col("vocab_a") + F.col("vocab_b") - F.col("common")
+    return (inter.join(F.broadcast(sa), "src_a")
+            .join(F.broadcast(sb), "src_b")
+            .select("src_a", "src_b",
+                    F.col("vocab_a").cast("long").alias("vocab_a"),
+                    F.col("vocab_b").cast("long").alias("vocab_b"),
+                    F.col("common").cast("long").alias("common"),
+                    F.round(F.col("common") / union_sz, 6)
+                     .alias("jaccard")))

@@ -736,3 +736,47 @@ def test_domain_profile_values(spark):
     assert a["tld"] == "com"
     b = rows["b.example.org"]
     assert b["n_docs"] == 1 and b["tld"] == "org"
+
+
+def test_source_vocab_overlap_values(spark):
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple banana cherry", "a"),
+         (2, "apple apple dog dog", "b"),
+         (3, "banana banana dog dog apple apple", "c")],
+        "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r for r in
+           textfns.source_vocab_overlap(docs, min_count=2).collect()}
+    # min_count=2 vocabularies: a={apple,banana} b={apple,dog}
+    # c={apple,banana,dog}; cherry (1x) is dropped everywhere
+    assert out[("a", "b")]["common"] == 1
+    assert out[("a", "b")]["vocab_a"] == 2
+    assert out[("a", "b")]["vocab_b"] == 2
+    assert abs(out[("a", "b")]["jaccard"] - 1 / 3) < 1e-5
+    assert out[("a", "c")]["common"] == 2
+    assert abs(out[("a", "c")]["jaccard"] - 2 / 3) < 1e-5
+    assert out[("b", "c")]["common"] == 2
+    assert len(out) == 3  # src_a < src_b only, no self/mirror pairs
+
+
+def test_retention_cohorts_values(spark):
+    import datetime as dt
+
+    from docling_spark import relational
+    ev = [  # week(2024-01-01)=Mon Jan 1; week(2024-01-08)=Mon Jan 8
+        ("u1", dt.datetime(2024, 1, 1, 10)),
+        ("u1", dt.datetime(2024, 1, 9, 11)),   # offset 1
+        ("u2", dt.datetime(2024, 1, 2, 9)),    # week-0 only
+        ("u3", dt.datetime(2024, 1, 8, 8)),
+        ("u3", dt.datetime(2024, 1, 23, 8)),   # offset 2
+    ]
+    events = spark.createDataFrame(ev, "user_id string, ts timestamp")
+    out = {(r["cohort_week"].date().isoformat(), r["week_offset"]): r
+           for r in relational.retention_cohorts(events).collect()}
+    assert out[("2024-01-01", 0)]["cohort_users"] == 2
+    assert out[("2024-01-01", 0)]["active_users"] == 2
+    assert out[("2024-01-01", 1)]["active_users"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+    assert out[("2024-01-08", 0)]["active_users"] == 1
+    assert out[("2024-01-08", 2)]["retention"] == 1.0
+    assert len(out) == 4

@@ -270,3 +270,25 @@ def test_incremental_novelty_digest_join_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_vocab_overlap_broadcast_sizes_no_cartesian(spark):
+    """Vocab overlap: the S-row size table joins back by broadcast;
+    the vocab self-join is a word-keyed equi-join (never a cross
+    product) and nothing runs Python-side."""
+    plan = _plan(spark, "source_vocab_overlap")
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_cohorts_user_keyed_no_window(spark):
+    """Retention triangle: user-keyed aggs + one user-keyed join;
+    cohort sizes broadcast back; no window operator, no Python."""
+    plan = _plan(spark, "retention_cohorts")
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
