@@ -19,7 +19,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from docling_spark import (chunking, confidence, dedup, engine, layout,
                            multimodal)
 from docling_spark import pages as pages_mod
-from docling_spark import relational, similarity, streaming, textfns
+from docling_spark import relational, similarity, streaming, textfns, webgraph
 
 _SHIPPED: set[int] = set()
 
@@ -442,6 +442,50 @@ def _q_retention_cohorts(spark, sf_dir):
     user-keyed join, broadcast cohort sizes."""
     events = _load(spark, sf_dir, "events")
     return relational.retention_cohorts(events)
+
+
+def _q_link_graph(spark, sf_dir):
+    """Host-level outlink graph (webgraph.link_graph) over the same
+    deterministic pages fixture parquet the boilerplate oracle reads:
+    scan-side regexp href extraction, one explode, one hash agg."""
+    pages = _fixture_pages(spark, 64)
+    return webgraph.link_graph(pages)
+
+
+def _q_url_dedup(spark, sf_dir):
+    """Mirror-URL collapse (webgraph.url_dup_stats): each fixture url is
+    expanded into 4 deterministic raw spellings (identity, utm-tracking
+    tail, uppercase-scheme + explicit :443, trailing /index.html); ids
+    are the md5-60bit of the raw spelling (the DuckDB-value-equal hash
+    family). Canonicalization must fold the tracking/port/index variants
+    back together."""
+    pages = _fixture_pages(spark, 64)
+    variants = pages.select(
+        F.explode(F.array(
+            F.col("url"),
+            F.concat(F.col("url"), F.lit("?utm_source=feed&utm_medium=rss")),
+            F.regexp_replace("url", r"^https://([^/?#]+)", "HTTPS://$1:443"),
+            F.concat(F.col("url"), F.lit("/index.html")),
+        )).alias("url"))
+    ids = variants.select(
+        "url",
+        F.conv(F.substring(F.md5(F.col("url")), 1, 15), 16, 10)
+        .cast("long").alias("doc_id"))
+    return webgraph.url_dup_stats(ids)
+
+
+def _q_pagerank(spark, sf_dir):
+    """Link authority (webgraph.pagerank): 5 synchronous power
+    iterations over a deterministic 60-node / 2-generator edge list.
+    Every iteration is one equi-join + one hash agg; dangling mass and
+    the teleport term are broadcast 1-row aggregates."""
+    base = spark.range(60).select(F.col("id").alias("i"))
+    edges = (base.select(F.col("i").alias("src"),
+                         ((F.col("i") * 7 + 3) % 60).alias("dst"))
+             .unionByName(base.select(
+                 F.col("i").alias("src"),
+                 ((F.col("i") * F.col("i") + 1) % 60).alias("dst"))))
+    return webgraph.pagerank(edges, n_iter=5, damping=0.85)
 
 
 def _q_sequence_pack(spark, sf_dir):
@@ -898,9 +942,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_novelty": _q_incremental_novelty,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "retention_cohorts": _q_retention_cohorts,
+        "url_dedup": _q_url_dedup,
+        "pagerank": _q_pagerank,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
+        "link_graph": _q_link_graph,
     }
 
 
@@ -1087,6 +1134,164 @@ def _domain_profile_oracle_sql() -> str:
         FROM p
         GROUP BY host
     """
+
+
+def _link_graph_oracle_sql() -> str:
+    """DuckDB twin of ``_q_link_graph``: the same href regexp (Java
+    regex == RE2 subset), the same abs/root-relative classification and
+    host extraction, over the SAME deterministic pages fixture."""
+    path = pages_mod.ensure_pages(64)
+    return rf"""
+        WITH p AS (
+            SELECT lower(regexp_replace(
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       ':\d+$', '')) AS src_host,
+                   unnest(regexp_extract_all(
+                       decode(html), 'href="([^"]*)"', 1)) AS href
+            FROM read_parquet('{path}/*.parquet')
+        ), cls AS (
+            SELECT src_host, href,
+                   regexp_matches(href,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://') AS is_abs
+            FROM p
+            WHERE regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+               OR (href LIKE '/%' AND href NOT LIKE '//%')
+        ), edges AS (
+            SELECT src_host,
+                   CASE WHEN is_abs THEN lower(regexp_replace(
+                            regexp_extract(href,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                            ':\d+$', ''))
+                        ELSE src_host END AS dst_host,
+                   CASE WHEN is_abs THEN href
+                        ELSE src_host || href END AS target
+            FROM cls
+        )
+        SELECT src_host, dst_host,
+               count(*) AS n_links,
+               count(DISTINCT target) AS n_targets,
+               (src_host = dst_host) AS internal
+        FROM edges
+        GROUP BY src_host, dst_host
+    """
+
+
+def _url_dedup_oracle_sql() -> str:
+    """DuckDB twin of ``_q_url_dedup``: the same 4 deterministic raw
+    variants, the same md5-60bit ids, and the same canonicalization
+    regexp chain as ``webgraph.canonical_url`` (note DuckDB needs the
+    'g' flag where Spark's regexp_replace is replace-all by default,
+    and '\\1' backrefs where Spark uses '$1')."""
+    path = pages_mod.ensure_pages(64)
+    return rf"""
+        WITH p AS (
+            SELECT url FROM read_parquet('{path}/*.parquet')
+        ), v AS (
+            SELECT url AS raw FROM p
+            UNION ALL
+            SELECT url || '?utm_source=feed&utm_medium=rss' FROM p
+            UNION ALL
+            SELECT regexp_replace(url, '^https://([^/?#]+)',
+                                  'HTTPS://\1:443') FROM p
+            UNION ALL
+            SELECT url || '/index.html' FROM p
+        ), ids AS (
+            SELECT raw,
+                   CAST(CONCAT('0x', substr(md5(raw), 1, 15)) AS BIGINT)
+                       AS doc_id
+            FROM v
+        ), parts AS (
+            SELECT doc_id, raw,
+                   lower(regexp_extract(raw,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_replace(
+                       regexp_extract(raw,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       ':(80|443)$', '')) AS host,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(
+                           regexp_extract(raw,
+                               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)',
+                               1),
+                           '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+                       '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                       '\?$', ''),
+                       '/index\.html$', '/') AS rest
+            FROM ids
+        ), canon AS (
+            SELECT doc_id, raw AS raw_url,
+                   scheme || '://' || host ||
+                   CASE WHEN rest = '' THEN '/'
+                        WHEN rest LIKE '?%' THEN '/' || rest
+                        ELSE rest END AS canonical_url
+            FROM parts
+        )
+        SELECT canonical_url,
+               count(*) AS n_urls,
+               count(DISTINCT raw_url) AS n_raw_forms,
+               min(doc_id) AS keeper_id
+        FROM canon
+        GROUP BY canonical_url
+    """
+
+
+def _pagerank_oracle_sql(n_nodes: int = 60, n_iter: int = 5,
+                         damping: float = 0.85) -> str:
+    """DuckDB twin of ``_q_pagerank``: the same deterministic 60-node /
+    2-generator edge list and the power iteration unrolled into one CTE
+    chain per iteration (rank join + dst agg + dangling-mass scalar).
+    Teleport constants are embedded at full double repr so both engines
+    compute with the identical IEEE value; round(6) at the output
+    absorbs summation-order noise."""
+    d = repr(float(damping))
+    omd = repr(1.0 - float(damping))
+    ctes = [f"""
+        e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT CAST(i AS BIGINT) AS src,
+                       CAST((i * 7 + 3) % {n_nodes} AS BIGINT) AS dst
+                FROM range({n_nodes}) t(i)
+                UNION ALL
+                SELECT CAST(i AS BIGINT),
+                       CAST((i * i + 1) % {n_nodes} AS BIGINT)
+                FROM range({n_nodes}) t(i))
+            WHERE src <> dst
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst FROM e)
+        ), nrow AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), outdeg AS (
+            SELECT src, count(*) AS outdeg FROM e GROUP BY src
+        ), r0 AS (
+            SELECT node, 1.0 / nrow.n AS rank FROM nodes CROSS JOIN nrow
+        )"""]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""
+        d{k} AS (
+            SELECT coalesce(sum(r.rank), 0.0) AS dm
+            FROM r{k - 1} r LEFT JOIN outdeg o ON r.node = o.src
+            WHERE o.src IS NULL
+        ), c{k} AS (
+            SELECT e.dst AS dst, sum(r.rank / o.outdeg) AS in_mass
+            FROM r{k - 1} r
+            JOIN outdeg o ON r.node = o.src
+            JOIN e ON e.src = o.src
+            GROUP BY e.dst
+        ), r{k} AS (
+            SELECT nd.node,
+                   {omd} / nrow.n
+                   + {d} * (coalesce(c.in_mass, 0.0) + dg.dm / nrow.n)
+                       AS rank
+            FROM nodes nd
+            LEFT JOIN c{k} c ON nd.node = c.dst
+            CROSS JOIN nrow CROSS JOIN d{k} dg
+        )""")
+    return ("WITH " + ",".join(ctes)
+            + f"\n        SELECT node, round(rank, 6) AS rank"
+              f" FROM r{n_iter}")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2181,4 +2386,7 @@ def oracle_sql() -> dict[str, str]:
         # deterministic pages fixture parquet the Spark query reads
         "page_boilerplate": _boilerplate_oracle_sql(),
         "domain_profile": _domain_profile_oracle_sql(),
+        "link_graph": _link_graph_oracle_sql(),
+        "url_dedup": _url_dedup_oracle_sql(),
+        "pagerank": _pagerank_oracle_sql(),
     }

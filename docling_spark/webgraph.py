@@ -1,0 +1,166 @@
+"""Web-graph operators over the Common-Crawl-style pages table.
+
+The reference's HTML backend walks anchor elements while extracting
+content (docling/backend/html_backend.py, ``<a>`` inline handling); a
+crawl-scale corpus additionally needs the *graph* those anchors induce
+- outlink edges per host, link-authority scores, and URL
+canonicalization so mirror URLs collapse before dedup.  All three are
+re-expressed Spark-first: scan-side regexp column algebra, equi-joins,
+and fixed-point iteration as a bounded chain of join+agg stages - no
+RDDs, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from docling_spark.textfns import url_host
+
+_HREF_RE = r'href="([^"]*)"'
+_ABS_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+
+
+def link_graph(pages: DataFrame, url_col: str = "url",
+               html_col: str = "html") -> DataFrame:
+    """Host-level outlink graph from raw html: one edge row per
+    (src_host, dst_host) with total link count and distinct-target
+    count.  Root-relative hrefs (``/path``) resolve to the source
+    host; absolute hrefs resolve to their own host; anything else
+    (fragments, mailto:, protocol-relative) is dropped - the
+    conservative subset both engines normalize identically.
+
+    Plan shape (100-TB lens): the href extraction is a scan-side
+    ``regexp_extract_all`` projection (whole-stage codegen, html never
+    leaves the executor), one explode, and a single hash aggregation
+    on the (src_host, dst_host) key with map-side partials; the
+    distinct-target count is Spark's two-phase partial-distinct, so a
+    hot host pair ships pre-deduplicated target sets per map task.
+    No UDF, no second pass over html.
+    """
+    html_s = F.col(html_col).cast("string")
+    src = url_host(url_col)
+    rows = (pages
+            .select(src.alias("src_host"),
+                    F.explode(F.regexp_extract_all(
+                        html_s, F.lit(_HREF_RE), 1)).alias("href")))
+    is_abs = F.col("href").rlike(_ABS_RE)
+    is_rel = F.col("href").startswith("/") & ~F.col("href").startswith("//")
+    dst = F.when(is_abs, F.lower(F.regexp_replace(
+        F.regexp_extract("href", _ABS_RE + r"([^/?#]+)", 1),
+        r":\d+$", ""))).otherwise(F.col("src_host"))
+    target = F.when(is_abs, F.col("href")).otherwise(
+        F.concat(F.col("src_host"), F.col("href")))
+    return (rows.where(is_abs | is_rel)
+            .select("src_host", dst.alias("dst_host"),
+                    target.alias("target"))
+            .groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n_links"),
+                 F.countDistinct("target").alias("n_targets"))
+            .withColumn("internal", F.col("src_host") == F.col("dst_host")))
+
+
+def canonical_url(col: str = "url") -> Column:
+    """Canonical form of an absolute URL as pure regexp algebra
+    (Java-regex/RE2 common subset, oracle-replicable):
+
+    - scheme and host lowercased, default ports ``:80``/``:443``
+      stripped;
+    - fragment dropped;
+    - tracking params (``utm_*``, ``fbclid``, ``gclid``) removed with
+      separator repair, a now-empty query string dropped;
+    - trailing ``index.html`` collapsed to the directory, empty path
+      normalized to ``/``.
+
+    Everything is scan-side column algebra - at 100 TB this runs
+    inside the parquet scan's codegen stage and feeds dedup directly.
+    """
+    scheme = F.lower(F.regexp_extract(
+        F.col(col), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_replace(
+        F.regexp_extract(F.col(col), _ABS_RE + r"([^/?#]+)", 1),
+        r":(80|443)$", ""))
+    # path+query, fragment excluded
+    rest = F.regexp_extract(F.col(col), _ABS_RE + r"[^/?#]*([^#]*)", 1)
+    # tracking params: first "param=...&" (mid-query), then the
+    # leftover "?param=..." / "&param=..." tail, then a dangling "?"
+    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&", "")
+    rest = F.regexp_replace(rest, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    rest = F.regexp_replace(rest, r"\?$", "")
+    rest = F.regexp_replace(rest, r"/index\.html$", "/")
+    rest = F.when(rest == "", F.lit("/")).otherwise(rest)
+    rest = F.when(rest.startswith("?"),
+                  F.concat(F.lit("/"), rest)).otherwise(rest)
+    return F.concat(scheme, F.lit("://"), host, rest)
+
+
+def url_dup_stats(df: DataFrame, url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Collapse mirror URLs: group rows by :func:`canonical_url` and
+    report group size, distinct raw spellings, and the keeper (lowest
+    id) - the URL-level dedup that runs before any content dedup.
+
+    One hash aggregation on the canonical key (map-side partial
+    count + partial-distinct raw set + partial min).  No window, no
+    sort: the keeper is ``min(id)``, so a hot canonical URL (the
+    portal-homepage skew case) collapses map-side instead of landing
+    on one reducer as a sorted group.
+    """
+    canon = canonical_url(url_col)
+    return (df.select(F.col(id_col), F.col(url_col).alias("raw_url"),
+                      canon.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("raw_url").alias("n_raw_forms"),
+                 F.min(id_col).alias("keeper_id")))
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             damping: float = 0.85) -> DataFrame:
+    """PageRank over an edge list ``(src, dst)`` with ``n_iter``
+    synchronous power iterations - link authority for crawl
+    prioritization and quality weighting.
+
+    Spark-first iterative design: every iteration is ONE equi-join of
+    the rank vector against the out-degree-annotated edge list on the
+    src key plus ONE hash aggregation on dst; dangling mass and the
+    teleport term are 1-row aggregates broadcast back (never a
+    data-scale shuffle).  The loop runs on the driver but only builds
+    the plan - nothing is collected.  At 100 TB you would
+    ``persist()`` the rank vector and checkpoint every few iterations
+    to truncate lineage; edges are pre-partitioned on src once and
+    every iteration reuses that exchange.
+
+    Deterministic: node set = src ∪ dst, self-loops and duplicate
+    edges removed, rank rounded to 6 decimals at the output (absorbs
+    float summation order across partitionings).
+    """
+    e = (edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+         .where(F.col("src") != F.col("dst")).distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    n_row = nodes.select(F.count(F.lit(1)).cast("double").alias("n"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = (nodes.crossJoin(F.broadcast(n_row))
+             .select("node", (F.lit(1.0) / F.col("n")).alias("rank")))
+    for _ in range(n_iter):
+        with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
+        # mass of dangling nodes (no out-edges) is redistributed
+        dangling = with_deg.where(F.col("outdeg").isNull()).select(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        contrib = (with_deg.where(F.col("outdeg").isNotNull())
+                   .select("src", (F.col("rank") / F.col("outdeg"))
+                           .alias("share"))
+                   .join(e, "src")
+                   .groupBy("dst")
+                   .agg(F.sum("share").alias("in_mass")))
+        ranks = (nodes.join(contrib, nodes.node == contrib.dst, "left")
+                 .crossJoin(F.broadcast(n_row))
+                 .crossJoin(F.broadcast(dangling))
+                 .select(
+                     "node",
+                     ((1.0 - damping) / F.col("n")
+                      + damping * (F.coalesce(F.col("in_mass"), F.lit(0.0))
+                                   + F.col("dm") / F.col("n")))
+                     .alias("rank")))
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

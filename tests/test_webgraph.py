@@ -1,0 +1,148 @@
+"""Web-graph operators: link extraction, URL canonicalization, PageRank.
+
+Reference anchor-walk semantics: docling/backend/html_backend.py (the
+``<a>`` inline handling) — the graph layer itself is the crawl-scale
+extension (SURVEY.md LLM-pipeline family), oracle-twinned in
+__spark_entry__.py.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_spark import webgraph
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, bytearray(h.encode())) for u, h in rows],
+        "url string, html binary")
+
+
+class TestLinkGraph:
+    def test_edges_and_counts(self, spark):
+        pages = _pages(spark, [
+            ("https://a.test/x",
+             '<a href="/p1">i</a><a href="/p1">i</a>'
+             '<a href="https://b.test/q">o</a>'
+             '<a href="#frag">skip</a><a href="mailto:x@y">skip</a>'
+             '<a href="//proto.test/rel">skip</a>'),
+            ("https://a.test/y", '<a href="/p2">i</a>'),
+        ])
+        got = {(r.src_host, r.dst_host): r
+               for r in webgraph.link_graph(pages).collect()}
+        assert set(got) == {("a.test", "a.test"), ("a.test", "b.test")}
+        internal = got[("a.test", "a.test")]
+        # /p1 twice + /p2 once = 3 links, 2 distinct targets
+        assert internal.n_links == 3 and internal.n_targets == 2
+        assert internal.internal is True
+        ext = got[("a.test", "b.test")]
+        assert ext.n_links == 1 and ext.internal is False
+
+    def test_absolute_host_normalized(self, spark):
+        pages = _pages(spark, [
+            ("https://a.test/", '<a href="HTTP://B.Test:8080/z">x</a>')])
+        row = webgraph.link_graph(pages).collect()[0]
+        assert row.dst_host == "b.test"
+
+    def test_plan_no_python_no_cartesian(self, spark):
+        pages = _pages(spark, [("https://a.test/", '<a href="/p">x</a>')])
+        plan = (webgraph.link_graph(pages)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+CANON_CASES = [
+    ("https://A.Test:443/path?q=1#frag", "https://a.test/path?q=1"),
+    ("HTTP://h.test:80/", "http://h.test/"),
+    ("https://h.test", "https://h.test/"),
+    ("https://h.test/dir/index.html", "https://h.test/dir/"),
+    ("https://h.test/p?utm_source=x", "https://h.test/p"),
+    ("https://h.test/p?utm_source=x&keep=1", "https://h.test/p?keep=1"),
+    ("https://h.test/p?keep=1&fbclid=abc", "https://h.test/p?keep=1"),
+    ("https://h.test/p?utm_a=1&gclid=2", "https://h.test/p"),
+    ("https://h.test?utm_b=1", "https://h.test/"),
+    ("https://h.test:8080/p", "https://h.test:8080/p"),
+]
+
+
+class TestCanonicalUrl:
+    @pytest.mark.parametrize("raw,want", CANON_CASES)
+    def test_cases(self, spark, raw, want):
+        df = spark.createDataFrame([(raw,)], "url string")
+        got = df.select(webgraph.canonical_url().alias("c")).collect()[0].c
+        assert got == want, raw
+
+    def test_dup_stats_folds_variants(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://h.test/p"),
+             (2, "https://h.test/p?utm_source=x"),
+             (3, "HTTPS://H.Test:443/p"),
+             (4, "https://h.test/other")],
+            "doc_id long, url string")
+        rows = {r.canonical_url: r
+                for r in webgraph.url_dup_stats(df).collect()}
+        assert rows["https://h.test/p"].n_urls == 3
+        assert rows["https://h.test/p"].n_raw_forms == 3
+        assert rows["https://h.test/p"].keeper_id == 1
+        assert rows["https://h.test/other"].n_urls == 1
+
+    def test_dup_stats_plan_no_window_no_sort(self, spark):
+        df = spark.createDataFrame([(1, "https://h.test/p")],
+                                   "doc_id long, url string")
+        plan = (webgraph.url_dup_stats(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        # keeper is min(id): a hot canonical key must collapse map-side,
+        # never land on one reducer as a sorted window group
+        assert "Window" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def _pagerank_py(edges, n_iter=5, damping=0.85):
+    """Pure-Python mirror of the Spark semantics for a tiny graph."""
+    e = sorted({(s, d) for s, d in edges if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = float(len(nodes))
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(r for v, r in rank.items() if v not in out)
+        in_mass = {v: 0.0 for v in nodes}
+        for s, d in e:
+            in_mass[d] += rank[s] / out[s]
+        rank = {v: (1.0 - damping) / n
+                + damping * (in_mass[v] + dm / n) for v in nodes}
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+class TestPagerank:
+    def test_matches_reference_impl(self, spark):
+        edges = [(i, (i * 3 + 1) % 17) for i in range(17)] + \
+                [(i, (i * i + 2) % 17) for i in range(17)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.rank
+               for r in webgraph.pagerank(df, n_iter=4).collect()}
+        want = _pagerank_py(edges, n_iter=4)
+        assert got.keys() == want.keys()
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=2e-6), v
+
+    def test_mass_conserved(self, spark):
+        edges = [(i, (i + 1) % 10) for i in range(10)] + [(0, 5), (3, 7)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        total = (webgraph.pagerank(df, n_iter=3)
+                 .agg(F.sum("rank")).collect()[0][0])
+        assert total == pytest.approx(1.0, abs=1e-4)
+
+    def test_dangling_node_gets_mass(self, spark):
+        # 2 -> nothing: dangling; its mass redistributes, no rank lost
+        df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        ranks = {r.node: r.rank
+                 for r in webgraph.pagerank(df, n_iter=5).collect()}
+        assert set(ranks) == {0, 1, 2}
+        assert all(r > 0 for r in ranks.values())
+        # chain end accumulates the most rank
+        assert ranks[2] > ranks[0]
