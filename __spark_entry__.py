@@ -488,6 +488,30 @@ def _q_pagerank(spark, sf_dir):
     return webgraph.pagerank(edges, n_iter=5, damping=0.85)
 
 
+def _q_anchor_stats(spark, sf_dir):
+    """Inbound anchor-text profile (webgraph.anchor_stats) over the
+    deterministic pages fixture: modal link text per destination host,
+    max-count + lexicographic-min tiebreak (join form, no max_by, so
+    the DuckDB twin resolves ties identically)."""
+    pages = _fixture_pages(spark, 64)
+    return webgraph.anchor_stats(pages)
+
+
+def _q_host_cap(spark, sf_dir):
+    """Per-host crawl-budget cap (webgraph.host_budget_cap): documents
+    get deterministic urls spread over 37 synthetic hosts; keep the 5
+    smallest doc_ids per host via the two-phase salted top-N (phase-2
+    window input bounded at n_salts*k rows per host)."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h"),
+                 (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".test/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return webgraph.host_budget_cap(urls, k=5)
+
+
 def _q_sequence_pack(spark, sf_dir):
     """GPT-style packing manifest (textfns.sequence_pack): concat each
     (source, md5-subshard) stream in doc_id order, chunk into 128-token
@@ -944,10 +968,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "url_dedup": _q_url_dedup,
         "pagerank": _q_pagerank,
+        "host_cap": _q_host_cap,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
         "link_graph": _q_link_graph,
+        "anchor_stats": _q_anchor_stats,
     }
 
 
@@ -1233,6 +1259,91 @@ def _url_dedup_oracle_sql() -> str:
                min(doc_id) AS keeper_id
         FROM canon
         GROUP BY canonical_url
+    """
+
+
+def _anchor_stats_oracle_sql() -> str:
+    """DuckDB twin of ``_q_anchor_stats``: the same anchor-tag regexp,
+    whitespace-collapse normalization, host resolution and join-form
+    modal-text tiebreak over the SAME deterministic pages fixture."""
+    path = pages_mod.ensure_pages(64)
+    anchor_re = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+    return rf"""
+        WITH p AS (
+            SELECT lower(regexp_replace(
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       ':\d+$', '')) AS src_host,
+                   unnest(regexp_extract_all(
+                       decode(html), '{anchor_re}', 0)) AS tag
+            FROM read_parquet('{path}/*.parquet')
+        ), a AS (
+            SELECT src_host,
+                   regexp_extract(tag, '{anchor_re}', 1) AS href,
+                   lower(trim(regexp_replace(
+                       regexp_extract(tag, '{anchor_re}', 2),
+                       '\s+', ' ', 'g'))) AS anchor_text
+            FROM p
+        ), cls AS (
+            SELECT src_host, href, anchor_text,
+                   regexp_matches(href,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://') AS is_abs
+            FROM a
+            WHERE anchor_text <> ''
+              AND (regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                   OR (href LIKE '/%' AND href NOT LIKE '//%'))
+        ), counts AS (
+            SELECT CASE WHEN is_abs THEN lower(regexp_replace(
+                            regexp_extract(href,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                            ':\d+$', ''))
+                        ELSE src_host END AS dst_host,
+                   anchor_text,
+                   count(*) AS cnt
+            FROM cls
+            GROUP BY 1, 2
+        ), totals AS (
+            SELECT dst_host,
+                   CAST(sum(cnt) AS BIGINT) AS n_anchors,
+                   count(*) AS n_texts,
+                   max(cnt) AS top_count
+            FROM counts GROUP BY dst_host
+        ), top AS (
+            SELECT c.dst_host, min(c.anchor_text) AS top_text
+            FROM counts c JOIN totals t
+              ON c.dst_host = t.dst_host AND c.cnt = t.top_count
+            GROUP BY c.dst_host
+        )
+        SELECT t.dst_host, t.n_anchors, t.n_texts, p.top_text, t.top_count
+        FROM totals t JOIN top p ON t.dst_host = p.dst_host
+    """
+
+
+def _host_cap_oracle_sql(k: int = 5) -> str:
+    """DuckDB twin of ``_q_host_cap``: the same deterministic urls and
+    host regexp; the two-phase salted top-N must equal this single
+    global row_number window."""
+    return rf"""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ), h AS (
+            SELECT lower(regexp_replace(
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       ':\d+$', '')) AS host,
+                   doc_id, url
+            FROM u
+        ), r AS (
+            SELECT host, doc_id, url,
+                   CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY doc_id) AS INTEGER)
+                       AS rank
+            FROM h
+        )
+        SELECT host, doc_id, url, rank FROM r WHERE rank <= {k}
     """
 
 
@@ -2389,4 +2500,6 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _link_graph_oracle_sql(),
         "url_dedup": _url_dedup_oracle_sql(),
         "pagerank": _pagerank_oracle_sql(),
+        "anchor_stats": _anchor_stats_oracle_sql(),
+        "host_cap": _host_cap_oracle_sql(),
     }

@@ -59,6 +59,87 @@ def link_graph(pages: DataFrame, url_col: str = "url",
             .withColumn("internal", F.col("src_host") == F.col("dst_host")))
 
 
+_ANCHOR_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def anchor_stats(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """Inbound anchor-text profile per destination host: how the web
+    describes each host (n_anchors, distinct normalized texts, and the
+    modal text) - the classic link-text quality/relevance signal for
+    crawl corpora.  Anchor scope matches :func:`link_graph`: absolute
+    and root-relative hrefs only, plain (non-nested) anchor bodies.
+
+    Plan shape (100-TB lens): one scan-side ``regexp_extract_all`` of
+    the full anchor tags (html read once, never shuffled), one explode,
+    then a (dst_host, text) hash agg with map-side partials; the modal
+    text is max-count + lexicographic-min tiebreak resolved with one
+    host-keyed join against the host totals - host cardinality, not
+    data volume.  No UDF, no window.
+    """
+    html_s = F.col(html_col).cast("string")
+    src = url_host(url_col)
+    tags = (pages
+            .select(src.alias("src_host"),
+                    F.explode(F.regexp_extract_all(
+                        html_s, F.lit(_ANCHOR_RE), 0)).alias("tag")))
+    href = F.regexp_extract("tag", _ANCHOR_RE, 1)
+    text = F.lower(F.trim(F.regexp_replace(
+        F.regexp_extract("tag", _ANCHOR_RE, 2), r"\s+", " ")))
+    anchors = tags.select("src_host", href.alias("href"),
+                          text.alias("anchor_text"))
+    is_abs = F.col("href").rlike(_ABS_RE)
+    is_rel = F.col("href").startswith("/") & ~F.col("href").startswith("//")
+    dst = F.when(is_abs, F.lower(F.regexp_replace(
+        F.regexp_extract("href", _ABS_RE + r"([^/?#]+)", 1),
+        r":\d+$", ""))).otherwise(F.col("src_host"))
+    counts = (anchors.where((is_abs | is_rel) & (F.col("anchor_text") != ""))
+              .select(dst.alias("dst_host"), "anchor_text")
+              .groupBy("dst_host", "anchor_text")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    totals = counts.groupBy("dst_host").agg(
+        F.sum("cnt").alias("n_anchors"),
+        F.count(F.lit(1)).alias("n_texts"),
+        F.max("cnt").alias("top_count"))
+    top = (counts.join(totals.select("dst_host", "top_count"), "dst_host")
+           .where(F.col("cnt") == F.col("top_count"))
+           .groupBy("dst_host")
+           .agg(F.min("anchor_text").alias("top_text")))
+    return totals.join(top, "dst_host").select(
+        "dst_host", "n_anchors", "n_texts", "top_text", "top_count")
+
+
+def host_budget_cap(df: DataFrame, k: int = 5, n_salts: int = 16,
+                    url_col: str = "url",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-host crawl-budget cap: keep the ``k`` smallest-id documents
+    per host (the Common-Crawl-style host sampling stage that stops a
+    single portal from dominating the corpus).
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY host)``
+    sorts a mega-host's full membership in ONE task.  Instead the
+    two-phase salted top-N from ``dedup.exact_duplicates``: phase 1
+    ranks per (host, salt) - a degenerate 10^8-page host is spread over
+    ``n_salts`` parallel sort tasks - and phase 2 re-ranks only the
+    <= n_salts*k survivors per host, a bounded input that cannot
+    straggle.  The global k smallest are a subset of the per-salt k
+    smallest, so the result is identical to the single-window form
+    (oracle-checked).
+    """
+    from pyspark.sql import Window
+    base = df.select(F.col(id_col), F.col(url_col),
+                     url_host(url_col).alias("host"))
+    salted = base.withColumn(
+        "salt", F.pmod(F.xxhash64(id_col), F.lit(n_salts)))
+    w1 = Window.partitionBy("host", "salt").orderBy(id_col)
+    survivors = (salted.withColumn("rn", F.row_number().over(w1))
+                 .where(F.col("rn") <= k).drop("rn", "salt"))
+    w2 = Window.partitionBy("host").orderBy(id_col)
+    return (survivors.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("host", id_col, url_col, "rank"))
+
+
 def canonical_url(col: str = "url") -> Column:
     """Canonical form of an absolute URL as pure regexp algebra
     (Java-regex/RE2 common subset, oracle-replicable):

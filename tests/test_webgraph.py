@@ -53,6 +53,63 @@ class TestLinkGraph:
         assert "CartesianProduct" not in plan
 
 
+class TestAnchorStats:
+    def test_modal_text_and_tiebreak(self, spark):
+        pages = _pages(spark, [
+            ("https://a.test/x",
+             '<a href="/p">Docs</a><a href="/q">docs  </a>'
+             '<a href="https://b.test/">Beta</a>'
+             '<a href="/r">alpha</a><a href="/s">ALPHA</a>'
+             '<a href="#f">skip</a><a href="/t"></a>'),
+        ])
+        rows = {r.dst_host: r
+                for r in webgraph.anchor_stats(pages).collect()}
+        a = rows["a.test"]
+        # "docs" (x2, whitespace/case-normalized) and "alpha" (x2) tie
+        # at count 2 -> lexicographic-min text wins
+        assert a.n_anchors == 4 and a.n_texts == 2
+        assert a.top_text == "alpha" and a.top_count == 2
+        b = rows["b.test"]
+        assert b.n_anchors == 1 and b.top_text == "beta"
+
+    def test_plan_no_python(self, spark):
+        pages = _pages(spark, [("https://a.test/", '<a href="/p">x</a>')])
+        plan = (webgraph.anchor_stats(pages)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestHostBudgetCap:
+    def _urls(self, spark, n=200, hosts=7):
+        from pyspark.sql import functions as F
+        return (spark.range(n)
+                .select(F.col("id").alias("doc_id"),
+                        F.concat(F.lit("https://h"),
+                                 (F.col("id") % hosts).cast("string"),
+                                 F.lit(".test/p/"),
+                                 F.col("id").cast("string")).alias("url")))
+
+    def test_matches_single_window(self, spark):
+        from pyspark.sql import Window
+        df = self._urls(spark)
+        got = sorted((r.host, r.doc_id, r.rank)
+                     for r in webgraph.host_budget_cap(df, k=3).collect())
+        w = Window.partitionBy("host").orderBy("doc_id")
+        naive = (df.select("doc_id", "url",
+                           webgraph.url_host().alias("host"))
+                 .withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= 3))
+        want = sorted((r.host, r.doc_id, r.rank) for r in naive.collect())
+        assert got == want
+        assert len(got) == 7 * 3
+
+    def test_cap_bounds_every_host(self, spark):
+        df = self._urls(spark, n=300, hosts=3)
+        out = webgraph.host_budget_cap(df, k=5).groupBy("host").count()
+        assert all(r["count"] == 5 for r in out.collect())
+
+
 CANON_CASES = [
     ("https://A.Test:443/path?q=1#frag", "https://a.test/path?q=1"),
     ("HTTP://h.test:80/", "http://h.test/"),
