@@ -102,6 +102,16 @@ def main() -> None:
 
     legs: list[tuple[str, object]] = [("extract_pages", leg_extract)]
 
+    def leg_linkgraph():
+        # host-level outlink graph over the FULL html corpus: measures
+        # the scan-side regexp_extract_all + explode + two-phase
+        # partial-distinct agg path (pure JVM, no Python) at corpus scale
+        from docling_spark import webgraph
+        agg_holder["lg"] = webgraph.link_graph(pages).selectExpr(
+            "count(*) edges", "sum(n_links) links").collect()[0]
+
+    legs.append(("link_graph_corpus", leg_linkgraph))
+
     pdf_src = pathlib.Path("/root/reference/tests/data/pdf/sources")
     if pdf_src.exists():
         fixtures = [(p.name, p.read_bytes())
@@ -138,7 +148,7 @@ def main() -> None:
         "tfidf_keywords", "unigram_surprisal", "quality_gate",
         "event_funnel", "embedding_profile", "dsir_weights", "vocab_zipf",
         "sequence_pack", "perplexity_buckets", "incremental_novelty",
-        "source_vocab_overlap", "retention_cohorts",
+        "source_vocab_overlap", "retention_cohorts", "host_cap",
     ]
 
     def make_query_leg(fn):
