@@ -512,6 +512,15 @@ def _q_host_cap(spark, sf_dir):
     return webgraph.host_budget_cap(urls, k=5)
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate-span manifest (textfns.dup_span_manifest,
+    Lee et al. 2022 adaptation): maximal word-index spans covered by
+    corpus-repeated 8-grams; gram construction is array algebra, span
+    merge is per-doc island detection."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.dup_span_manifest(docs, k=8)
+
+
 def _q_sequence_pack(spark, sf_dir):
     """GPT-style packing manifest (textfns.sequence_pack): concat each
     (source, md5-subshard) stream in doc_id order, chunk into 128-token
@@ -969,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "pagerank": _q_pagerank,
         "host_cap": _q_host_cap,
+        "dup_spans": _q_dup_spans,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1259,6 +1269,59 @@ def _url_dedup_oracle_sql() -> str:
                min(doc_id) AS keeper_id
         FROM canon
         GROUP BY canonical_url
+    """
+
+
+def _dup_spans_oracle_sql(k: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of ``_q_dup_spans``: the same whitespace word split,
+    k-gram construction (struct-list comprehension + recursive unnest
+    mirrors transform+posexplode), md5 dup test, and per-doc island
+    merge with identical window frames."""
+    km1 = k - 1
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                       AS words
+            FROM documents
+        ), gl AS (
+            SELECT doc_id,
+                   CASE WHEN len(words) >= {k} THEN
+                     [{{'pos': x - 1,
+                        'gram': array_to_string(words[x : x + {km1}], ' ')}}
+                      for x in generate_series(1, len(words) - {km1})]
+                   ELSE [] END AS grams
+            FROM t
+        ), g AS (
+            SELECT doc_id, unnest(grams, recursive := true)
+            FROM gl
+        ), gh AS (
+            SELECT doc_id, pos, md5(gram) AS h FROM g
+        ), dup AS (
+            SELECT h FROM gh GROUP BY h HAVING count(*) >= {min_count}
+        ), s AS (
+            SELECT doc_id, pos FROM gh WHERE h IN (SELECT h FROM dup)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   max(pos + {km1}) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_end
+            FROM s
+        ), runs AS (
+            SELECT doc_id, pos,
+                   sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM isl
+        )
+        SELECT doc_id,
+               CAST(min(pos) AS INTEGER) AS span_start,
+               CAST(max(pos) + {km1} AS INTEGER) AS span_end,
+               CAST(max(pos) + {km1} - min(pos) + 1 AS INTEGER)
+                   AS span_words,
+               count(*) AS n_grams
+        FROM runs GROUP BY doc_id, island
     """
 
 
@@ -2502,4 +2565,5 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(),
         "anchor_stats": _anchor_stats_oracle_sql(),
         "host_cap": _host_cap_oracle_sql(),
+        "dup_spans": _dup_spans_oracle_sql(),
     }

@@ -234,6 +234,61 @@ def duplicated_passage_stats(documents: DataFrame,
                 4).alias("dup_ratio"))
 
 
+def dup_span_manifest(documents: DataFrame, k: int = 8,
+                      min_count: int = 2) -> DataFrame:
+    """Exact-substring duplicate-span manifest (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    word-granular Spark adaptation): for every document, the maximal
+    word-index spans covered by ``k``-word sequences that occur
+    >= ``min_count`` times in the corpus - the cut list a trainer
+    applies BEFORE tokenization, finer than passage/doc-level dedup.
+
+    100-TB shape: gram construction is pure array algebra in codegen
+    (transform over a slice sequence - no lead() window, no UDF); the
+    dup test is ONE hash agg on md5(gram) with map-side partials; the
+    span merge (classic island detection) uses per-DOC windows only, so
+    partition size is bounded by document length, never corpus size.
+    The suffix array of the paper is replaced by the gram index - same
+    detected spans for span lengths >= k, no global sort.
+    """
+    words = _word_list("text")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    g = (documents.select("doc_id", F.posexplode(grams)
+                          .alias("pos", "gram"))
+         .select("doc_id", "pos", F.md5("gram").alias("h")))
+    dup_h = (g.groupBy("h")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .where(F.col("cnt") >= min_count)
+             .select("h"))
+    starts = g.join(dup_h, "h", "left_semi")
+    w_prev = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    islands = (starts
+               .withColumn("prev_end",
+                           F.max(F.col("pos") + (k - 1)).over(w_prev))
+               .withColumn("is_new",
+                           F.when(F.col("prev_end").isNull()
+                                  | (F.col("pos")
+                                     > F.col("prev_end") + 1), 1)
+                           .otherwise(0))
+               .withColumn("island", F.sum("is_new").over(w_run)))
+    return (islands.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + (k - 1)).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .select("doc_id", "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("span_words"),
+                    "n_grams"))
+
+
 def boilerplate_scores(pages: DataFrame, html_col: str = "html",
                        link_ratio_max: float = 0.5,
                        tag_density_max: float = 0.25) -> DataFrame:

@@ -780,3 +780,40 @@ def test_retention_cohorts_values(spark):
     assert out[("2024-01-08", 0)]["active_users"] == 1
     assert out[("2024-01-08", 2)]["retention"] == 1.0
     assert len(out) == 4
+
+
+def test_dup_span_manifest_islands(spark):
+    """Hand-built corpus with a planted repeated 10-word run: the two
+    overlapping duplicated 4-gram starts must merge into ONE maximal
+    span per doc; unique text produces no span."""
+    from docling_spark import textfns
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [(1, f"unique alpha beta {run} gamma delta unique1"),
+         (2, f"other prefix {run} and a different suffix here"),
+         (3, "totally unrelated words only appearing once here")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in textfns.dup_span_manifest(docs, k=4).collect()}
+    # doc 1: run starts at word index 3 -> span [3, 12], 7 gram starts
+    assert rows[1].span_start == 3 and rows[1].span_end == 12
+    assert rows[1].span_words == 10 and rows[1].n_grams == 7
+    # doc 2: run starts at index 2 -> span [2, 11]
+    assert rows[2].span_start == 2 and rows[2].span_end == 11
+    assert 3 not in rows
+    # exactly one island per doc (overlapping grams merged)
+    assert len(rows) == 2
+
+
+def test_dup_span_manifest_short_and_empty_docs(spark):
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, ""), (3, "   "),
+         (4, "a b c d e f g h"), (5, "a b c d e f g h")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in textfns.dup_span_manifest(docs, k=8).collect()}
+    # docs 4/5 are an exact 8-word duplicate pair; 1-3 are sub-k
+    assert set(rows) == {4, 5}
+    assert rows[4].span_start == 0 and rows[4].span_end == 7
+    assert rows[4].n_grams == 1
