@@ -94,6 +94,30 @@ def stream_extract_pages(spark, pages_path: str) -> DataFrame:
         engine._extract_batches, schema=engine.EXTRACT_SCHEMA)
 
 
+def stream_dedup_pages(spark, pages_path: str,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup of the crawl landing directory: a page whose
+    html digest was already emitted within the watermark horizon is
+    dropped BEFORE extraction ever pays for it - the streaming twin of
+    ``dedup.dedup_keep_first`` for the ingest topology.
+
+    State shape at fleet scale: keyed by the 64-hex sha256 digest ONLY
+    (html never enters the state store), and
+    ``dropDuplicatesWithinWatermark`` evicts keys once they age past the
+    horizon, so state is bounded by the dedup window's distinct-digest
+    count, not the corpus. Recrawl dedup beyond the horizon belongs to
+    the batch path (``dedup.incremental_novelty``).
+    """
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, html binary")
+              .option("maxFilesPerTrigger", 8)
+              .parquet(pages_path))
+    return (stream
+            .withColumn("digest", F.sha2(F.col("html"), 256))
+            .withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["digest"]))
+
+
 SESSION_STATE_SCHEMA = StructType([
     StructField("last_ts", LongType()),
     StructField("n_events", LongType()),

@@ -817,3 +817,43 @@ def test_dup_span_manifest_short_and_empty_docs(spark):
     assert set(rows) == {4, 5}
     assert rows[4].span_start == 0 and rows[4].span_end == 7
     assert rows[4].n_grams == 1
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """stream_dedup_pages: a digest seen in an EARLIER micro-batch is
+    dropped in a later one (cross-trigger state), uniques all pass."""
+    import datetime as dt
+    src = tmp_path / "dedup_stream"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batch1 = [("https://s/a", t0, b"<p>alpha</p>"),
+              ("https://s/b", t0, b"<p>beta</p>")]
+    batch2 = [("https://s/a2", t0, b"<p>alpha</p>"),   # dup of a
+              ("https://s/c", t0, b"<p>gamma</p>")]
+    schema = "url string, warc_ts timestamp, html binary"
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.parquet(str(src / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.parquet(str(src / "f2"))
+    from docling_spark import streaming as stfns
+    stream = (spark.readStream
+              .schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    dedup = (stream
+             .withColumn("digest", F.sha2(F.col("html"), 256))
+             .withWatermark("warc_ts", "1 hour")
+             .dropDuplicatesWithinWatermark(["digest"]))
+    q = (dedup.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    urls = {r["url"] for r in
+            spark.sql("select url from dedup_stream").collect()}
+    # 3 distinct digests survive; exactly one of the alpha pair
+    assert len(urls) == 3
+    assert len(urls & {"https://s/a", "https://s/a2"}) == 1
+    assert {"https://s/b", "https://s/c"} <= urls
+    # the factory builds the same plan end-to-end
+    df = stfns.stream_dedup_pages(spark, str(src) + "/*")
+    assert df.isStreaming and "digest" in df.columns
