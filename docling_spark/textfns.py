@@ -261,6 +261,9 @@ def dup_span_manifest(documents: DataFrame, k: int = 8,
     g = (documents.select("doc_id", F.posexplode(grams)
                           .alias("pos", "gram"))
          .select("doc_id", "pos", F.md5("gram").alias("h")))
+    # two consumers (dup test + span starts): materialize the gram index
+    # once instead of re-scanning text and rebuilding every gram twice
+    g = g.localCheckpoint(eager=False)
     dup_h = (g.groupBy("h")
              .agg(F.count(F.lit(1)).alias("cnt"))
              .where(F.col("cnt") >= min_count)

@@ -292,3 +292,28 @@ def test_retention_cohorts_user_keyed_no_window(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_spans_single_text_scan(spark):
+    """dup_span_manifest: gram index is localCheckpointed for its two
+    consumers, so text is scanned and gram-built ONCE; no Python, no
+    cartesian anywhere in the plan."""
+    plan = _plan(spark, "dup_spans")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) <= 1, scans
+
+
+def test_host_cap_two_phase_windows(spark):
+    """host_budget_cap: the salted phase must partition its window on
+    (host, salt) so a mega-host is spread over n_salts sort tasks."""
+    plan = _plan(spark, "host_cap")
+    assert "BatchEvalPython" not in plan
+    win_nodes = [l for l in plan.splitlines()
+                 if "Window [row_number()" in l]
+    assert len(win_nodes) == 2, win_nodes
+    # phase-1 window is keyed on (host, salt); and Spark pushes a
+    # map-side WindowGroupLimit so even phase 1 never sorts a full group
+    assert any("salt" in l for l in win_nodes)
+    assert "WindowGroupLimit" in plan and "Partial" in plan
