@@ -512,6 +512,27 @@ def _q_host_cap(spark, sf_dir):
     return webgraph.host_budget_cap(urls, k=5)
 
 
+_POLICY_RULES = [
+    ("synth.test", "/", True),
+    ("synth.test", "/0", False),
+    ("synth.test", "/07", True),
+    ("synth.test", "/1", False),
+    ("synth.test", "/1", True),        # same-length conflict: deny wins
+    ("fixture.test", "/html/", True),
+    ("fixture.test", "/html/wiki", False),
+]
+
+
+def _q_policy_filter(spark, sf_dir):
+    """Robots-style crawl-policy verdicts (webgraph.policy_filter):
+    longest-prefix rule wins, deny wins length ties, no rule = allowed;
+    one broadcast rule join + one url-keyed hash agg."""
+    pages = _fixture_pages(spark, 64)
+    rules = spark.createDataFrame(
+        _POLICY_RULES, "host string, path_prefix string, allow boolean")
+    return webgraph.policy_filter(pages, rules)
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact-substring duplicate-span manifest (textfns.dup_span_manifest,
     Lee et al. 2022 adaptation): maximal word-index spans covered by
@@ -979,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "host_cap": _q_host_cap,
         "dup_spans": _q_dup_spans,
+        "policy_filter": _q_policy_filter,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1269,6 +1291,49 @@ def _url_dedup_oracle_sql() -> str:
                min(doc_id) AS keeper_id
         FROM canon
         GROUP BY canonical_url
+    """
+
+
+def _policy_filter_oracle_sql() -> str:
+    """DuckDB twin of ``_q_policy_filter``: same rule VALUES list, same
+    left join + composite-key aggregation (longest prefix wins, deny
+    wins length ties via the odd key bit)."""
+    path = pages_mod.ensure_pages(64)
+    values = ", ".join(
+        f"('{h}', '{p}', {str(a).lower()})" for h, p, a in _POLICY_RULES)
+    return rf"""
+        WITH raw AS (
+            SELECT url,
+                   lower(regexp_replace(
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       ':\d+$', '')) AS host,
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS pp
+            FROM read_parquet('{path}/*.parquet')
+        ), p AS (
+            SELECT url, host,
+                   CASE WHEN pp = '' THEN '/' ELSE pp END AS path
+            FROM raw
+        ), rules(host, path_prefix, allow) AS (
+            VALUES {values}
+        ), m AS (
+            SELECT p.url, p.host, p.path, r.path_prefix, r.allow
+            FROM p LEFT JOIN rules r
+              ON p.host = r.host AND starts_with(p.path, r.path_prefix)
+        ), agg AS (
+            SELECT url, host, path,
+                   arg_max(path_prefix, len(path_prefix))
+                       AS matched_prefix,
+                   max(len(path_prefix) * 2
+                       + CASE WHEN allow THEN 0 ELSE 1 END) AS rule_key
+            FROM m GROUP BY url, host, path
+        )
+        SELECT url, host, path, matched_prefix,
+               CASE WHEN rule_key IS NULL THEN true
+                    ELSE rule_key % 2 = 0 END AS allowed
+        FROM agg
     """
 
 
@@ -2566,4 +2631,5 @@ def oracle_sql() -> dict[str, str]:
         "anchor_stats": _anchor_stats_oracle_sql(),
         "host_cap": _host_cap_oracle_sql(),
         "dup_spans": _dup_spans_oracle_sql(),
+        "policy_filter": _policy_filter_oracle_sql(),
     }

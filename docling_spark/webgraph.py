@@ -195,6 +195,46 @@ def url_dup_stats(df: DataFrame, url_col: str = "url",
                  F.min(id_col).alias("keeper_id")))
 
 
+def policy_filter(pages: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """Robots-style crawl-policy verdict per URL: ``rules`` is a small
+    (host, path_prefix, allow) table; the most specific (longest-prefix)
+    matching rule decides, a deny wins length ties (robots.txt
+    precedence), and a URL with no matching rule is allowed.
+
+    Plan shape (100-TB lens): the rule table is policy configuration -
+    thousands of rows, never data-scale - so it is ``broadcast()`` and
+    the whole verdict is one broadcast equi-join on host + a url-keyed
+    hash agg (longest match via max(len), deny-wins via min(allow) among
+    the max-length matches, both map-side combinable), then one
+    broadcast join back onto the pages. The corpus never shuffles.
+    """
+    host = url_host(url_col)
+    path = F.regexp_extract(F.col(url_col), _ABS_RE + r"[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    base = pages.select(F.col(url_col), host.alias("host"),
+                        path.alias("path"))
+    r = rules.select(F.col("host").alias("r_host"), "path_prefix", "allow")
+    m = base.join(
+        F.broadcast(r),
+        (F.col("host") == F.col("r_host"))
+        & F.col("path").startswith(F.col("path_prefix")),
+        "left")
+    # composite key: longest prefix wins, a deny (odd key) wins the tie;
+    # prefixes of one path with equal length are the same string, so
+    # max_by ties are between identical values
+    key = (F.length("path_prefix") * 2
+           + F.when(F.col("allow"), 0).otherwise(1))
+    return (m.groupBy(url_col, "host", "path")
+            .agg(F.max(key).alias("rule_key"),
+                 F.max_by("path_prefix",
+                          F.length("path_prefix")).alias("matched_prefix"))
+            .select(url_col, "host", "path", "matched_prefix",
+                    F.when(F.col("rule_key").isNull(), F.lit(True))
+                    .otherwise(F.col("rule_key") % 2 == 0)
+                    .alias("allowed")))
+
+
 def pagerank(edges: DataFrame, n_iter: int = 5,
              damping: float = 0.85) -> DataFrame:
     """PageRank over an edge list ``(src, dst)`` with ``n_iter``

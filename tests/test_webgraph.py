@@ -156,6 +156,55 @@ class TestCanonicalUrl:
         assert "BatchEvalPython" not in plan
 
 
+class TestPolicyFilter:
+    def _run(self, spark, urls, rules):
+        pages = spark.createDataFrame([(u,) for u in urls], "url string")
+        rdf = spark.createDataFrame(
+            rules, "host string, path_prefix string, allow boolean")
+        return {r.url: r
+                for r in webgraph.policy_filter(pages, rdf).collect()}
+
+    def test_longest_prefix_wins(self, spark):
+        rows = self._run(
+            spark,
+            ["https://a.test/private/x", "https://a.test/private/pub/y",
+             "https://a.test/other"],
+            [("a.test", "/", True),
+             ("a.test", "/private/", False),
+             ("a.test", "/private/pub/", True)])
+        assert rows["https://a.test/private/x"].allowed is False
+        assert rows["https://a.test/private/pub/y"].allowed is True
+        assert rows["https://a.test/other"].allowed is True
+        assert (rows["https://a.test/private/x"].matched_prefix
+                == "/private/")
+
+    def test_deny_wins_length_tie_and_no_rule_allows(self, spark):
+        rows = self._run(
+            spark,
+            ["https://a.test/p", "https://b.test/q", "https://a.test"],
+            [("a.test", "/p", True), ("a.test", "/p", False),
+             ("a.test", "/", True)])
+        assert rows["https://a.test/p"].allowed is False
+        # no rules for b.test at all -> allowed, no matched prefix
+        assert rows["https://b.test/q"].allowed is True
+        assert rows["https://b.test/q"].matched_prefix is None
+        # bare host -> path normalized to "/"
+        assert rows["https://a.test"].path == "/"
+        assert rows["https://a.test"].allowed is True
+
+    def test_plan_broadcast_rules_no_smj(self, spark):
+        pages = spark.createDataFrame([("https://a.test/p",)],
+                                      "url string")
+        rules = spark.createDataFrame([("a.test", "/", True)],
+                                      "host string, path_prefix string, "
+                                      "allow boolean")
+        plan = (webgraph.policy_filter(pages, rules)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 def _pagerank_py(edges, n_iter=5, damping=0.85):
     """Pure-Python mirror of the Spark semantics for a tiny graph."""
     e = sorted({(s, d) for s, d in edges if s != d})
