@@ -533,6 +533,21 @@ def _q_policy_filter(spark, sf_dir):
     return webgraph.policy_filter(pages, rules)
 
 
+def _q_warc_ingest(spark, sf_dir):
+    """Common-Crawl WARC ingest (warc.read_warc): binaryFile scan ->
+    stdlib record walk in Arrow-batched mapInPandas -> pages-shaped
+    rows. The oracle reads the generator's independent expected.parquet,
+    so the comparison end-to-end checks the from-scratch parser."""
+    from docling_spark import warc as warc_mod
+    _ensure_shipped(spark)
+    fixture = warc_mod.ensure_warc(48)
+    df = warc_mod.read_warc(spark, f"{fixture}/archive")
+    return df.select(
+        "url", "warc_ts",
+        F.length("html").alias("n_bytes"),
+        F.sha2(F.col("html").cast("string"), 256).alias("digest"))
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact-substring duplicate-span manifest (textfns.dup_span_manifest,
     Lee et al. 2022 adaptation): maximal word-index spans covered by
@@ -1001,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": _q_host_cap,
         "dup_spans": _q_dup_spans,
         "policy_filter": _q_policy_filter,
+        "warc_ingest": _q_warc_ingest,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1291,6 +1307,20 @@ def _url_dedup_oracle_sql() -> str:
                min(doc_id) AS keeper_id
         FROM canon
         GROUP BY canonical_url
+    """
+
+
+def _warc_ingest_oracle_sql() -> str:
+    """DuckDB twin of ``_q_warc_ingest``: reads the generator-written
+    expected.parquet (independent of the parser) - a mismatch means the
+    WARC parse dropped, duplicated, or corrupted a record."""
+    from docling_spark import warc as warc_mod
+    fixture = warc_mod.ensure_warc(48)
+    return f"""
+        SELECT url, warc_ts,
+               CAST(octet_length(html) AS INTEGER) AS n_bytes,
+               sha256(decode(html)) AS digest
+        FROM read_parquet('{fixture}/expected.parquet')
     """
 
 
@@ -2632,4 +2662,5 @@ def oracle_sql() -> dict[str, str]:
         "host_cap": _host_cap_oracle_sql(),
         "dup_spans": _dup_spans_oracle_sql(),
         "policy_filter": _policy_filter_oracle_sql(),
+        "warc_ingest": _warc_ingest_oracle_sql(),
     }

@@ -1,0 +1,272 @@
+"""From-scratch WARC/1.0 source: Common-Crawl's wire format -> the
+pages table shape (url, warc_ts, html, text, lang).
+
+The north-rule input is an Iceberg table of Common-Crawl-style pages;
+this module is the INGEST step that builds it from raw crawl output.
+Format per ISO 28500: records are ``WARC/1.0\\r\\n`` + headers +
+``\\r\\n`` + Content-Length payload bytes + ``\\r\\n\\r\\n``; a
+``.warc.gz`` stores each record as its own gzip member (the CC layout,
+which is what makes per-record random access and parallel splitting
+possible). Response records carry an HTTP message whose body is the
+page; the HTTP head is stripped here.
+
+Spark shape: ``spark.read.format("binaryFile")`` lists the archive
+files (one task per file - WARC files are written ~1 GB each precisely
+so file-granular parallelism works), and an Arrow-batched
+``mapInPandas`` walks records with pure-stdlib parsing. Malformed
+records are skipped, never fatal - the per-file lineage row carries the
+skip count, mirroring the extraction error envelopes.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip
+import io
+import zlib
+
+from pyspark.sql import DataFrame
+
+WARC_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+               "text string, lang string, warc_type string, "
+               "source_file string")
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _gunzip_members(data: bytes):
+    """Yield each gzip member's bytes (CC-style member-per-record)."""
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            return
+        yield chunk
+        tail = len(d.unused_data)
+        consumed = len(data) - pos - tail
+        if consumed <= 0:
+            return
+        pos += consumed
+
+
+def parse_warc(data: bytes, source_file: str = ""):
+    """Parse one WARC file's bytes into page rows (list of dicts).
+
+    Handles both plain ``.warc`` and member-per-record ``.warc.gz``.
+    Returns (rows, n_records, n_skipped)."""
+    if data[:2] == b"\x1f\x8b":
+        blobs = _gunzip_members(data)
+    else:
+        blobs = _split_plain(data)
+    rows, n_rec, n_skip = [], 0, 0
+    for blob in blobs:
+        n_rec += 1
+        row = _parse_record(blob, source_file)
+        if row is None:
+            n_skip += 1
+        elif row:
+            rows.append(row)
+    return rows, n_rec, n_skip
+
+
+def _split_plain(data: bytes):
+    """Split a plain (uncompressed) WARC stream into record blobs by
+    walking Content-Length - never by scanning payloads for magic."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_end = data.find(_CRLF2, pos)
+        if head_end < 0:
+            return
+        head = data[pos:head_end]
+        clen = _content_length(head)
+        if clen is None:
+            return
+        end = head_end + 4 + clen
+        yield data[pos:end]
+        pos = end
+        while data[pos:pos + 2] == b"\r\n":
+            pos += 2
+
+
+def _content_length(head: bytes):
+    for line in head.split(b"\r\n"):
+        if line.lower().startswith(b"content-length:"):
+            try:
+                return int(line.split(b":", 1)[1].strip())
+            except ValueError:
+                return None
+    return None
+
+
+def _parse_record(blob: bytes, source_file: str):
+    """One record blob -> page row dict, {} for non-response records,
+    None for malformed ones."""
+    if not blob.startswith(b"WARC/"):
+        return None
+    head_end = blob.find(_CRLF2)
+    if head_end < 0:
+        return None
+    headers = {}
+    for line in blob[:head_end].split(b"\r\n")[1:]:
+        k, _, v = line.partition(b":")
+        if _:
+            headers[k.strip().lower()] = v.strip()
+    clen = _content_length(blob[:head_end])
+    if clen is None:
+        return None
+    payload = blob[head_end + 4:head_end + 4 + clen]
+    if len(payload) < clen:
+        return None  # truncated record
+    wtype = headers.get(b"warc-type", b"").decode("ascii", "replace")
+    if wtype != "response":
+        return {}
+    uri = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+    if not uri:
+        return None
+    ts = None
+    raw_ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
+    try:
+        ts = _dt.datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        return None
+    # response payload is an HTTP message: strip the status+header block
+    if payload[:5] in (b"HTTP/",):
+        body_at = payload.find(_CRLF2)
+        body = payload[body_at + 4:] if body_at >= 0 else b""
+    else:
+        body = payload
+    return {
+        "url": uri,
+        "warc_ts": ts,
+        "html": body,
+        "text": None,
+        "lang": None,
+        "warc_type": wtype,
+        "source_file": source_file,
+    }
+
+
+def _warc_batches(batches):
+    import pandas as pd
+    for pdf in batches:
+        out = {k: [] for k in ("url", "warc_ts", "html", "text", "lang",
+                               "warc_type", "source_file")}
+        for path, content in zip(pdf["path"], pdf["content"]):
+            try:
+                rows, _, _ = parse_warc(bytes(content), str(path))
+            except Exception:
+                rows = []
+            for r in rows:
+                for k in out:
+                    out[k].append(r[k])
+        yield pd.DataFrame(out)
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """WARC archive directory -> pages-shaped DataFrame.
+
+    One task per archive file (binaryFile source); stdlib record walk
+    inside an Arrow-batched ``mapInPandas``. The output drops straight
+    into ``engine.extract_pages`` / the Iceberg pages table writer.
+    """
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(_warc_batches, schema=WARC_SCHEMA)
+
+
+def ensure_warc(n_records: int = 48, seed: int = 7,
+                cache_dir=None) -> str:
+    """Idempotent cached fixture: the WARC archive AND an
+    ``expected.parquet`` of the rows the generator intended - written
+    straight from the generator's state, never through the parser, so
+    the oracle comparison is a genuine end-to-end check of the parse."""
+    import hashlib
+    import pathlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_spark.pages import DEFAULT_CACHE
+    cache_dir = pathlib.Path(cache_dir or DEFAULT_CACHE)
+    key = hashlib.sha256(
+        f"warc|{n_records}|{seed}|v1".encode()).hexdigest()[:12]
+    out = cache_dir / f"warc_{n_records}_{key}"
+    if not (out / "_DONE").exists():
+        expected = write_synthetic_warc(out / "archive", n_records, seed,
+                                        compress=True,
+                                        return_expected=True)
+        table = pa.Table.from_pylist(expected, schema=pa.schema([
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+        ]))
+        pq.write_table(table, out / "expected.parquet")
+        (out / "_DONE").touch()
+    return str(out)
+
+
+# ----------------------------------------------------- synthetic fixture
+
+def write_synthetic_warc(path, n_records: int = 24, seed: int = 7,
+                         compress: bool = True,
+                         return_expected: bool = False):
+    """Deterministic CC-style fixture: response records (html payloads
+    behind HTTP heads) interleaved with request/metadata records that
+    ingestion must skip. With ``return_expected`` the intended response
+    rows are returned (url, warc_ts, html) for oracle comparison."""
+    import pathlib
+    import random
+    rng = random.Random(seed)
+    out = io.BytesIO()
+    expected = []
+    t0 = _dt.datetime(2024, 3, 1, 0, 0, 0)
+    for i in range(n_records):
+        ts = (t0 + _dt.timedelta(seconds=i)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        url = f"https://warc.test/{i % 8:x}/{i}"
+        if i % 5 == 3:
+            body = b""
+            rec = _record(b"request", url, ts,
+                          b"GET / HTTP/1.1\r\nHost: warc.test\r\n\r\n")
+        elif i % 5 == 4:
+            rec = _record(b"metadata", url, ts, b"fetchTimeMs: 12\r\n")
+        else:
+            words = " ".join(
+                rng.choice(("alpha", "beta", "gamma", "delta"))
+                for _ in range(rng.randint(4, 12)))
+            body = (f"<html><body><h1>doc {i}</h1><p>{words}</p>"
+                    f"</body></html>").encode()
+            http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                    + body)
+            rec = _record(b"response", url, ts, http)
+            expected.append({
+                "url": url,
+                "warc_ts": t0 + _dt.timedelta(seconds=i),
+                "html": body,
+            })
+        if compress:
+            out.write(gzip.compress(rec, mtime=0))
+        else:
+            out.write(rec)
+    p = pathlib.Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    name = "part-0000.warc.gz" if compress else "part-0000.warc"
+    (p / name).write_bytes(out.getvalue())
+    if return_expected:
+        return expected
+    return str(p)
+
+
+def _record(wtype: bytes, url: str, ts: str, payload: bytes) -> bytes:
+    head = (b"WARC/1.0\r\n"
+            b"WARC-Type: " + wtype + b"\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {ts}\r\n".encode()
+            + f"Content-Length: {len(payload)}\r\n".encode())
+    # each header line already ends \r\n; one more \r\n closes the head
+    return head + b"\r\n" + payload + _CRLF2

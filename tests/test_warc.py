@@ -1,0 +1,86 @@
+"""WARC/1.0 source: from-scratch Common-Crawl ingest (ISO 28500).
+
+Reference scope note: the reference consumes already-extracted page
+bytes; WARC is the crawl wire format that FEEDS the pages table the
+north rule names, so the parser lives on the Spark side as a source.
+"""
+
+import datetime as dt
+
+import pytest
+
+from docling_spark import warc
+
+
+@pytest.fixture(scope="module")
+def archive(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    warc.write_synthetic_warc(d / "gz", n_records=24)
+    warc.write_synthetic_warc(d / "plain", n_records=24, compress=False)
+    return d
+
+
+class TestParse:
+    def test_gz_member_per_record(self, archive):
+        data = (archive / "gz" / "part-0000.warc.gz").read_bytes()
+        rows, n_rec, n_skip = warc.parse_warc(data, "f")
+        assert n_rec == 24 and n_skip == 0
+        # 24 records, i%5 in {3,4} are request/metadata -> 15 responses
+        assert len(rows) == 15
+        r0 = rows[0]
+        assert r0["url"] == "https://warc.test/0/0"
+        assert r0["warc_ts"] == dt.datetime(2024, 3, 1, 0, 0, 0)
+        # HTTP head stripped: payload starts at the html body
+        assert r0["html"].startswith(b"<html><body><h1>doc 0</h1>")
+        assert r0["warc_type"] == "response"
+
+    def test_plain_equals_gz(self, archive):
+        gz = warc.parse_warc(
+            (archive / "gz" / "part-0000.warc.gz").read_bytes(), "f")[0]
+        pl = warc.parse_warc(
+            (archive / "plain" / "part-0000.warc").read_bytes(), "f")[0]
+        assert gz == pl
+
+    def test_truncated_archive_never_raises(self, archive):
+        data = (archive / "gz" / "part-0000.warc.gz").read_bytes()
+        full = warc.parse_warc(data, "f")[0]
+        for cut in (1, 10, len(data) // 3, len(data) - 5):
+            rows, _, _ = warc.parse_warc(data[:cut], "f")
+            assert len(rows) <= len(full)
+            assert all(r in full for r in rows)
+
+    def test_garbage_and_missing_headers(self):
+        assert warc.parse_warc(b"not a warc at all", "f")[0] == []
+        # record with no Content-Length is rejected, not fatal
+        bad = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: https://x/\r\n"
+               b"WARC-Date: 2024-03-01T00:00:00Z\r\n\r\nbody\r\n\r\n")
+        rows, n_rec, n_skip = warc.parse_warc(bad, "f")
+        assert rows == []
+
+
+class TestSpark:
+    def test_read_warc_pages_shape(self, spark, archive):
+        import __spark_entry__ as entrymod
+        entrymod._ensure_shipped(spark)
+        df = warc.read_warc(spark, str(archive / "gz"))
+        rows = {r.url: r for r in df.collect()}
+        assert len(rows) == 15
+        r = rows["https://warc.test/0/0"]
+        assert bytes(r.html).startswith(b"<html><body><h1>doc 0</h1>")
+        assert r.warc_ts == dt.datetime(2024, 3, 1, 0, 0, 0)
+        assert set(df.columns) >= {"url", "warc_ts", "html", "text",
+                                   "lang"}
+
+    def test_ingest_chains_into_extraction(self, spark, archive):
+        """WARC -> pages shape -> the extraction engine, end-to-end."""
+        import __spark_entry__ as entrymod
+        from docling_spark import engine
+        entrymod._ensure_shipped(spark)
+        pages = warc.read_warc(spark, str(archive / "gz")) \
+            .select("url", "html")
+        res = engine.extract_pages(pages, repartition=False)
+        got = {r.url: r for r in res.collect()}
+        assert len(got) == 15
+        assert all(r.status == "success" for r in got.values())
+        assert got["https://warc.test/0/0"].md.startswith("# doc 0")
