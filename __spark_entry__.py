@@ -548,6 +548,19 @@ def _q_warc_ingest(spark, sf_dir):
         F.sha2(F.col("html").cast("string"), 256).alias("digest"))
 
 
+def _q_warc_cdx(spark, sf_dir):
+    """CDX random-access index (warc.cdx_index): per-record compressed
+    offset/length + payload digest; the oracle's offsets come from the
+    generator's own byte bookkeeping, so a drifted offset (off-by-one
+    member, wrong gzip framing) hash-fails."""
+    from docling_spark import warc as warc_mod
+    _ensure_shipped(spark)
+    fixture = warc_mod.ensure_warc(48)
+    return (warc_mod.cdx_index(spark, f"{fixture}/archive")
+            .select("url", "warc_ts", "digest",
+                    "record_offset", "record_length"))
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact-substring duplicate-span manifest (textfns.dup_span_manifest,
     Lee et al. 2022 adaptation): maximal word-index spans covered by
@@ -1017,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": _q_dup_spans,
         "policy_filter": _q_policy_filter,
         "warc_ingest": _q_warc_ingest,
+        "warc_cdx": _q_warc_cdx,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1320,6 +1334,19 @@ def _warc_ingest_oracle_sql() -> str:
         SELECT url, warc_ts,
                CAST(octet_length(html) AS INTEGER) AS n_bytes,
                sha256(decode(html)) AS digest
+        FROM read_parquet('{fixture}/expected.parquet')
+    """
+
+
+def _warc_cdx_oracle_sql() -> str:
+    """DuckDB twin of ``_q_warc_cdx``: generator-written offsets and
+    lengths, parser-independent."""
+    from docling_spark import warc as warc_mod
+    fixture = warc_mod.ensure_warc(48)
+    return f"""
+        SELECT url, warc_ts,
+               sha256(decode(html)) AS digest,
+               record_offset, record_length
         FROM read_parquet('{fixture}/expected.parquet')
     """
 
@@ -2663,4 +2690,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_oracle_sql(),
         "policy_filter": _policy_filter_oracle_sql(),
         "warc_ingest": _warc_ingest_oracle_sql(),
+        "warc_cdx": _warc_cdx_oracle_sql(),
     }

@@ -35,7 +35,9 @@ _CRLF2 = b"\r\n\r\n"
 
 
 def _gunzip_members(data: bytes):
-    """Yield each gzip member's bytes (CC-style member-per-record)."""
+    """Yield (member bytes, compressed offset, compressed length) per
+    gzip member (CC-style member-per-record) - the offsets are what a
+    CDX index records so fleet readers can range-GET one record."""
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
@@ -43,37 +45,44 @@ def _gunzip_members(data: bytes):
             chunk = d.decompress(data[pos:])
         except zlib.error:
             return
-        yield chunk
         tail = len(d.unused_data)
         consumed = len(data) - pos - tail
         if consumed <= 0:
             return
+        yield chunk, pos, consumed
         pos += consumed
 
 
-def parse_warc(data: bytes, source_file: str = ""):
+def parse_warc(data: bytes, source_file: str = "",
+               with_offsets: bool = False):
     """Parse one WARC file's bytes into page rows (list of dicts).
 
     Handles both plain ``.warc`` and member-per-record ``.warc.gz``.
-    Returns (rows, n_records, n_skipped)."""
+    Returns (rows, n_records, n_skipped); with ``with_offsets`` every
+    row also carries (record_offset, record_length) in the ARCHIVE file
+    (compressed offsets for .gz) - the CDX random-access coordinates."""
     if data[:2] == b"\x1f\x8b":
         blobs = _gunzip_members(data)
     else:
         blobs = _split_plain(data)
     rows, n_rec, n_skip = [], 0, 0
-    for blob in blobs:
+    for blob, off, rlen in blobs:
         n_rec += 1
         row = _parse_record(blob, source_file)
         if row is None:
             n_skip += 1
         elif row:
+            if with_offsets:
+                row["record_offset"] = off
+                row["record_length"] = rlen
             rows.append(row)
     return rows, n_rec, n_skip
 
 
 def _split_plain(data: bytes):
-    """Split a plain (uncompressed) WARC stream into record blobs by
-    walking Content-Length - never by scanning payloads for magic."""
+    """Split a plain (uncompressed) WARC stream into (blob, offset,
+    length) records by walking Content-Length - never by scanning
+    payloads for magic."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -85,10 +94,11 @@ def _split_plain(data: bytes):
         if clen is None:
             return
         end = head_end + 4 + clen
-        yield data[pos:end]
-        pos = end
-        while data[pos:pos + 2] == b"\r\n":
-            pos += 2
+        rec_end = end
+        while data[rec_end:rec_end + 2] == b"\r\n":
+            rec_end += 2
+        yield data[pos:end], pos, rec_end - pos
+        pos = rec_end
 
 
 def _content_length(head: bytes):
@@ -179,6 +189,53 @@ def read_warc(spark, path: str) -> DataFrame:
     return files.mapInPandas(_warc_batches, schema=WARC_SCHEMA)
 
 
+CDX_SCHEMA = ("url string, warc_ts timestamp, digest string, "
+              "record_offset long, record_length long, "
+              "source_file string")
+
+
+def _cdx_batches(batches):
+    import hashlib
+
+    import pandas as pd
+    for pdf in batches:
+        out = {k: [] for k in ("url", "warc_ts", "digest",
+                               "record_offset", "record_length",
+                               "source_file")}
+        for path, content in zip(pdf["path"], pdf["content"]):
+            try:
+                rows, _, _ = parse_warc(bytes(content), str(path),
+                                        with_offsets=True)
+            except Exception:
+                rows = []
+            for r in rows:
+                out["url"].append(r["url"])
+                out["warc_ts"].append(r["warc_ts"])
+                out["digest"].append(
+                    hashlib.sha256(r["html"]).hexdigest())
+                out["record_offset"].append(r["record_offset"])
+                out["record_length"].append(r["record_length"])
+                out["source_file"].append(r["source_file"])
+        yield pd.DataFrame(out)
+
+
+def cdx_index(spark, path: str) -> DataFrame:
+    """CDX-style random-access index over a WARC archive directory:
+    one row per response record with its (compressed) byte offset and
+    length in the archive file plus the payload digest.
+
+    This is the fleet-scale lookup artifact: a reader that needs ONE
+    page range-GETs ``record_length`` bytes at ``record_offset`` and
+    gunzips a single member, instead of scanning the archive. Built the
+    same way as :func:`read_warc` - task per archive file, stdlib walk
+    in Arrow batches."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(_cdx_batches, schema=CDX_SCHEMA)
+
+
 def ensure_warc(n_records: int = 48, seed: int = 7,
                 cache_dir=None) -> str:
     """Idempotent cached fixture: the WARC archive AND an
@@ -194,7 +251,7 @@ def ensure_warc(n_records: int = 48, seed: int = 7,
     from docling_spark.pages import DEFAULT_CACHE
     cache_dir = pathlib.Path(cache_dir or DEFAULT_CACHE)
     key = hashlib.sha256(
-        f"warc|{n_records}|{seed}|v1".encode()).hexdigest()[:12]
+        f"warc|{n_records}|{seed}|v2".encode()).hexdigest()[:12]
     out = cache_dir / f"warc_{n_records}_{key}"
     if not (out / "_DONE").exists():
         expected = write_synthetic_warc(out / "archive", n_records, seed,
@@ -204,6 +261,8 @@ def ensure_warc(n_records: int = 48, seed: int = 7,
             ("url", pa.string()),
             ("warc_ts", pa.timestamp("us")),
             ("html", pa.binary()),
+            ("record_offset", pa.int64()),
+            ("record_length", pa.int64()),
         ]))
         pq.write_table(table, out / "expected.parquet")
         (out / "_DONE").touch()
@@ -248,6 +307,9 @@ def write_synthetic_warc(path, n_records: int = 24, seed: int = 7,
                 "url": url,
                 "warc_ts": t0 + _dt.timedelta(seconds=i),
                 "html": body,
+                "record_offset": out.tell(),
+                "record_length": (len(gzip.compress(rec, mtime=0))
+                                  if compress else len(rec)),
             })
         if compress:
             out.write(gzip.compress(rec, mtime=0))

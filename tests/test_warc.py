@@ -84,3 +84,40 @@ class TestSpark:
         assert len(got) == 15
         assert all(r.status == "success" for r in got.values())
         assert got["https://warc.test/0/0"].md.startswith("# doc 0")
+
+
+class TestCdxIndex:
+    def test_offsets_enable_random_access(self, archive):
+        """The CDX contract: range-reading record_length bytes at
+        record_offset and gunzipping ONE member must yield exactly that
+        record - proven here for every response record."""
+        import gzip
+        data = (archive / "gz" / "part-0000.warc.gz").read_bytes()
+        rows, _, _ = warc.parse_warc(data, "f", with_offsets=True)
+        assert rows
+        for r in rows:
+            member = data[r["record_offset"]:
+                          r["record_offset"] + r["record_length"]]
+            rec = gzip.decompress(member)
+            assert rec.startswith(b"WARC/1.0\r\n")
+            assert f"WARC-Target-URI: {r['url']}".encode() in rec
+            assert r["html"] in rec
+
+    def test_plain_offsets_slice_records(self, archive):
+        data = (archive / "plain" / "part-0000.warc").read_bytes()
+        rows, _, _ = warc.parse_warc(data, "f", with_offsets=True)
+        for r in rows:
+            rec = data[r["record_offset"]:
+                       r["record_offset"] + r["record_length"]]
+            assert rec.startswith(b"WARC/1.0\r\n")
+            assert r["html"] in rec
+
+    def test_cdx_spark(self, spark, archive):
+        import __spark_entry__ as entrymod
+        entrymod._ensure_shipped(spark)
+        idx = {r.url: r
+               for r in warc.cdx_index(spark,
+                                       str(archive / "gz")).collect()}
+        assert len(idx) == 15
+        offs = sorted(r.record_offset for r in idx.values())
+        assert offs[0] >= 0 and offs == sorted(set(offs))
