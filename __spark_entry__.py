@@ -561,6 +561,54 @@ def _q_warc_cdx(spark, sf_dir):
                     "record_offset", "record_length"))
 
 
+def _q_crawl_pipeline(spark, sf_dir):
+    """End-to-end crawl pipeline in ONE Spark DAG - the composition the
+    engine exists for: WARC ingest -> robots policy filter -> pre-parse
+    boilerplate gate -> DOM extraction -> Gopher quality gate -> exact
+    dedup keep-first. Returns the per-stage funnel counts (rows-only:
+    extraction is not SQL-expressible; every individual stage has its
+    own oracle row). Each stage gate is a left-semi join, so nothing
+    widens and the html column is dropped the moment extraction is done.
+    At fleet scale the extraction output would be persisted before the
+    multi-stage count fan-out; here the corpus is tiny and lazy
+    recomputation keeps the entry self-contained."""
+    from functools import reduce
+
+    from docling_spark import warc as warc_mod
+    _ensure_shipped(spark)
+    fixture = warc_mod.ensure_warc(48)
+    pages = warc_mod.read_warc(spark, f"{fixture}/archive")
+    rules = spark.createDataFrame(
+        [("warc.test", "/", True), ("warc.test", "/3/", False)],
+        "host string, path_prefix string, allow boolean")
+    allowed = pages.join(
+        webgraph.policy_filter(pages, rules)
+        .where("allowed").select("url"), "url", "left_semi")
+    clean = allowed.join(
+        textfns.boilerplate_scores(allowed)
+        .where(~F.col("is_boilerplate")).select("url"),
+        "url", "left_semi")
+    ok = (engine.extract_pages(clean.select("url", "html"),
+                               repartition=False)
+          .where(F.col("status") == "success"))
+    docs = ok.select(
+        F.conv(F.substring(F.md5("url"), 1, 15), 16, 10)
+        .cast("long").alias("doc_id"),
+        F.col("itxt").alias("text"))
+    good = docs.join(
+        textfns.gopher_quality_flags(docs, min_words=3)
+        .where("pass_gopher").select("doc_id"), "doc_id", "left_semi")
+    deduped = dedup.dedup_keep_first(good)
+    stages = [("1_ingested", pages), ("2_policy_allowed", allowed),
+              ("3_non_boilerplate", clean), ("4_extracted_ok", ok),
+              ("5_quality_pass", good), ("6_deduped", deduped)]
+    return reduce(
+        lambda a, b: a.unionByName(b),
+        [df.agg(F.count(F.lit(1)).alias("n_rows"))
+         .select(F.lit(name).alias("stage"), "n_rows")
+         for name, df in stages])
+
+
 def _q_dup_spans(spark, sf_dir):
     """Exact-substring duplicate-span manifest (textfns.dup_span_manifest,
     Lee et al. 2022 adaptation): maximal word-index spans covered by
@@ -1031,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "policy_filter": _q_policy_filter,
         "warc_ingest": _q_warc_ingest,
         "warc_cdx": _q_warc_cdx,
+        "crawl_pipeline": _q_crawl_pipeline,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,

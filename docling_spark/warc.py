@@ -251,7 +251,7 @@ def ensure_warc(n_records: int = 48, seed: int = 7,
     from docling_spark.pages import DEFAULT_CACHE
     cache_dir = pathlib.Path(cache_dir or DEFAULT_CACHE)
     key = hashlib.sha256(
-        f"warc|{n_records}|{seed}|v2".encode()).hexdigest()[:12]
+        f"warc|{n_records}|{seed}|v3".encode()).hexdigest()[:12]
     out = cache_dir / f"warc_{n_records}_{key}"
     if not (out / "_DONE").exists():
         expected = write_synthetic_warc(out / "archive", n_records, seed,
@@ -295,8 +295,9 @@ def write_synthetic_warc(path, n_records: int = 24, seed: int = 7,
             rec = _record(b"metadata", url, ts, b"fetchTimeMs: 12\r\n")
         else:
             words = " ".join(
-                rng.choice(("alpha", "beta", "gamma", "delta"))
-                for _ in range(rng.randint(4, 12)))
+                rng.choice(("the", "and", "with", "alpha", "beta",
+                            "gamma", "delta", "crawl", "page", "data"))
+                for _ in range(rng.randint(6, 14)))
             body = (f"<html><body><h1>doc {i}</h1><p>{words}</p>"
                     f"</body></html>").encode()
             http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"

@@ -121,3 +121,21 @@ class TestCdxIndex:
         assert len(idx) == 15
         offs = sorted(r.record_offset for r in idx.values())
         assert offs[0] >= 0 and offs == sorted(set(offs))
+
+
+def test_crawl_pipeline_funnel(spark):
+    """The composed WARC->policy->boilerplate->extract->quality->dedup
+    DAG: monotone non-increasing funnel with pinned stage counts."""
+    import __spark_entry__ as entrymod
+    df = entrymod.queries()["crawl_pipeline"](spark, "/root/testdata/sf0.001")
+    got = {r.stage: r.n_rows for r in df.collect()}
+    assert got == {
+        "1_ingested": 30,          # 48 records, 30 responses
+        "2_policy_allowed": 27,    # /3/ path prefix denied
+        "3_non_boilerplate": 27,
+        "4_extracted_ok": 27,
+        "5_quality_pass": 20,      # short docs fail the word-count gate
+        "6_deduped": 20,
+    }
+    vals = [got[k] for k in sorted(got)]
+    assert vals == sorted(vals, reverse=True)
