@@ -561,6 +561,15 @@ def _q_warc_cdx(spark, sf_dir):
                     "record_offset", "record_length"))
 
 
+def _q_warc_metrics(spark, sf_dir):
+    """Per-archive-file ingest lineage (warc.ingest_metrics): record /
+    response / skip counts per file vs the generator's own meta row."""
+    from docling_spark import warc as warc_mod
+    _ensure_shipped(spark)
+    fixture = warc_mod.ensure_warc(48)
+    return warc_mod.ingest_metrics(spark, f"{fixture}/archive")
+
+
 def _q_crawl_pipeline(spark, sf_dir):
     """End-to-end crawl pipeline in ONE Spark DAG - the composition the
     engine exists for: WARC ingest -> robots policy filter -> pre-parse
@@ -1080,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,
         "warc_cdx": _q_warc_cdx,
         "crawl_pipeline": _q_crawl_pipeline,
+        "warc_metrics": _q_warc_metrics,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1397,6 +1407,17 @@ def _warc_cdx_oracle_sql() -> str:
                sha256(decode(html)) AS digest,
                record_offset, record_length
         FROM read_parquet('{fixture}/expected.parquet')
+    """
+
+
+def _warc_metrics_oracle_sql() -> str:
+    """DuckDB twin of ``_q_warc_metrics``: the generator's own meta row
+    (records written, responses intended, zero skips)."""
+    from docling_spark import warc as warc_mod
+    fixture = warc_mod.ensure_warc(48)
+    return f"""
+        SELECT source_file, n_records, n_responses, n_skipped
+        FROM read_parquet('{fixture}/expected_meta.parquet')
     """
 
 
@@ -2740,4 +2761,5 @@ def oracle_sql() -> dict[str, str]:
         "policy_filter": _policy_filter_oracle_sql(),
         "warc_ingest": _warc_ingest_oracle_sql(),
         "warc_cdx": _warc_cdx_oracle_sql(),
+        "warc_metrics": _warc_metrics_oracle_sql(),
     }

@@ -236,6 +236,39 @@ def cdx_index(spark, path: str) -> DataFrame:
     return files.mapInPandas(_cdx_batches, schema=CDX_SCHEMA)
 
 
+METRICS_SCHEMA = ("source_file string, n_records long, "
+                  "n_responses long, n_skipped long")
+
+
+def _metrics_batches(batches):
+    import pandas as pd
+    for pdf in batches:
+        out = {k: [] for k in ("source_file", "n_records",
+                               "n_responses", "n_skipped")}
+        for path, content in zip(pdf["path"], pdf["content"]):
+            try:
+                rows, n_rec, n_skip = parse_warc(bytes(content), str(path))
+            except Exception:
+                rows, n_rec, n_skip = [], 0, -1
+            out["source_file"].append(str(path).rsplit("/", 1)[-1])
+            out["n_records"].append(n_rec)
+            out["n_responses"].append(len(rows))
+            out["n_skipped"].append(n_skip)
+        yield pd.DataFrame(out)
+
+
+def ingest_metrics(spark, path: str) -> DataFrame:
+    """Per-archive-file ingest lineage (the north rule's per-partition
+    lineage row, applied to the WARC source): record / response / skip
+    counts per file, so a fleet run can audit which archives were
+    short-read or skip-heavy without re-scanning them."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
+             .select("path", "content"))
+    return files.mapInPandas(_metrics_batches, schema=METRICS_SCHEMA)
+
+
 def ensure_warc(n_records: int = 48, seed: int = 7,
                 cache_dir=None) -> str:
     """Idempotent cached fixture: the WARC archive AND an
@@ -265,6 +298,13 @@ def ensure_warc(n_records: int = 48, seed: int = 7,
             ("record_length", pa.int64()),
         ]))
         pq.write_table(table, out / "expected.parquet")
+        meta = pa.Table.from_pylist([{
+            "source_file": "part-0000.warc.gz",
+            "n_records": n_records,
+            "n_responses": len(expected),
+            "n_skipped": 0,
+        }])
+        pq.write_table(meta, out / "expected_meta.parquet")
         (out / "_DONE").touch()
     return str(out)
 

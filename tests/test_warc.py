@@ -139,3 +139,13 @@ def test_crawl_pipeline_funnel(spark):
     }
     vals = [got[k] for k in sorted(got)]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_ingest_metrics_counts(spark, archive):
+    import __spark_entry__ as entrymod
+    entrymod._ensure_shipped(spark)
+    rows = warc.ingest_metrics(spark, str(archive / "gz")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.source_file == "part-0000.warc.gz"
+    assert r.n_records == 24 and r.n_responses == 15 and r.n_skipped == 0
