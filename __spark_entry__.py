@@ -570,6 +570,14 @@ def _q_warc_metrics(spark, sf_dir):
     return warc_mod.ingest_metrics(spark, f"{fixture}/archive")
 
 
+def _q_split_leakage(spark, sf_dir):
+    """Train/val leakage audit (textfns.split_leakage): per split, how
+    many docs share a corpus-duplicated 8-gram with the other side of
+    the deterministic md5-bucket split."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.split_leakage(docs, k=8)
+
+
 def _q_crawl_pipeline(spark, sf_dir):
     """End-to-end crawl pipeline in ONE Spark DAG - the composition the
     engine exists for: WARC ingest -> robots policy filter -> pre-parse
@@ -1090,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx": _q_warc_cdx,
         "crawl_pipeline": _q_crawl_pipeline,
         "warc_metrics": _q_warc_metrics,
+        "split_leakage": _q_split_leakage,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1407,6 +1416,54 @@ def _warc_cdx_oracle_sql() -> str:
                sha256(decode(html)) AS digest,
                record_offset, record_length
         FROM read_parquet('{fixture}/expected.parquet')
+    """
+
+
+def _split_leakage_oracle_sql(k: int = 8, val_buckets: int = 10,
+                              buckets: int = 100) -> str:
+    """DuckDB twin of ``_q_split_leakage``: same md5-bucket split, same
+    gram index (struct-comprehension), same cross-split semi-join."""
+    km1 = k - 1
+    return rf"""
+        WITH lab AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8))::BIGINT
+                             % {buckets} < {val_buckets}
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        ), t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                       AS words
+            FROM documents
+        ), gl AS (
+            SELECT doc_id,
+                   CASE WHEN len(words) >= {k} THEN
+                     [array_to_string(words[x : x + {km1}], ' ')
+                      for x in generate_series(1, len(words) - {km1})]
+                   ELSE [] END AS grams
+            FROM t
+        ), gh AS (
+            SELECT DISTINCT doc_id, md5(unnest(grams)) AS h FROM gl
+        ), ghs AS (
+            SELECT gh.doc_id, gh.h, lab.split
+            FROM gh JOIN lab ON gh.doc_id = lab.doc_id
+        ), cross_h AS (
+            SELECT h FROM (SELECT DISTINCT h, split FROM ghs)
+            GROUP BY h HAVING count(*) >= 2
+        ), leaky AS (
+            SELECT DISTINCT doc_id FROM ghs
+            WHERE h IN (SELECT h FROM cross_h)
+        )
+        SELECT lab.split,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN leaky.doc_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky,
+               round(sum(CASE WHEN leaky.doc_id IS NOT NULL
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS leak_ratio
+        FROM lab LEFT JOIN leaky ON lab.doc_id = leaky.doc_id
+        GROUP BY lab.split
     """
 
 
@@ -2762,4 +2819,5 @@ def oracle_sql() -> dict[str, str]:
         "warc_ingest": _warc_ingest_oracle_sql(),
         "warc_cdx": _warc_cdx_oracle_sql(),
         "warc_metrics": _warc_metrics_oracle_sql(),
+        "split_leakage": _split_leakage_oracle_sql(),
     }

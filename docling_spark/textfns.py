@@ -234,6 +234,54 @@ def duplicated_passage_stats(documents: DataFrame,
                 4).alias("dup_ratio"))
 
 
+def _gram_hashes(documents: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, h): md5 of every k-word gram, built as pure array
+    algebra in codegen (transform over a slice sequence, no window)."""
+    words = _word_list("text")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return (documents.select("doc_id", F.posexplode(grams)
+                             .alias("pos", "gram"))
+            .select("doc_id", "pos", F.md5("gram").alias("h")))
+
+
+def split_leakage(documents: DataFrame, k: int = 8,
+                  val_buckets: int = 10, buckets: int = 100) -> DataFrame:
+    """Train/val split hygiene audit: assign every doc a deterministic
+    split (md5 bucket of doc_id - the same assignment a trainer would
+    ship), then count the docs that share a duplicated ``k``-word gram
+    with a doc on the OTHER side of the split. Those near-boundary
+    duplicates inflate eval scores; this is the audit you run BEFORE
+    trusting a held-out set.
+
+    100-TB shape: the gram index is the dup_spans explode; the
+    cross-split test is a (h, split) distinct + one hash agg on h; leaky
+    docs come back via a semi-join. No window, no data-scale broadcast.
+    """
+    split = F.when(sample_bucket("doc_id", buckets) < val_buckets,
+                   F.lit("val")).otherwise(F.lit("train"))
+    labeled = documents.select("doc_id", split.alias("split"))
+    gh = (_gram_hashes(documents, k).select("doc_id", "h").distinct()
+          .join(labeled, "doc_id"))
+    cross = (gh.select("h", "split").distinct()
+             .groupBy("h").agg(F.count(F.lit(1)).alias("n_splits"))
+             .where(F.col("n_splits") >= 2).select("h"))
+    leaky = (gh.join(cross, "h", "left_semi")
+             .select("doc_id").distinct()
+             .withColumn("leak", F.lit(1)))
+    return (labeled.join(leaky, "doc_id", "left")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.coalesce("leak", F.lit(0))).alias("n_leaky"))
+            .select("split", "n_docs", "n_leaky",
+                    F.round(F.col("n_leaky") / F.col("n_docs"), 6)
+                    .alias("leak_ratio")))
+
+
 def dup_span_manifest(documents: DataFrame, k: int = 8,
                       min_count: int = 2) -> DataFrame:
     """Exact-substring duplicate-span manifest (Lee et al. 2022,
@@ -251,16 +299,7 @@ def dup_span_manifest(documents: DataFrame, k: int = 8,
     The suffix array of the paper is replaced by the gram index - same
     detected spans for span lengths >= k, no global sort.
     """
-    words = _word_list("text")
-    grams = F.when(
-        F.size(words) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    ).otherwise(F.array().cast("array<string>"))
-    g = (documents.select("doc_id", F.posexplode(grams)
-                          .alias("pos", "gram"))
-         .select("doc_id", "pos", F.md5("gram").alias("h")))
+    g = _gram_hashes(documents, k)
     # two consumers (dup test + span starts): materialize the gram index
     # once instead of re-scanning text and rebuilding every gram twice
     g = g.localCheckpoint(eager=False)

@@ -857,3 +857,29 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     # the factory builds the same plan end-to-end
     df = stfns.stream_dedup_pages(spark, str(src) + "/*")
     assert df.isStreaming and "digest" in df.columns
+
+
+def test_split_leakage_planted(spark):
+    """Two docs sharing a 6-word run land in different md5-bucket
+    splits (ids chosen so one is val, one train) -> both leaky; a
+    unique doc is not."""
+    from docling_spark import textfns
+    # bucket = int(md5(str(id))[:8], 16) % 100; val if < 10
+    import hashlib
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+    val_id = next(i for i in range(1000) if bucket(i) < 10)
+    train_id = next(i for i in range(1000) if bucket(i) >= 10)
+    other_id = next(i for i in range(1000)
+                    if bucket(i) >= 10 and i != train_id)
+    run = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(val_id, f"prefix {run} suffix a"),
+         (train_id, f"other {run} tail words b"),
+         (other_id, "entirely unique text with no shared runs at all c")],
+        "doc_id long, text string")
+    rows = {r.split: r
+            for r in textfns.split_leakage(docs, k=6).collect()}
+    assert rows["val"].n_docs == 1 and rows["val"].n_leaky == 1
+    assert rows["train"].n_docs == 2 and rows["train"].n_leaky == 1
+    assert rows["val"].leak_ratio == 1.0
