@@ -578,6 +578,21 @@ def _q_split_leakage(spark, sf_dir):
     return textfns.split_leakage(docs, k=8)
 
 
+def _q_gram_novelty(spark, sf_dir):
+    """Per-doc novelty score (textfns.gram_novelty): fraction of the
+    doc's distinct 8-grams first seen (by doc_id) in this doc."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.gram_novelty(docs, k=8)
+
+
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunks (textfns.cdc_chunks): word-hash Rabin
+    boundaries, divisor 16; chunk hashes stay stable under edits
+    elsewhere in the doc."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.cdc_chunks(docs, divisor=16)
+
+
 def _q_crawl_pipeline(spark, sf_dir):
     """End-to-end crawl pipeline in ONE Spark DAG - the composition the
     engine exists for: WARC ingest -> robots policy filter -> pre-parse
@@ -1099,6 +1114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pipeline": _q_crawl_pipeline,
         "warc_metrics": _q_warc_metrics,
         "split_leakage": _q_split_leakage,
+        "gram_novelty": _q_gram_novelty,
+        "cdc_chunks": _q_cdc_chunks,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -1464,6 +1481,75 @@ def _split_leakage_oracle_sql(k: int = 8, val_buckets: int = 10,
                    AS leak_ratio
         FROM lab LEFT JOIN leaky ON lab.doc_id = leaky.doc_id
         GROUP BY lab.split
+    """
+
+
+def _gram_novelty_oracle_sql(k: int = 8) -> str:
+    """DuckDB twin of ``_q_gram_novelty``: same gram index, same
+    min-doc_id first-occurrence rule."""
+    km1 = k - 1
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                       AS words
+            FROM documents
+        ), gl AS (
+            SELECT doc_id,
+                   CASE WHEN len(words) >= {k} THEN
+                     [array_to_string(words[x : x + {km1}], ' ')
+                      for x in generate_series(1, len(words) - {km1})]
+                   ELSE [] END AS grams
+            FROM t
+        ), gh AS (
+            SELECT DISTINCT doc_id, md5(unnest(grams)) AS h FROM gl
+        ), first AS (
+            SELECT h, min(doc_id) AS first_doc FROM gh GROUP BY h
+        )
+        SELECT gh.doc_id,
+               count(*) AS n_grams,
+               CAST(sum(CASE WHEN gh.doc_id = first.first_doc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               round(sum(CASE WHEN gh.doc_id = first.first_doc
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                   AS novelty
+        FROM gh JOIN first ON gh.h = first.h
+        GROUP BY gh.doc_id
+    """
+
+
+def _cdc_chunks_oracle_sql(divisor: int = 16) -> str:
+    """DuckDB twin of ``_q_cdc_chunks``: same word tokens, same
+    md5-60bit boundary rule, same running-sum chunk ids, and the chunk
+    hash over the space-joined words in position order."""
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                       AS words
+            FROM documents
+        ), tk AS (
+            SELECT doc_id,
+                   unnest([{{'pos': x - 1, 'word': words[x]}}
+                           for x in generate_series(1, len(words))],
+                          recursive := true)
+            FROM t
+        ), marked AS (
+            SELECT doc_id, pos, word,
+                   sum(CASE WHEN pos = 0
+                            OR ('0x' || substr(md5(word), 1, 15))::BIGINT
+                               % {divisor} = 0
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS chunk_id
+            FROM tk
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(min(pos) AS INTEGER) AS start_pos,
+               count(*) AS n_words,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_hash
+        FROM marked
+        GROUP BY doc_id, chunk_id
     """
 
 
@@ -2820,4 +2906,6 @@ def oracle_sql() -> dict[str, str]:
         "warc_cdx": _warc_cdx_oracle_sql(),
         "warc_metrics": _warc_metrics_oracle_sql(),
         "split_leakage": _split_leakage_oracle_sql(),
+        "gram_novelty": _gram_novelty_oracle_sql(),
+        "cdc_chunks": _cdc_chunks_oracle_sql(),
     }

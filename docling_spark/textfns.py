@@ -282,6 +282,64 @@ def split_leakage(documents: DataFrame, k: int = 8,
                     .alias("leak_ratio")))
 
 
+def gram_novelty(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's distinct k-grams
+    whose FIRST corpus occurrence (by doc_id order) is this document -
+    the contribution score used to order/curate corpora (a doc that
+    only restates earlier text scores ~0, fresh text ~1).
+
+    One distinct + one min-agg on the gram hash + one join back + one
+    per-doc agg; min(doc_id) collapses map-side, so the hottest
+    boilerplate gram never concentrates on a reducer.
+    """
+    d = _gram_hashes(documents, k).select("doc_id", "h").distinct()
+    first = d.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (d.join(first, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1)
+                       .otherwise(0)).alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    F.round(F.col("n_novel") / F.col("n_grams"), 6)
+                    .alias("novelty")))
+
+
+def cdc_chunks(documents: DataFrame, divisor: int = 16,
+               max_ids: int = 0) -> DataFrame:
+    """Content-defined chunking (FastCDC idea at word granularity):
+    a chunk boundary opens at word 0 and wherever the word's md5-60bit
+    hash is divisible by ``divisor`` - so chunk boundaries depend only
+    on CONTENT, and an insertion early in a document shifts only its
+    own chunk, leaving every later chunk hash intact (the property that
+    makes chunk-level dedup stable under edits, unlike fixed windows).
+
+    Output: (doc_id, chunk_id, start_pos, n_words, chunk_hash). Windows
+    are per-document (bounded by doc length); the chunk text never
+    leaves the executor - only its md5 does.
+    """
+    words = _word_list("text")
+    toks = documents.select(
+        "doc_id", F.posexplode(words).alias("pos", "word"))
+    is_boundary = F.when(
+        (F.col("pos") == 0)
+        | (F.pmod(F.conv(F.substring(F.md5("word"), 1, 15), 16, 10)
+                  .cast("long"), F.lit(divisor)) == 0), 1).otherwise(0)
+    w_run = (Window.partitionBy("doc_id").orderBy("pos")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = toks.withColumn("chunk_id",
+                             F.sum(is_boundary).over(w_run))
+    return (marked.groupBy("doc_id", "chunk_id")
+            .agg(F.min("pos").alias("start_pos"),
+                 F.count(F.lit(1)).alias("n_words"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "word"))),
+                         lambda x: x["word"]), " ")).alias("chunk_hash"))
+            .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                    "start_pos", "n_words", "chunk_hash"))
+
+
 def dup_span_manifest(documents: DataFrame, k: int = 8,
                       min_count: int = 2) -> DataFrame:
     """Exact-substring duplicate-span manifest (Lee et al. 2022,

@@ -883,3 +883,39 @@ def test_split_leakage_planted(spark):
     assert rows["val"].n_docs == 1 and rows["val"].n_leaky == 1
     assert rows["train"].n_docs == 2 and rows["train"].n_leaky == 1
     assert rows["val"].leak_ratio == 1.0
+
+
+def test_gram_novelty_first_occurrence_wins(spark):
+    from docling_spark import textfns
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),                       # exact restatement
+         (3, "entirely fresh words never seen before anywhere at all x")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in textfns.gram_novelty(docs, k=8).collect()}
+    assert rows[1].novelty == 1.0
+    assert rows[2].novelty == 0.0 and rows[2].n_grams == rows[1].n_grams
+    assert rows[3].novelty == 1.0
+
+
+def test_cdc_chunks_stable_under_early_edit(spark):
+    """The CDC property: inserting words near the start must leave the
+    chunk hashes of all later chunks unchanged (only the edited chunk
+    and the chunk count around it may differ)."""
+    from docling_spark import textfns
+    words = " ".join(f"tok{i}" for i in range(200))
+    edited = "inserted words here " + words
+    docs = spark.createDataFrame(
+        [(1, words), (2, edited)], "doc_id long, text string")
+    out = textfns.cdc_chunks(docs, divisor=8).collect()
+    h1 = {r.chunk_hash for r in out if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in out if r.doc_id == 2}
+    shared = h1 & h2
+    # everything after the first content boundary re-aligns
+    assert len(shared) >= len(h1) - 2, (len(shared), len(h1))
+    # chunks tile the doc exactly
+    n1 = sum(r.n_words for r in out if r.doc_id == 1)
+    assert n1 == 200
+    starts = sorted(r.start_pos for r in out if r.doc_id == 1)
+    assert starts[0] == 0 and len(starts) == len(set(starts))
