@@ -578,6 +578,20 @@ def _q_split_leakage(spark, sf_dir):
     return textfns.split_leakage(docs, k=8)
 
 
+def _q_source_mix(spark, sf_dir):
+    """Temperature-based source mixing weights (textfns.source_mix_weights,
+    alpha=0.3, 1M-token budget): the trainer's sampler config."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.source_mix_weights(docs, alpha=0.3)
+
+
+def _q_length_quantiles(spark, sf_dir):
+    """Per-source length distribution (textfns.length_quantiles): exact
+    p10/p50/p90 of n_chars."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.length_quantiles(docs)
+
+
 def _q_gram_novelty(spark, sf_dir):
     """Per-doc novelty score (textfns.gram_novelty): fraction of the
     doc's distinct 8-grams first seen (by doc_id) in this doc."""
@@ -1116,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,
         "gram_novelty": _q_gram_novelty,
         "cdc_chunks": _q_cdc_chunks,
+        "source_mix": _q_source_mix,
+        "length_quantiles": _q_length_quantiles,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
         "page_boilerplate": _q_page_boilerplate,
@@ -2908,4 +2924,39 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_oracle_sql(),
         "gram_novelty": _gram_novelty_oracle_sql(),
         "cdc_chunks": _cdc_chunks_oracle_sql(),
+        # temperature mixing twin: same token count regex, same
+        # pow/normalize algebra, round(6) absorbing summation order
+        "source_mix": r"""
+            WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(regexp_split_to_array(
+                                         trim(text), '\s+')) END)
+                            AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), tot AS (
+                SELECT CAST(sum(n_tokens) AS DOUBLE) AS total FROM per
+            ), p AS (
+                SELECT per.*, pow(n_tokens / tot.total, 0.3) AS p_alpha
+                FROM per CROSS JOIN tot
+            ), z AS (
+                SELECT sum(p_alpha) AS z FROM p
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(p_alpha / z.z, 6) AS weight,
+                   round(1000000.0 * p_alpha / z.z, 2)
+                       AS expected_tokens,
+                   round(1000000.0 * p_alpha / z.z / n_tokens, 6)
+                       AS epochs
+            FROM p CROSS JOIN z
+        """,
+        # exact percentiles: Spark percentile == DuckDB quantile_cont
+        "length_quantiles": """
+            SELECT source, count(*) AS n_docs,
+                   quantile_cont(n_chars, 0.1) AS p10,
+                   quantile_cont(n_chars, 0.5) AS p50,
+                   quantile_cont(n_chars, 0.9) AS p90,
+                   round(avg(n_chars), 4) AS mean_chars
+            FROM documents GROUP BY source
+        """,
     }

@@ -282,6 +282,50 @@ def split_leakage(documents: DataFrame, k: int = 8,
                     .alias("leak_ratio")))
 
 
+def source_mix_weights(documents: DataFrame, alpha: float = 0.3,
+                       token_budget: int = 1_000_000) -> DataFrame:
+    """Temperature-based corpus mixing (the CC-100/mT5 recipe): source
+    sampling weight w_i = p_i^alpha / sum_j p_j^alpha over the token
+    distribution, plus the expected token draw and effective epochs per
+    source under ``token_budget`` - the config a trainer feeds the
+    sampler; alpha < 1 up-weights small sources.
+
+    One source-keyed agg (map-side partials), one 1-row normalizer
+    broadcast back. round(6) absorbs float summation order.
+    """
+    per = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count()).alias("n_tokens"))
+    tot = per.select(F.sum("n_tokens").cast("double").alias("total"))
+    p = per.crossJoin(F.broadcast(tot)).withColumn(
+        "p_alpha", F.pow(F.col("n_tokens") / F.col("total"), alpha))
+    z = p.select(F.sum("p_alpha").alias("z"))
+    return (p.crossJoin(F.broadcast(z))
+            .select("source", "n_docs",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.round(F.col("p_alpha") / F.col("z"), 6)
+                    .alias("weight"),
+                    F.round(F.lit(float(token_budget)) * F.col("p_alpha")
+                            / F.col("z"), 2).alias("expected_tokens"),
+                    F.round(F.lit(float(token_budget)) * F.col("p_alpha")
+                            / F.col("z") / F.col("n_tokens"), 6)
+                    .alias("epochs")))
+
+
+def length_quantiles(documents: DataFrame) -> DataFrame:
+    """Per-source document-length distribution (p10/p50/p90 of n_chars
+    + mean) - the profile that sizes length-bucketed batching and flags
+    sources whose length regime shifted between crawls. Exact
+    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``) so
+    the oracle can recompute them value-for-value."""
+    return documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("percentile(n_chars, 0.1)").alias("p10"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"))
+
+
 def gram_novelty(documents: DataFrame, k: int = 8) -> DataFrame:
     """Per-document novelty: the fraction of the doc's distinct k-grams
     whose FIRST corpus occurrence (by doc_id order) is this document -

@@ -919,3 +919,29 @@ def test_cdc_chunks_stable_under_early_edit(spark):
     assert n1 == 200
     starts = sorted(r.start_pos for r in out if r.doc_id == 1)
     assert starts[0] == 0 and len(starts) == len(set(starts))
+
+
+def test_source_mix_weights_properties(spark):
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "big", "w " * 1000), (2, "big", "w " * 1000),
+         (3, "small", "w " * 10)],
+        "doc_id long, source string, text string")
+    rows = {r.source: r
+            for r in textfns.source_mix_weights(docs, alpha=0.3).collect()}
+    # weights normalize and alpha<1 up-weights the small source
+    assert abs(rows["big"].weight + rows["small"].weight - 1.0) < 1e-5
+    raw_small = 10 / 2010
+    assert rows["small"].weight > raw_small
+    # epochs: small source is oversampled relative to its size
+    assert rows["small"].epochs > rows["big"].epochs
+
+
+def test_length_quantiles_exact(spark):
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(i, "s", "x", float(i)) for i in range(1, 12)],
+        "doc_id long, source string, text string, n_chars double")
+    r = textfns.length_quantiles(docs).collect()[0]
+    assert r.p50 == 6.0 and r.p10 == 2.0 and r.p90 == 10.0
+    assert r.n_docs == 11
