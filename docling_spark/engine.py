@@ -319,6 +319,27 @@ def load_pages(spark, source: str, fmt: str = "auto") -> DataFrame:
     return spark.read.parquet(source)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_by: str = "url",
+                   num_buckets: int = 64, mode: str = "overwrite",
+                   sort: bool = True) -> None:
+    """Persist a url-keyed table BUCKETED (and bucket-sorted) on the key.
+
+    The 100-TB payoff: extraction output is written once with
+    ``bucketBy(url)``; every later url-keyed join, semi-join dedup, or
+    incremental-novelty comparison against another table bucketed the
+    same way runs WITHOUT an Exchange on either side (asserted in
+    tests/test_plans.py) - the shuffle that would otherwise dominate
+    re-processing is paid once at write time. Requires a table catalog
+    (``saveAsTable``); Spark's Hive-style bucketing is what Iceberg's
+    bucket partition transform replaces in production.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, bucket_by)
+    if sort:
+        w = w.sortBy(bucket_by)
+    w.saveAsTable(table)
+
+
 def partition_pages(
     pages: DataFrame,
     num_partitions: Optional[int] = None,

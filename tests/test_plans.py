@@ -317,3 +317,34 @@ def test_host_cap_two_phase_windows(spark):
     # map-side WindowGroupLimit so even phase 1 never sorts a full group
     assert any("salt" in l for l in win_nodes)
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """engine.write_bucketed: two tables bucketed on url join WITHOUT
+    any Exchange - the write-once-shuffle-never contract for url-keyed
+    reprocessing at 100 TB."""
+    from pyspark.sql import functions as F
+    from docling_spark import engine
+    a = spark.range(2000).select(
+        F.concat(F.lit("https://b.test/"), F.col("id").cast("string"))
+        .alias("url"), F.col("id").alias("v1"))
+    b = spark.range(2000).select(
+        F.concat(F.lit("https://b.test/"), F.col("id").cast("string"))
+        .alias("url"), (F.col("id") * 2).alias("v2"))
+    engine.write_bucketed(a, "bk_a", num_buckets=8)
+    engine.write_bucketed(b, "bk_b", num_buckets=8)
+    # at test scale the planner would pick broadcast (and skip bucketed
+    # reads); force the at-scale strategy - where both sides are far too
+    # big to broadcast - to show the bucketing removes the shuffle
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_a").join(spark.table("bk_b"), "url")
+        assert joined.count() == 2000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
