@@ -131,6 +131,26 @@ class TestCanonicalUrl:
         got = df.select(webgraph.canonical_url().alias("c")).collect()[0].c
         assert got == want, raw
 
+    def test_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) for a zoo of URL
+        shapes - the invariant that lets canonicalization run at ANY
+        pipeline stage without double-normalization drift."""
+        zoo = [raw for raw, _ in CANON_CASES] + [
+            "https://h.test/a/index.html?utm_source=x#f",
+            "HTTP://UP.test:80/index.html",
+            "https://h.test/?gclid=1&utm_x=2&keep=3",
+            "https://h.test/p?a=1&fbclid=2&b=3",
+            "https://h.test:443?utm_a=1",
+            "ftp://files.test:21/path",
+        ]
+        df = spark.createDataFrame([(u,) for u in zoo], "url string")
+        once = df.select(webgraph.canonical_url("url").alias("url"))
+        out = once.select(
+            F.col("url").alias("c1"),
+            webgraph.canonical_url("url").alias("c2")).collect()
+        for r in out:
+            assert r.c1 == r.c2, r
+
     def test_dup_stats_folds_variants(self, spark):
         df = spark.createDataFrame(
             [(1, "https://h.test/p"),
