@@ -236,7 +236,8 @@ def policy_filter(pages: DataFrame, rules: DataFrame,
 
 
 def pagerank(edges: DataFrame, n_iter: int = 5,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             checkpoint_every: int = 0) -> DataFrame:
     """PageRank over an edge list ``(src, dst)`` with ``n_iter``
     synchronous power iterations - link authority for crawl
     prioritization and quality weighting.
@@ -264,7 +265,12 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = (nodes.crossJoin(F.broadcast(n_row))
              .select("node", (F.lit(1.0) / F.col("n")).alias("rank")))
-    for _ in range(n_iter):
+    for it in range(n_iter):
+        if checkpoint_every and it and it % checkpoint_every == 0:
+            # truncate lineage so the plan depth stays O(checkpoint_every)
+            # instead of O(n_iter) - values are unchanged (tested); at
+            # fleet scale use persist()+checkpoint() on cluster storage
+            ranks = ranks.localCheckpoint(eager=True)
         with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
         # mass of dangling nodes (no out-edges) is redistributed
         dangling = with_deg.where(F.col("outdeg").isNull()).select(

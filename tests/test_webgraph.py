@@ -272,3 +272,16 @@ class TestPagerank:
         assert all(r > 0 for r in ranks.values())
         # chain end accumulates the most rank
         assert ranks[2] > ranks[0]
+
+
+def test_pagerank_checkpoint_invariant(spark):
+    """Lineage truncation (checkpoint_every) must not change values."""
+    edges = [(i, (i * 5 + 2) % 23) for i in range(23)] + \
+            [(i, (i * i + 3) % 23) for i in range(23)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plain = {r.node: r.rank
+             for r in webgraph.pagerank(df, n_iter=6).collect()}
+    ckpt = {r.node: r.rank
+            for r in webgraph.pagerank(df, n_iter=6,
+                                       checkpoint_every=2).collect()}
+    assert plain == ckpt
