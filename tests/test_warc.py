@@ -149,3 +149,19 @@ def test_ingest_metrics_counts(spark, archive):
     r = rows[0]
     assert r.source_file == "part-0000.warc.gz"
     assert r.n_records == 24 and r.n_responses == 15 and r.n_skipped == 0
+
+
+def test_parse_warc_total_on_bit_flips(archive):
+    """Dispatch totality: single-bit corruption anywhere in the archive
+    must never raise - records after an undecodable member are lost (gz
+    framing), records before it still parse."""
+    data = bytearray((archive / "gz" / "part-0000.warc.gz").read_bytes())
+    import random
+    rng = random.Random(11)
+    full, _, _ = warc.parse_warc(bytes(data), "f")
+    for _ in range(64):
+        i = rng.randrange(len(data))
+        flipped = bytearray(data)
+        flipped[i] ^= 1 << rng.randrange(8)
+        rows, n_rec, n_skip = warc.parse_warc(bytes(flipped), "f")
+        assert isinstance(rows, list) and len(rows) <= len(full)
