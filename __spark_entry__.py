@@ -578,6 +578,14 @@ def _q_split_leakage(spark, sf_dir):
     return textfns.split_leakage(docs, k=8)
 
 
+def _q_hash_embed(spark, sf_dir):
+    """Feature-hashing text embeddings (textfns.hash_embed, dim=32):
+    signed word-hash histogram, L2-normalized - the model-free embedder
+    feeding the cosine/ANN operators from raw text."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.hash_embed(docs, dim=32)
+
+
 def _q_source_mix(spark, sf_dir):
     """Temperature-based source mixing weights (textfns.source_mix_weights,
     alpha=0.3, 1M-token budget): the trainer's sampler config."""
@@ -1131,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_novelty": _q_gram_novelty,
         "cdc_chunks": _q_cdc_chunks,
         "source_mix": _q_source_mix,
+        "hash_embed": _q_hash_embed,
         "length_quantiles": _q_length_quantiles,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
@@ -2924,6 +2933,48 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_oracle_sql(),
         "gram_novelty": _gram_novelty_oracle_sql(),
         "cdc_chunks": _cdc_chunks_oracle_sql(),
+        # feature-hashing embedder twin: same md5-60bit bucket, same
+        # 16th-hex-digit sign, same L2 normalization; per-element
+        # round(6) absorbs nothing here (sums are integer-exact, the
+        # division is one IEEE op) but keeps parity with the Spark side
+        "hash_embed": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS word
+                FROM documents
+            ), hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('e' || chr(1) || word),
+                                            1, 15))::BIGINT % 32
+                            AS INTEGER) AS bucket,
+                       CASE WHEN ('0x' || substr(md5('e' || chr(1) || word),
+                                                 16, 1))::BIGINT % 2 = 0
+                            THEN 1.0 ELSE -1.0 END AS sign
+                FROM toks WHERE word <> ''
+            ), per AS (
+                SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS val
+                FROM hashed GROUP BY doc_id, bucket
+            ), dims AS (
+                SELECT DISTINCT per.doc_id, d.i
+                FROM per CROSS JOIN (SELECT unnest(range(32)) AS i) d
+            ), vec AS (
+                SELECT dims.doc_id, dims.i,
+                       coalesce(per.val, 0.0) AS x
+                FROM dims LEFT JOIN per
+                  ON dims.doc_id = per.doc_id AND dims.i = per.bucket
+            ), norms AS (
+                SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM vec
+                GROUP BY doc_id
+            )
+            SELECT vec.doc_id,
+                   array_agg(CASE WHEN norms.nrm > 0
+                                  THEN round(vec.x / norms.nrm, 6)
+                                  ELSE vec.x END ORDER BY vec.i)
+                       AS embedding
+            FROM vec JOIN norms ON vec.doc_id = norms.doc_id
+            GROUP BY vec.doc_id
+        """,
         # temperature mixing twin: same token count regex, same
         # pow/normalize algebra, round(6) absorbing summation order
         "source_mix": r"""

@@ -282,6 +282,46 @@ def split_leakage(documents: DataFrame, k: int = 8,
                     .alias("leak_ratio")))
 
 
+def hash_embed(documents: DataFrame, dim: int = 32) -> DataFrame:
+    """Feature-hashing text embeddings (Weinberger et al. 2009): each
+    word hashes to a signed coordinate, the doc vector is the signed
+    count histogram, L2-normalized - a from-scratch deterministic
+    embedder that feeds the cosine/ANN operators directly from raw
+    text, no external model. md5-60bit hash family so the oracle
+    recomputes every coordinate exactly.
+
+    One explode + one (doc, bucket) hash agg + per-doc map assembly in
+    codegen; the vector never exceeds ``dim`` doubles per doc.
+    """
+    hx = F.md5(F.concat(F.lit("e\x01"), F.col("word")))
+    h = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    # sign from the 16th hex digit: integer-exact in every engine
+    # (avoids float floor(h/dim) whose 2^60-range rounding could drift)
+    sign_bit = F.conv(F.substring(hx, 16, 1), 16, 10).cast("int") % 2
+    toks = (documents
+            .select("doc_id", F.explode(_word_list("text")).alias("word"))
+            .where(F.col("word") != "")
+            .select("doc_id",
+                    F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+                    F.when(sign_bit == 0, F.lit(1.0))
+                    .otherwise(F.lit(-1.0)).alias("sign")))
+    per = toks.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").alias("val"))
+    m = per.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(
+            F.struct("bucket", "val"))).alias("m"))
+    # map lookup is key-based (bucket int), missing buckets -> 0.0
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("m")[i.cast("int")], F.lit(0.0)))
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+    unit = F.when(norm > 0,
+                  F.transform(vec, lambda x: F.round(x / norm, 6))
+                  ).otherwise(F.transform(vec, lambda x: x))
+    return m.select("doc_id", unit.alias("embedding"))
+
+
 def source_mix_weights(documents: DataFrame, alpha: float = 0.3,
                        token_budget: int = 1_000_000) -> DataFrame:
     """Temperature-based corpus mixing (the CC-100/mT5 recipe): source

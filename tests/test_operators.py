@@ -945,3 +945,22 @@ def test_length_quantiles_exact(spark):
     r = textfns.length_quantiles(docs).collect()[0]
     assert r.p50 == 6.0 and r.p10 == 2.0 and r.p90 == 10.0
     assert r.n_docs == 11
+
+
+def test_hash_embed_unit_norm_and_similarity(spark):
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different vocabulary everywhere tonight")],
+        "doc_id long, text string")
+    rows = {r.doc_id: list(r.embedding)
+            for r in textfns.hash_embed(docs, dim=32).collect()}
+    import math
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+    # identical text -> identical unit vector
+    assert rows[1] == rows[2]
+    assert abs(math.sqrt(sum(x * x for x in rows[1])) - 1.0) < 1e-4
+    # disjoint vocab -> clearly lower cosine than the exact pair
+    assert cos(rows[1], rows[3]) < 0.9 < cos(rows[1], rows[2]) + 1e-9
