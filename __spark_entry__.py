@@ -586,6 +586,20 @@ def _q_hash_embed(spark, sf_dir):
     return textfns.hash_embed(docs, dim=32)
 
 
+def _q_text_knn(spark, sf_dir):
+    """Model-free text similarity search end-to-end: hash_embed the
+    documents, then exact cosine top-3 for the first 5 docs (the
+    composition a user runs to find near-texts with zero external
+    models). Rank-only output, ties broken by neighbor id - robust to
+    ulp-level cosine differences between engines."""
+    docs = _load(spark, sf_dir, "documents")
+    emb = (textfns.hash_embed(docs, dim=32)
+           .select(F.col("doc_id").alias("vec_id"), "embedding"))
+    qs = emb.where(F.col("vec_id") < 5)
+    return (similarity.cosine_topk_bruteforce(emb, qs, k=3)
+            .select("query_id", "nbr_id", "rank"))
+
+
 def _q_source_mix(spark, sf_dir):
     """Temperature-based source mixing weights (textfns.source_mix_weights,
     alpha=0.3, 1M-token budget): the trainer's sampler config."""
@@ -1140,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "source_mix": _q_source_mix,
         "hash_embed": _q_hash_embed,
+        "text_knn": _q_text_knn,
         "length_quantiles": _q_length_quantiles,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
@@ -2933,6 +2948,60 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_oracle_sql(),
         "gram_novelty": _gram_novelty_oracle_sql(),
         "cdc_chunks": _cdc_chunks_oracle_sql(),
+        "text_knn": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\s+'))
+                           AS word
+                FROM documents
+            ), hashed AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('e' || chr(1) || word),
+                                            1, 15))::BIGINT % 32
+                            AS INTEGER) AS bucket,
+                       CASE WHEN ('0x' || substr(md5('e' || chr(1) || word),
+                                                 16, 1))::BIGINT % 2 = 0
+                            THEN 1.0 ELSE -1.0 END AS sign
+                FROM toks WHERE word <> ''
+            ), per AS (
+                SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS val
+                FROM hashed GROUP BY doc_id, bucket
+            ), dims AS (
+                SELECT DISTINCT per.doc_id, d.i
+                FROM per CROSS JOIN (SELECT unnest(range(32)) AS i) d
+            ), vecx AS (
+                SELECT dims.doc_id, dims.i, coalesce(per.val, 0.0) AS x
+                FROM dims LEFT JOIN per
+                  ON dims.doc_id = per.doc_id AND dims.i = per.bucket
+            ), norms AS (
+                SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM vecx
+                GROUP BY doc_id
+            ), emb AS (
+                SELECT vecx.doc_id AS vec_id,
+                       array_agg(CASE WHEN norms.nrm > 0
+                                      THEN round(vecx.x / norms.nrm, 6)
+                                      ELSE vecx.x END ORDER BY vecx.i)
+                           AS embedding
+                FROM vecx JOIN norms ON vecx.doc_id = norms.doc_id
+                GROUP BY vecx.doc_id
+            ), q AS (
+                SELECT vec_id AS query_id, embedding AS q_emb
+                FROM emb WHERE vec_id < 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS nbr_id,
+                       list_cosine_similarity(q.q_emb, e.embedding)
+                           AS cosine
+                FROM q, emb e
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, nbr_id, rank FROM (
+                SELECT query_id, nbr_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, nbr_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
         # feature-hashing embedder twin: same md5-60bit bucket, same
         # 16th-hex-digit sign, same L2 normalization; per-element
         # round(6) absorbs nothing here (sums are integer-exact, the
