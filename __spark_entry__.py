@@ -600,6 +600,13 @@ def _q_text_knn(spark, sf_dir):
             .select("query_id", "nbr_id", "rank"))
 
 
+def _q_bigram_entropy(spark, sf_dir):
+    """Per-source bigram conditional entropy (textfns.bigram_entropy):
+    template-heavy sources score low, organic prose high."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.bigram_entropy(docs)
+
+
 def _q_source_mix(spark, sf_dir):
     """Temperature-based source mixing weights (textfns.source_mix_weights,
     alpha=0.3, 1M-token budget): the trainer's sampler config."""
@@ -1155,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": _q_source_mix,
         "hash_embed": _q_hash_embed,
         "text_knn": _q_text_knn,
+        "bigram_entropy": _q_bigram_entropy,
         "length_quantiles": _q_length_quantiles,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
@@ -2948,6 +2956,37 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_oracle_sql(),
         "gram_novelty": _gram_novelty_oracle_sql(),
         "cdc_chunks": _cdc_chunks_oracle_sql(),
+        "bigram_entropy": r"""
+            WITH t AS (
+                SELECT source,
+                       regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+            ), bg AS (
+                SELECT source,
+                       unnest(CASE WHEN len(w) >= 2 THEN
+                           [{'w1': w[x], 'w2': w[x + 1]}
+                            for x in generate_series(1, len(w) - 1)]
+                         ELSE [] END, recursive := true)
+                FROM t
+            ), c2 AS (
+                SELECT source, w1, w2, count(*) AS c
+                FROM bg GROUP BY source, w1, w2
+            ), c1 AS (
+                SELECT source, w1, CAST(sum(c) AS BIGINT) AS n1
+                FROM c2 GROUP BY source, w1
+            ), h1 AS (
+                SELECT c2.source, c2.w1, c1.n1,
+                       -sum((c2.c * 1.0 / c1.n1)
+                            * log2(c2.c * 1.0 / c1.n1)) AS h
+                FROM c2 JOIN c1
+                  ON c2.source = c1.source AND c2.w1 = c1.w1
+                GROUP BY c2.source, c2.w1, c1.n1
+            )
+            SELECT source,
+                   CAST(sum(n1) AS BIGINT) AS n_bigrams,
+                   round(sum(n1 * h) / sum(n1), 6) AS cond_entropy_bits
+            FROM h1 GROUP BY source
+        """,
         "text_knn": r"""
             WITH toks AS (
                 SELECT doc_id,

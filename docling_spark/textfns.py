@@ -282,6 +282,41 @@ def split_leakage(documents: DataFrame, k: int = 8,
                     .alias("leak_ratio")))
 
 
+def bigram_entropy(documents: DataFrame) -> DataFrame:
+    """Per-source bigram conditional entropy H(w2|w1) in bits - the
+    text-diversity signal that separates template/boilerplate-heavy
+    sources (low entropy: the next word is predictable) from organic
+    prose. Computed exactly: sum_w1 p(w1) * H(w2|w1) over whitespace
+    bigrams.
+
+    Two hash aggs ((source,w1,w2) then (source,w1)) and one final
+    source agg - all map-side combinable; bigram construction is array
+    algebra in codegen, no window, no UDF.
+    """
+    words = _word_list("text")
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.struct(
+                F.element_at(words, i.cast("int") + 1).alias("w1"),
+                F.element_at(words, i.cast("int") + 2).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (documents.select("source", F.explode(pairs).alias("p"))
+          .select("source", F.col("p.w1"), F.col("p.w2")))
+    c2 = bg.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c"))
+    c1 = c2.groupBy("source", "w1").agg(F.sum("c").alias("n1"))
+    h1 = (c2.join(c1, ["source", "w1"])
+          .groupBy("source", "w1", "n1")
+          .agg((-F.sum((F.col("c") / F.col("n1"))
+                       * F.log2(F.col("c") / F.col("n1")))).alias("h")))
+    return (h1.groupBy("source")
+            .agg(F.sum("n1").alias("n_bigrams"),
+                 F.round(F.sum(F.col("n1") * F.col("h"))
+                         / F.sum("n1"), 6).alias("cond_entropy_bits")))
+
+
 def hash_embed(documents: DataFrame, dim: int = 32) -> DataFrame:
     """Feature-hashing text embeddings (Weinberger et al. 2009): each
     word hashes to a signed coordinate, the doc vector is the signed

@@ -964,3 +964,22 @@ def test_hash_embed_unit_norm_and_similarity(spark):
     assert abs(math.sqrt(sum(x * x for x in rows[1])) - 1.0) < 1e-4
     # disjoint vocab -> clearly lower cosine than the exact pair
     assert cos(rows[1], rows[3]) < 0.9 < cos(rows[1], rows[2]) + 1e-9
+
+
+def test_bigram_entropy_values(spark):
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "tiny", "a b a c"),
+         (2, "template", "click here click here click here click here"),
+         (3, "prose", "every word in this sentence differs from the rest")],
+        "doc_id long, source string, text string")
+    rows = {r.source: r
+            for r in textfns.bigram_entropy(docs).collect()}
+    # hand-computed: w1=a -> H=1 bit over {b,c} (n1=2); w1=b -> 0 (n1=1)
+    assert rows["tiny"].n_bigrams == 3
+    assert rows["tiny"].cond_entropy_bits == pytest.approx(2 / 3, abs=1e-6)
+    # a pure template is perfectly predictable; prose is not
+    assert rows["template"].cond_entropy_bits == 0.0
+    assert rows["prose"].cond_entropy_bits == 0.0  # all bigrams unique -> each w1 deterministic
+    # repetitive-but-branching beats template on the diversity axis
+    assert rows["tiny"].cond_entropy_bits > rows["template"].cond_entropy_bits
