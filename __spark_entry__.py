@@ -607,6 +607,14 @@ def _q_bigram_entropy(spark, sf_dir):
     return textfns.bigram_entropy(docs)
 
 
+def _q_compression_quality(spark, sf_dir):
+    """zlib compression-ratio quality proxy (textfns.compression_quality;
+    rows-only: no SQL engine exposes zlib - the one Arrow-batched Python
+    stage in the quality family, unit tests pin exact ratios)."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.compression_quality(docs)
+
+
 def _q_source_mix(spark, sf_dir):
     """Temperature-based source mixing weights (textfns.source_mix_weights,
     alpha=0.3, 1M-token budget): the trainer's sampler config."""
@@ -1163,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": _q_hash_embed,
         "text_knn": _q_text_knn,
         "bigram_entropy": _q_bigram_entropy,
+        # rows-only: zlib not SQL-expressible
+        "compression_quality": _q_compression_quality,
         "length_quantiles": _q_length_quantiles,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):

@@ -282,6 +282,46 @@ def split_leakage(documents: DataFrame, k: int = 8,
                     .alias("leak_ratio")))
 
 
+def compression_quality(documents: DataFrame,
+                        level: int = 6) -> DataFrame:
+    """zlib compression-ratio quality proxy (the CCNet/RedPajama-family
+    signal): highly repetitive or templated text compresses far below
+    organic prose, and random noise barely compresses at all. Flags
+    both tails.
+
+    This is the documented when-Python-is-unavoidable pattern: no SQL
+    engine exposes zlib, so the ratio runs as an Arrow-batched
+    ``mapInPandas`` (one Python call per record batch, vectorized I/O,
+    never per-row pickling); everything else in this module stays in
+    codegen. Rows-only in the driver gate - the unit tests pin exact
+    ratios instead.
+    """
+    import pandas as pd  # noqa: F401  (executor-side import)
+
+    def _batches(batches):
+        import zlib
+
+        import pandas as pd
+        for pdf in batches:
+            texts = pdf["text"].fillna("")
+            raw = [t.encode("utf-8") for t in texts]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in raw],
+                "n_compressed": comp,
+                "compression_ratio": [
+                    round(c / max(len(b), 1), 6)
+                    for b, c in zip(raw, comp)],
+            })
+
+    return (documents.select("doc_id", "text")
+            .mapInPandas(_batches,
+                         schema=("doc_id long, n_bytes long, "
+                                 "n_compressed long, "
+                                 "compression_ratio double")))
+
+
 def bigram_entropy(documents: DataFrame) -> DataFrame:
     """Per-source bigram conditional entropy H(w2|w1) in bits - the
     text-diversity signal that separates template/boilerplate-heavy

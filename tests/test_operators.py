@@ -983,3 +983,23 @@ def test_bigram_entropy_values(spark):
     assert rows["prose"].cond_entropy_bits == 0.0  # all bigrams unique -> each w1 deterministic
     # repetitive-but-branching beats template on the diversity axis
     assert rows["tiny"].cond_entropy_bits > rows["template"].cond_entropy_bits
+
+
+def test_compression_quality_separates_tails(spark):
+    from docling_spark import textfns
+    import zlib
+    rep = "spam ham " * 300
+    prose = ("the archive contains every document we extracted from the "
+             "crawl, with varied wording in all of its many sentences. "
+             "different words appear throughout, avoiding repetition "
+             "wherever a synonym or rephrasing was available to us.")
+    docs = spark.createDataFrame(
+        [(1, rep), (2, prose)], "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in textfns.compression_quality(docs).collect()}
+    # exact pin against local zlib (same level, same bytes)
+    for i, txt in ((1, rep), (2, prose)):
+        b = txt.encode()
+        assert rows[i].n_bytes == len(b)
+        assert rows[i].n_compressed == len(zlib.compress(b, 6))
+    assert rows[1].compression_ratio < 0.1 < rows[2].compression_ratio
