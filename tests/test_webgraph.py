@@ -285,3 +285,21 @@ def test_pagerank_checkpoint_invariant(spark):
             for r in webgraph.pagerank(df, n_iter=6,
                                        checkpoint_every=2).collect()}
     assert plain == ckpt
+
+
+def test_policy_filter_empty_prefix_is_host_default(spark):
+    """An empty path_prefix matches every path on the host (the
+    host-wide default rule) and loses every length tie to any concrete
+    prefix."""
+    pages = spark.createDataFrame(
+        [("https://a.test/x",), ("https://a.test/blocked/y",),
+         ("https://b.test/z",)], "url string")
+    rules = spark.createDataFrame(
+        [("a.test", "", False),              # host-wide deny by default
+         ("a.test", "/blocked/", False),
+         ("a.test", "/x", True)],
+        "host string, path_prefix string, allow boolean")
+    rows = {r.url: r for r in webgraph.policy_filter(pages, rules).collect()}
+    assert rows["https://a.test/x"].allowed is True          # /x beats ""
+    assert rows["https://a.test/blocked/y"].allowed is False
+    assert rows["https://b.test/z"].allowed is True          # no rules
