@@ -29,9 +29,12 @@ def main() -> int:
                     help="pages input: catalog table name (iceberg) or "
                          "parquet/iceberg path")
     ap.add_argument("--input-format", default="auto",
-                    choices=["auto", "table", "iceberg", "parquet"],
+                    choices=["auto", "table", "iceberg", "parquet",
+                             "warc"],
                     help="how to resolve --input (auto: catalog table "
-                         "when the value has no path separator)")
+                         "when the value has no path separator; warc: a "
+                         "directory of raw .warc/.warc.gz crawl archives "
+                         "ingested straight into extraction)")
     ap.add_argument("--output", required=True, help="run output directory")
     ap.add_argument("--buckets", type=int, default=256,
                     help="url-hash commit buckets (resume granularity)")
@@ -68,7 +71,12 @@ def main() -> int:
                 zf.write(py, f"docling_spark/{py.name}")
         spark.sparkContext.addPyFile(str(z))
 
-    pages = engine.load_pages(spark, args.input, fmt=args.input_format)
+    if args.input_format == "warc":
+        from docling_spark import warc as warc_mod
+        pages = warc_mod.read_warc(spark, args.input).select("url", "html")
+    else:
+        pages = engine.load_pages(spark, args.input,
+                                  fmt=args.input_format)
     t0 = time.time()
     ck = engine.CheckpointedExtraction(
         spark, args.output, num_buckets=args.buckets,
