@@ -454,18 +454,21 @@ def _q_link_graph(spark, sf_dir):
 
 def _q_url_dedup(spark, sf_dir):
     """Mirror-URL collapse (webgraph.url_dup_stats): each fixture url is
-    expanded into 4 deterministic raw spellings (identity, utm-tracking
-    tail, uppercase-scheme + explicit :443, trailing /index.html); ids
-    are the md5-60bit of the raw spelling (the DuckDB-value-equal hash
-    family). Canonicalization must fold the tracking/port/index variants
-    back together."""
+    expanded into 5 deterministic raw spellings - identity, utm-tracking
+    tail, uppercase-scheme + explicit :443 (these three fold into the
+    identity canonical form), plus a fragment-stripped directory pair
+    ``<base>/`` and ``<base>/index.html`` that folds into a SECOND
+    canonical group via the index.html rule; ids are the md5-60bit of
+    the raw spelling (the DuckDB-value-equal hash family)."""
     pages = _fixture_pages(spark, 64)
+    base = F.regexp_replace("url", r"#.*$", "")
     variants = pages.select(
         F.explode(F.array(
             F.col("url"),
             F.concat(F.col("url"), F.lit("?utm_source=feed&utm_medium=rss")),
             F.regexp_replace("url", r"^https://([^/?#]+)", "HTTPS://$1:443"),
-            F.concat(F.col("url"), F.lit("/index.html")),
+            F.concat(base, F.lit("/")),
+            F.concat(base, F.lit("/index.html")),
         )).alias("url"))
     ids = variants.select(
         "url",
@@ -1409,7 +1412,7 @@ def _link_graph_oracle_sql() -> str:
 
 
 def _url_dedup_oracle_sql() -> str:
-    """DuckDB twin of ``_q_url_dedup``: the same 4 deterministic raw
+    """DuckDB twin of ``_q_url_dedup``: the same 5 deterministic raw
     variants, the same md5-60bit ids, and the same canonicalization
     regexp chain as ``webgraph.canonical_url`` (note DuckDB needs the
     'g' flag where Spark's regexp_replace is replace-all by default,
@@ -1426,7 +1429,9 @@ def _url_dedup_oracle_sql() -> str:
             SELECT regexp_replace(url, '^https://([^/?#]+)',
                                   'HTTPS://\1:443') FROM p
             UNION ALL
-            SELECT url || '/index.html' FROM p
+            SELECT regexp_replace(url, '#.*$', '') || '/' FROM p
+            UNION ALL
+            SELECT regexp_replace(url, '#.*$', '') || '/index.html' FROM p
         ), ids AS (
             SELECT raw,
                    CAST(CONCAT('0x', substr(md5(raw), 1, 15)) AS BIGINT)
@@ -1441,12 +1446,13 @@ def _url_dedup_oracle_sql() -> str:
                            '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
                        ':(80|443)$', '')) AS host,
                    regexp_replace(regexp_replace(regexp_replace(
-                       regexp_replace(
+                       regexp_replace(regexp_replace(
                            regexp_extract(raw,
                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)',
                                1),
-                           '(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
-                       '[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                           '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                       '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?', 'g'),
+                       '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '', 'g'),
                        '\?$', ''),
                        '/index\.html$', '/') AS rest
             FROM ids

@@ -34,22 +34,39 @@ WARC_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 _CRLF2 = b"\r\n\r\n"
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def _gunzip_members(data: bytes):
     """Yield (member bytes, compressed offset, compressed length) per
     gzip member (CC-style member-per-record) - the offsets are what a
-    CDX index records so fleet readers can range-GET one record."""
+    CDX index records so fleet readers can range-GET one record.
+
+    Walks a zero-copy memoryview in bounded chunks so a ~1 GB archive
+    with tens of thousands of members costs O(n) memcpy total, not
+    O(n * members): each member's decompressor is fed <=1 MiB slices
+    until ``eof``, and the only per-member copy is the <=1 MiB
+    ``unused_data`` tail of its final chunk."""
+    mv = memoryview(data)
+    n = len(data)
     pos = 0
-    while pos < len(data):
+    while pos < n:
         d = zlib.decompressobj(wbits=31)
+        out = []
+        fed = 0
         try:
-            chunk = d.decompress(data[pos:])
+            while not d.eof and pos + fed < n:
+                piece = mv[pos + fed: pos + fed + _GZ_CHUNK]
+                out.append(d.decompress(piece))
+                fed += len(piece)
         except zlib.error:
             return
-        tail = len(d.unused_data)
-        consumed = len(data) - pos - tail
+        if not d.eof:
+            return  # truncated final member
+        consumed = fed - len(d.unused_data)
         if consumed <= 0:
             return
-        yield chunk, pos, consumed
+        yield b"".join(out), pos, consumed
         pos += consumed
 
 
@@ -111,6 +128,86 @@ def _content_length(head: bytes):
     return None
 
 
+def _parse_warc_date(raw_ts: str):
+    """WARC-Date -> datetime; WARC 1.0 mandates second precision but
+    WARC 1.1 allows fractional seconds and some writers emit them -
+    accept both rather than silently dropping the record."""
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return _dt.datetime.strptime(raw_ts, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def _http_body(payload: bytes) -> bytes:
+    """HTTP response message -> entity bytes: split the head at the
+    first blank line (CRLF or bare-LF header framing - real crawls
+    contain both), then undo ``Transfer-Encoding: chunked`` framing and
+    ``Content-Encoding: gzip/deflate``. Never raises; an undecodable
+    layer is left as-is (downstream sniffing skips it)."""
+    i_crlf = payload.find(_CRLF2)
+    i_lf = payload.find(b"\n\n")
+    if i_crlf < 0 and i_lf < 0:
+        return b""
+    if i_lf >= 0 and (i_crlf < 0 or i_lf < i_crlf):
+        head, body = payload[:i_lf], payload[i_lf + 2:]
+    else:
+        head, body = payload[:i_crlf], payload[i_crlf + 4:]
+    te = ce = b""
+    for line in head.split(b"\n"):
+        line = line.rstrip(b"\r")
+        k, sep, v = line.partition(b":")
+        if not sep:
+            continue
+        k = k.strip().lower()
+        if k == b"transfer-encoding":
+            te = v.strip().lower()
+        elif k == b"content-encoding":
+            ce = v.strip().lower()
+    if b"chunked" in te:
+        dechunked = _dechunk(body)
+        if dechunked is not None:
+            body = dechunked
+    if ce in (b"gzip", b"x-gzip", b"deflate"):
+        for wbits in (47, -15):  # 47 = auto zlib/gzip; -15 = raw deflate
+            try:
+                body = zlib.decompress(body, wbits)
+                break
+            except zlib.error:
+                continue
+    return body
+
+
+def _dechunk(body: bytes):
+    """Undo HTTP/1.1 chunked framing; None if the framing is invalid
+    (caller keeps the raw bytes)."""
+    out = []
+    pos = 0
+    n = len(body)
+    while pos < n:
+        j = body.find(b"\n", pos)
+        if j < 0:
+            return None
+        tok = body[pos:j].strip().split(b";")[0]
+        try:
+            size = int(tok, 16)
+        except ValueError:
+            return None
+        pos = j + 1
+        if size == 0:
+            break
+        if pos + size > n:
+            return None
+        out.append(body[pos:pos + size])
+        pos += size
+        if body[pos:pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos:pos + 1] == b"\n":
+            pos += 1
+    return b"".join(out)
+
+
 def _parse_record(blob: bytes, source_file: str):
     """One record blob -> page row dict, {} for non-response records,
     None for malformed ones."""
@@ -136,16 +233,14 @@ def _parse_record(blob: bytes, source_file: str):
     uri = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
     if not uri:
         return None
-    ts = None
     raw_ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
-    try:
-        ts = _dt.datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
-    except ValueError:
+    ts = _parse_warc_date(raw_ts)
+    if ts is None:
         return None
-    # response payload is an HTTP message: strip the status+header block
+    # response payload is an HTTP message: strip the status+header
+    # block and undo chunked framing / gzip content-coding
     if payload[:5] in (b"HTTP/",):
-        body_at = payload.find(_CRLF2)
-        body = payload[body_at + 4:] if body_at >= 0 else b""
+        body = _http_body(payload)
     else:
         body = payload
     return {

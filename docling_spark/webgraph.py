@@ -162,10 +162,18 @@ def canonical_url(col: str = "url") -> Column:
         r":(80|443)$", ""))
     # path+query, fragment excluded
     rest = F.regexp_extract(F.col(col), _ABS_RE + r"[^/?#]*([^#]*)", 1)
-    # tracking params: first "param=...&" (mid-query), then the
-    # leftover "?param=..." / "&param=..." tail, then a dangling "?"
-    rest = F.regexp_replace(rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&", "")
-    rest = F.regexp_replace(rest, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    # tracking params, separator-anchored so a param whose name merely
+    # ENDS in a tracking suffix (e.g. "xutm_source") is left alone and
+    # RE2-compatible (no lookbehind, oracle-replicable). Order matters:
+    # (1) every "&"-prefixed tracking param (arbitrary runs: each match
+    # consumes its own "&", so consecutive params are consecutive
+    # non-overlapping matches), (2) a tracking param in "?" head
+    # position followed by a survivor, (3) a sole "?" tracking param.
+    rest = F.regexp_replace(rest, r"&(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    rest = F.regexp_replace(rest, r"\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&",
+                            "?")
+    rest = F.regexp_replace(rest, r"\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$",
+                            "")
     rest = F.regexp_replace(rest, r"\?$", "")
     rest = F.regexp_replace(rest, r"/index\.html$", "/")
     rest = F.when(rest == "", F.lit("/")).otherwise(rest)

@@ -165,3 +165,95 @@ def test_parse_warc_total_on_bit_flips(archive):
         flipped[i] ^= 1 << rng.randrange(8)
         rows, n_rec, n_skip = warc.parse_warc(bytes(flipped), "f")
         assert isinstance(rows, list) and len(rows) <= len(full)
+
+
+class TestHttpMessage:
+    """Real-crawl HTTP message shapes: LF-only header framing, chunked
+    transfer coding, gzip/deflate content coding, fractional WARC-Date."""
+
+    def _wrap(self, payload, ts="2024-03-01T00:00:00Z"):
+        rec = warc._record(b"response", "https://x.test/p", ts, payload)
+        rows, n_rec, n_skip = warc.parse_warc(rec, "f")
+        return rows, n_skip
+
+    def test_fractional_seconds_warc_date(self):
+        rows, n_skip = self._wrap(
+            b"HTTP/1.1 200 OK\r\n\r\n<html>f</html>",
+            ts="2024-03-01T00:00:00.123456Z")
+        assert n_skip == 0 and len(rows) == 1
+        assert rows[0]["warc_ts"] == dt.datetime(2024, 3, 1, 0, 0, 0,
+                                                 123456)
+
+    def test_lf_only_header_framing(self):
+        rows, n_skip = self._wrap(
+            b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<html>lf</html>")
+        assert n_skip == 0
+        assert rows[0]["html"] == b"<html>lf</html>"
+
+    def test_chunked_transfer_coding(self):
+        body = b"5\r\n<html\r\n8\r\n>chunked\r\n7\r\n</html>\r\n0\r\n\r\n"
+        rows, _ = self._wrap(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + body)
+        assert rows[0]["html"] == b"<html>chunked</html>"
+
+    def test_gzip_content_coding(self):
+        import gzip as _gz
+        page = b"<html><body>gz body</body></html>"
+        rows, _ = self._wrap(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+            + _gz.compress(page))
+        assert rows[0]["html"] == page
+
+    def test_deflate_content_coding(self):
+        import zlib as _zl
+        page = b"<html>deflate</html>"
+        # raw deflate (the historically common, header-free variant)
+        raw = _zl.compressobj(wbits=-15)
+        body = raw.compress(page) + raw.flush()
+        rows, _ = self._wrap(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + body)
+        assert rows[0]["html"] == page
+
+    def test_chunked_then_gzip_stack(self):
+        import gzip as _gz
+        page = b"<html>stacked</html>"
+        gz = _gz.compress(page)
+        chunked = (hex(len(gz))[2:].encode() + b"\r\n" + gz
+                   + b"\r\n0\r\n\r\n")
+        rows, _ = self._wrap(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + chunked)
+        assert rows[0]["html"] == page
+
+    def test_invalid_codings_keep_raw_bytes(self):
+        """An undecodable layer degrades to raw bytes, never raises."""
+        rows, _ = self._wrap(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip")
+        assert rows[0]["html"] == b"not-gzip"
+        rows, _ = self._wrap(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nx")
+        assert rows[0]["html"] == b"ZZ\r\nx"
+
+
+def test_gunzip_members_linear_memcpy(archive):
+    """The member walk must not copy the remaining archive per member:
+    build an archive with many small members and check wall time stays
+    far below the quadratic regime (the pre-fix cost for 2k members of
+    a 2 MB archive was ~2k * 1 MB memcpy)."""
+    import io as _io
+    import gzip as _gz
+    import time
+    buf = _io.BytesIO()
+    rec = warc._record(b"response", "https://x.test/p",
+                       "2024-03-01T00:00:00Z",
+                       b"HTTP/1.1 200 OK\r\n\r\n<html>m</html>")
+    one = _gz.compress(rec)
+    n = 4000
+    data = one * n
+    t0 = time.monotonic()
+    rows, n_rec, n_skip = warc.parse_warc(data, "f")
+    elapsed = time.monotonic() - t0
+    assert n_rec == n and len(rows) == n and n_skip == 0
+    # linear walk of ~1 MB with 4k members finishes in well under a
+    # second; the quadratic version took tens of seconds
+    assert elapsed < 5.0

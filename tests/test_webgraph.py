@@ -121,6 +121,18 @@ CANON_CASES = [
     ("https://h.test/p?utm_a=1&gclid=2", "https://h.test/p"),
     ("https://h.test?utm_b=1", "https://h.test/"),
     ("https://h.test:8080/p", "https://h.test:8080/p"),
+    # separator anchoring: a param whose NAME merely ends in a tracking
+    # suffix must survive intact (regression: the unanchored pattern
+    # partially stripped it and glued its head onto the next param)
+    ("https://h.test/p?xutm_source=1&keep=2",
+     "https://h.test/p?xutm_source=1&keep=2"),
+    ("https://h.test/p?myfbclid=a", "https://h.test/p?myfbclid=a"),
+    # consecutive tracking params in every position still all strip
+    ("https://h.test/p?utm_a=1&utm_b=2&utm_c=3&keep=4",
+     "https://h.test/p?keep=4"),
+    ("https://h.test/p?keep=1&utm_a=2&gclid=3&utm_b=4",
+     "https://h.test/p?keep=1"),
+    ("https://h.test/p?utm_a=1&utm_b=2", "https://h.test/p"),
 ]
 
 
