@@ -1091,6 +1091,20 @@ def _q_media_inventory(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order contract: every oracle-twinned query (a key that
+    also appears in :func:`oracle_sql`) comes BEFORE every rows-only
+    query, so a harness that samples a bounded prefix of the registry
+    always lands on hash-checkable rows first. The reorder is enforced
+    programmatically at the end - insertion order below is grouping by
+    theme only."""
+    reg = _query_registry()
+    twinned = oracle_sql()
+    ordered = {k: v for k, v in reg.items() if k in twinned}
+    ordered.update((k, v) for k, v in reg.items() if k not in twinned)
+    return ordered
+
+
+def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_top_orders": _q_top_orders,

@@ -1003,3 +1003,16 @@ def test_compression_quality_separates_tails(spark):
         assert rows[i].n_bytes == len(b)
         assert rows[i].n_compressed == len(zlib.compress(b, 6))
     assert rows[1].compression_ratio < 0.1 < rows[2].compression_ratio
+
+
+def test_registry_orders_oracle_twinned_first():
+    """Driver-visibility contract: a harness that samples a bounded
+    prefix of queries() must land on hash-checkable (oracle-twinned)
+    entries first - every twinned key precedes every rows-only key."""
+    import __spark_entry__ as e
+    q = list(e.queries())
+    o = e.oracle_sql()
+    flags = [k in o for k in q]
+    assert flags == sorted(flags, reverse=True), (
+        "rows-only query ordered before an oracle-twinned one")
+    assert sum(flags) >= 66
