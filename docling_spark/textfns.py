@@ -427,17 +427,23 @@ def source_mix_weights(documents: DataFrame, alpha: float = 0.3,
                     .alias("epochs")))
 
 
-def length_quantiles(documents: DataFrame) -> DataFrame:
+def length_quantiles(documents: DataFrame,
+                     approx: bool = False) -> DataFrame:
     """Per-source document-length distribution (p10/p50/p90 of n_chars
     + mean) - the profile that sizes length-bucketed batching and flags
     sources whose length regime shifted between crawls. Exact
-    percentiles (Spark ``percentile`` == DuckDB ``quantile_cont``) so
-    the oracle can recompute them value-for-value."""
+    percentiles by default (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) so the oracle can recompute them
+    value-for-value; exact aggregation state is bounded by the value
+    cardinality of int lengths, but at 100 TB pass ``approx=True`` to
+    use ``percentile_approx`` (fixed-size t-digest-style sketch state,
+    same plan shape - one hash agg, no extra Exchange)."""
+    pct = "percentile_approx" if approx else "percentile"
     return documents.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.expr("percentile(n_chars, 0.1)").alias("p10"),
-        F.expr("percentile(n_chars, 0.5)").alias("p50"),
-        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.expr(f"{pct}(n_chars, 0.1)").alias("p10"),
+        F.expr(f"{pct}(n_chars, 0.5)").alias("p50"),
+        F.expr(f"{pct}(n_chars, 0.9)").alias("p90"),
         F.round(F.avg("n_chars"), 4).alias("mean_chars"))
 
 
@@ -890,7 +896,7 @@ def unigram_surprisal(documents: DataFrame, col: str = "text") -> DataFrame:
 
 
 def quality_gate(documents: DataFrame, quantile: float = 0.7,
-                 col: str = "text") -> DataFrame:
+                 col: str = "text", approx: bool = False) -> DataFrame:
     """Exact-percentile quality gating: score every document with the
     composite quality prior and keep those at or above the corpus'
     q-th quantile - "keep the best 30%" as a reproducible operator.
@@ -899,14 +905,17 @@ def quality_gate(documents: DataFrame, quantile: float = 0.7,
     ``percentile``; DuckDB ``quantile_cont`` - same linear
     interpolation), computed in a single aggregation and broadcast
     back as a scalar, so the gate costs one scan + one 1-row shuffle
-    regardless of corpus size.  At 100 TB swap ``percentile`` for
-    ``percentile_approx`` when a 1e-4 threshold error is acceptable
-    and the score distribution is heavy-tailed.
+    regardless of corpus size.  Exact aggregation state is bounded by
+    score cardinality (6-decimal rounding); at 100 TB pass
+    ``approx=True`` for ``percentile_approx`` (fixed-size sketch
+    state, identical plan shape) when a ~1e-4 threshold error is
+    acceptable.
     """
+    pct = "percentile_approx" if approx else "percentile"
     scored = documents.select(
         "doc_id", F.round(quality_score(col), 6).alias("score"))
     thr = scored.agg(
-        F.round(F.expr(f"percentile(score, {quantile})"), 6)
+        F.round(F.expr(f"{pct}(score, {quantile})"), 6)
          .alias("threshold"))
     return (scored.crossJoin(F.broadcast(thr))
             .select("doc_id", "score", "threshold",
@@ -1025,8 +1034,8 @@ def sequence_pack(documents: DataFrame, budget: int = 2048,
                     .alias("last_seq")))
 
 
-def perplexity_buckets(documents: DataFrame,
-                       col: str = "text") -> DataFrame:
+def perplexity_buckets(documents: DataFrame, col: str = "text",
+                       approx: bool = False) -> DataFrame:
     """CCNet-style head/middle/tail corpus split: rank every document
     by its unigram surprisal (perplexity proxy) and bucket at the
     corpus terciles - 'head' is the most-fluent third that pretraining
@@ -1038,12 +1047,15 @@ def perplexity_buckets(documents: DataFrame,
     back, so the corpus never reshuffles to be bucketed.  Thresholds
     and scores are rounded to the same 4 decimals, making the bucket
     edges engine-portable (Spark percentile == DuckDB quantile_cont).
+    ``approx=True`` swaps in ``percentile_approx`` (bounded sketch
+    state for 100-TB corpora, same single-agg plan shape).
     """
+    pct = "percentile_approx" if approx else "percentile"
     scored = unigram_surprisal(documents, col)
     thr = scored.agg(
-        F.round(F.expr("percentile(avg_surprisal, 1.0D/3.0D)"), 4)
+        F.round(F.expr(f"{pct}(avg_surprisal, 1.0D/3.0D)"), 4)
          .alias("t1"),
-        F.round(F.expr("percentile(avg_surprisal, 2.0D/3.0D)"), 4)
+        F.round(F.expr(f"{pct}(avg_surprisal, 2.0D/3.0D)"), 4)
          .alias("t2"))
     return (scored.crossJoin(F.broadcast(thr))
             .select("doc_id", "n_tokens", "avg_surprisal", "t1", "t2",

@@ -245,7 +245,7 @@ def policy_filter(pages: DataFrame, rules: DataFrame,
 
 def pagerank(edges: DataFrame, n_iter: int = 5,
              damping: float = 0.85,
-             checkpoint_every: int = 0) -> DataFrame:
+             checkpoint_every: int = 3) -> DataFrame:
     """PageRank over an edge list ``(src, dst)`` with ``n_iter``
     synchronous power iterations - link authority for crawl
     prioritization and quality weighting.
@@ -260,6 +260,14 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     to truncate lineage; edges are pre-partitioned on src once and
     every iteration reuses that exchange.
 
+    ``checkpoint_every`` defaults to 3: without it the logical plan
+    (and the lineage a recovering executor would replay) grows
+    O(n_iter), which at real iteration counts (50-100) makes planning
+    itself the bottleneck.  Each checkpoint also ``persist()``s the
+    rank vector so the dangling-mass aggregate and the contribution
+    join read one materialization instead of recomputing the prefix.
+    ``checkpoint_every=0`` disables (small graphs / unit tests).
+
     Deterministic: node set = src ∪ dst, self-loops and duplicate
     edges removed, rank rounded to 6 decimals at the output (absorbs
     float summation order across partitionings).
@@ -273,12 +281,22 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = (nodes.crossJoin(F.broadcast(n_row))
              .select("node", (F.lit(1.0) / F.col("n")).alias("rank")))
+    cached: list[DataFrame] = []
     for it in range(n_iter):
         if checkpoint_every and it and it % checkpoint_every == 0:
             # truncate lineage so the plan depth stays O(checkpoint_every)
             # instead of O(n_iter) - values are unchanged (tested); at
             # fleet scale use persist()+checkpoint() on cluster storage
             ranks = ranks.localCheckpoint(eager=True)
+            for df in cached:  # checkpoint materialized - caches done
+                df.unpersist(False)
+            cached = []
+        elif checkpoint_every:
+            # each iteration reads ranks TWICE (dangling mass +
+            # contribution join): persist so the second read and the
+            # next checkpoint hit one materialization, not a recompute
+            ranks = ranks.persist()
+            cached.append(ranks)
         with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
         # mass of dangling nodes (no out-edges) is redistributed
         dangling = with_deg.where(F.col("outdeg").isNull()).select(

@@ -348,3 +348,34 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_approx_percentile_variants_keep_plan_shape(spark):
+    """The approx=True 100-TB configuration must be one argument, not a
+    plan rewrite: percentile_approx keeps the same Exchange count as
+    the exact variant (one agg + broadcast-back) and produces sane
+    values on small data."""
+    from docling_spark import textfns
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    for fn, kwargs in ((textfns.quality_gate, {}),
+                       (textfns.length_quantiles, {}),
+                       (textfns.perplexity_buckets, {})):
+        exact = fn(docs, **kwargs)
+        approx = fn(docs, approx=True, **kwargs)
+        pe = exact._jdf.queryExecution().executedPlan().toString()
+        pa = approx._jdf.queryExecution().executedPlan().toString()
+        assert pa.count("Exchange") == pe.count("Exchange"), fn.__name__
+        assert approx.columns == exact.columns, fn.__name__
+        assert approx.count() == exact.count(), fn.__name__
+
+    # the approx gate keeps (about) the same fraction as the exact one
+    # (score ties make the absolute fraction data-shaped; what must
+    # hold is exact ~= approx - the sketch threshold lands on a real
+    # data value at most one tie-group away from the interpolated one)
+    ge = textfns.quality_gate(docs, quantile=0.7)
+    ga = textfns.quality_gate(docs, quantile=0.7, approx=True)
+    n = ge.count()
+    kept_e = ge.where("keep").count() / n
+    kept_a = ga.where("keep").count() / n
+    assert abs(kept_a - kept_e) <= 0.10, (kept_e, kept_a)

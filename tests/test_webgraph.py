@@ -292,11 +292,13 @@ def test_pagerank_checkpoint_invariant(spark):
             [(i, (i * i + 3) % 23) for i in range(23)]
     df = spark.createDataFrame(edges, "src long, dst long")
     plain = {r.node: r.rank
-             for r in webgraph.pagerank(df, n_iter=6).collect()}
-    ckpt = {r.node: r.rank
-            for r in webgraph.pagerank(df, n_iter=6,
-                                       checkpoint_every=2).collect()}
-    assert plain == ckpt
+             for r in webgraph.pagerank(df, n_iter=6,
+                                        checkpoint_every=0).collect()}
+    for every in (2, 3):  # 3 = the scale default (persist + checkpoint)
+        ckpt = {r.node: r.rank
+                for r in webgraph.pagerank(df, n_iter=6,
+                                           checkpoint_every=every).collect()}
+        assert plain == ckpt, every
 
 
 def test_policy_filter_empty_prefix_is_host_default(spark):
