@@ -1025,13 +1025,19 @@ def _q_lang_quality(spark, sf_dir):
 
 
 def _q_emb_knn_lsh(spark, sf_dir):
+    """LSH ANN with the md5-derived INTEGER hyperplane family: bucket
+    bits are exact integer arithmetic, so DuckDB rebuilds the identical
+    candidate sets and the approximate query gets an EXACT oracle (the
+    gaussian family stays the production default; its recall test is
+    separate). Cosine is dropped from the output: candidate membership
+    and ranking are the checked semantics."""
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
-    # dim=None: inferred per-executor inside the sketch UDF — no driver
-    # .first() action (round-2 verdict minor #6).
     return similarity.cosine_topk_lsh(emb, queries_df, k=3,
                                       n_planes=6, n_tables=2,
-                                      probe_hamming=2)
+                                      probe_hamming=2,
+                                      plane_family="md5") \
+        .select("query_id", "nbr_id", "rank")
 
 
 def _q_pdf_layout_stages(spark, sf_dir):
@@ -2372,6 +2378,60 @@ def oracle_sql() -> dict[str, str]:
                    ) AS doc_ids,
                    min(node) AS keeper_id
             FROM comp GROUP BY group_id
+        """,
+        # md5-integer-hyperplane LSH twin (_q_emb_knn_lsh): identical
+        # bucket bits via exact integer dots (floor(x*1e6) pre-scale,
+        # md5-60bit%17-8 plane entries), identical probe-mask fan-out,
+        # then the same cosine top-3 as the bruteforce twin
+        "emb_knn_lsh": """
+            WITH ei AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                     AS BIGINT)) AS v
+                FROM embeddings
+            ), dots AS (
+                SELECT vec_id, t.t AS t, i.i AS i,
+                       list_sum(list_transform(range(1, len(v) + 1), d ->
+                           v[d] * ((CAST(CONCAT('0x', substr(md5(
+                               'lsh:' || (42 + 7919 * t.t) || ':' || t.t
+                               || ':' || i.i || ':' || (d - 1)),
+                               1, 15)) AS BIGINT) % 17) - 8))) AS dot
+                FROM ei, range(2) t(t), range(6) i(i)
+            ), buckets AS (
+                SELECT vec_id, t,
+                       CAST(sum(CASE WHEN dot > 0
+                                THEN (CAST(1 AS BIGINT) << i)
+                                ELSE 0 END) AS BIGINT) AS bucket
+                FROM dots GROUP BY vec_id, t
+            ), ckeys AS (
+                SELECT vec_id, (t << 6) + bucket AS key FROM buckets
+            ), masks AS (
+                SELECT unnest([0, 1, 2, 4, 8, 16, 32, 3, 5, 9, 17, 33, 6,
+                               10, 18, 34, 12, 20, 36, 24, 40, 48]) AS mask
+            ), qkeys AS (
+                SELECT b.vec_id AS query_id,
+                       (t << 6) + xor(bucket, CAST(mask AS BIGINT)) AS key
+                FROM buckets b, masks WHERE b.vec_id < 5
+            ), cands AS (
+                SELECT DISTINCT q.query_id, c.vec_id AS nbr_id
+                FROM qkeys q JOIN ckeys c USING (key)
+                WHERE c.vec_id <> q.query_id
+            ), scored AS (
+                SELECT query_id, nbr_id,
+                       list_cosine_similarity(qe.embedding, ne.embedding)
+                           AS cosine
+                FROM cands
+                JOIN embeddings qe ON qe.vec_id = query_id
+                JOIN embeddings ne ON ne.vec_id = nbr_id
+            )
+            SELECT query_id, nbr_id, rank FROM (
+                SELECT query_id, nbr_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cosine DESC, nbr_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         "emb_knn_bruteforce": """
             WITH q AS (

@@ -130,6 +130,39 @@ def _sketch_keys_udf(dim, n_planes: int, seeds: list, masks=None):
     return keys
 
 
+def _md5_bucket(col: str, n_planes: int, seed: int, table: int):
+    """Sign-bit sketch bucket for ONE table of the md5-derived INTEGER
+    hyperplane family, as pure column algebra.
+
+    Plane entry w(t,i,d) = (md5_60bit("lsh:<seed>:<t>:<i>:<d>") % 17) - 8
+    (zero-mean integers in [-8, 8]); the embedding is pre-scaled to
+    integers via floor(x * 1e6), so every dot product is EXACT integer
+    arithmetic - no float summation order, which makes the bucket
+    assignment engine-portable (DuckDB computes the identical bits,
+    the trick that graduated hash_embed to an exact oracle). The
+    gaussian family stays the production default: its planes are
+    isotropic (uniform angular coverage) while the integer family is
+    slightly lattice-quantized - fine for an oracle-twinned fixture,
+    not what you'd pick for recall at scale.
+    """
+    emb_int = F.transform(
+        F.col(col), lambda x: F.floor(x.cast("double") * 1000000.0)
+        .cast("long"))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        prefix = f"lsh:{seed}:{table}:{i}:"
+        w = lambda d: (F.conv(F.substring(F.md5(F.concat(
+            F.lit(prefix), d.cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 17 - 8)
+        dot = F.aggregate(
+            F.zip_with(emb_int,
+                       F.sequence(F.lit(0), F.size(F.col(col)) - 1),
+                       lambda x, d: x * w(d)),
+            F.lit(0).cast("long"), lambda acc, v: acc + v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
 def _probe_masks(n_planes: int, radius: int) -> list:
     """XOR masks for all buckets within Hamming ``radius`` of a sketch."""
     from itertools import combinations
@@ -143,7 +176,8 @@ def _probe_masks(n_planes: int, radius: int) -> list:
 def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
                     dim: int | None = None,
                     k: int = 5, n_planes: int = 8, seed: int = 42,
-                    n_tables: int = 1, probe_hamming: int = 1) -> DataFrame:
+                    n_tables: int = 1, probe_hamming: int = 1,
+                    plane_family: str = "gauss") -> DataFrame:
     """Approximate top-k: compare only within the query's LSH bucket(s).
 
     Recall is governed by two standard knobs (both compose, and both keep
@@ -164,24 +198,45 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
     vectorized Arrow/numpy matmul (one ``(n, dim) @ (dim, T*P)`` per
     record batch) - hyperplane signs are scale-invariant, so the raw
     embedding is bucketed and normalization is paid only at scoring.
+
+    ``plane_family``: "gauss" (default - isotropic numpy hyperplanes,
+    the production recall choice) or "md5" - integer-exact md5-derived
+    planes computed as JVM column algebra (:func:`_md5_bucket`), whose
+    bucket bits an independent SQL engine reproduces bit-for-bit, so
+    the whole approximate query is exact-oracle-checkable.
     """
-    keys_udf = _sketch_keys_udf(dim, n_planes,
-                                [seed + 7919 * t for t in range(n_tables)],
-                                masks=None)
     masks = _probe_masks(n_planes, probe_hamming)
-    probe_udf = _sketch_keys_udf(dim, n_planes,
-                                 [seed + 7919 * t for t in range(n_tables)],
-                                 masks=masks)
     corpus = with_normalized(embeddings).select(
         F.col("vec_id").alias("nbr_id"), F.col("norm_emb").alias("nbr_emb"),
         F.col("embedding").alias("raw_emb"))
     qs = with_normalized(queries).select(
         F.col("vec_id").alias("query_id"), F.col("norm_emb").alias("q_emb"),
         F.col("embedding").alias("raw_emb"))
-    cb = corpus.select(
-        "nbr_id", F.explode(keys_udf("raw_emb")).alias("key"))
-    qb = qs.select(
-        "query_id", F.explode(probe_udf("raw_emb")).alias("key"))
+    if plane_family == "md5":
+        def keyed(df, id_col, probe_masks):
+            b = df
+            for t in range(n_tables):
+                b = b.withColumn(
+                    f"_b{t}", _md5_bucket("raw_emb", n_planes,
+                                          seed + 7919 * t, t))
+            keys = [F.lit(t << n_planes).cast("long")
+                    + F.col(f"_b{t}").bitwiseXOR(F.lit(m))
+                    for t in range(n_tables)
+                    for m in (probe_masks or [0])]
+            return b.select(id_col, F.explode(F.array(*keys)).alias("key"))
+        cb = keyed(corpus, "nbr_id", None)
+        qb = keyed(qs, "query_id", masks)
+    else:
+        keys_udf = _sketch_keys_udf(
+            dim, n_planes, [seed + 7919 * t for t in range(n_tables)],
+            masks=None)
+        probe_udf = _sketch_keys_udf(
+            dim, n_planes, [seed + 7919 * t for t in range(n_tables)],
+            masks=masks)
+        cb = corpus.select(
+            "nbr_id", F.explode(keys_udf("raw_emb")).alias("key"))
+        qb = qs.select(
+            "query_id", F.explode(probe_udf("raw_emb")).alias("key"))
     cands = (cb.join(F.broadcast(qb), "key")
              .select("query_id", "nbr_id")
              .where(F.col("nbr_id") != F.col("query_id"))

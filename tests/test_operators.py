@@ -293,6 +293,40 @@ def test_lsh_recall_clustered_data(spark):
     assert recall >= 0.95, f"clustered recall {recall}"
 
 
+def test_lsh_md5_family_recall_clustered_data(spark):
+    """The md5 integer hyperplane family (the exact-oracle variant) must
+    keep working recall in the clustered regime - it is a real LSH, not
+    a fixture hack - and stay deterministic across runs."""
+    import math
+    import random
+    rng = random.Random(11)
+    dim = 32
+    rows = []
+    vid = 0
+    for c in range(10):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        nb = math.sqrt(sum(x * x for x in base))
+        base = [x / nb for x in base]
+        for _ in range(20):
+            rows.append((vid, [b + rng.gauss(0, 0.05) for b in base]))
+            vid += 1
+    emb2 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb2.where(F.col("vec_id") % 20 == 0)
+    bf = similarity.cosine_topk_bruteforce(emb2, queries, k=3)
+    lsh = similarity.cosine_topk_lsh(emb2, queries, k=3, n_planes=8,
+                                     n_tables=2, probe_hamming=2,
+                                     plane_family="md5")
+    bf_set = {(r["query_id"], r["nbr_id"]) for r in bf.collect()}
+    got = {(r["query_id"], r["nbr_id"], r["rank"]) for r in lsh.collect()}
+    recall = len(bf_set & {(q, n) for q, n, _ in got}) / len(bf_set)
+    assert recall >= 0.9, f"md5-family clustered recall {recall}"
+    again = {(r["query_id"], r["nbr_id"], r["rank"])
+             for r in similarity.cosine_topk_lsh(
+                 emb2, queries, k=3, n_planes=8, n_tables=2,
+                 probe_hamming=2, plane_family="md5").collect()}
+    assert got == again
+
+
 def test_lsh_multi_table_recall_on_random_data(spark, emb):
     """Quasi-random embeddings (NN cosine ~0.33) are LSH's worst case; the
     n_tables knob still drives recall >=0.95, and more tables never hurt."""
