@@ -95,3 +95,95 @@ def test_engine_dispatch_total_on_corrupted_binaries():
     assert total == len(rows_url)
     for o in outs:
         assert set(o["status"]) <= {"success", "failure"}
+
+
+def test_legacy_binary_parsers_total_on_hostile_bytes():
+    """Crawl-scale totality for the two newest from-scratch binary
+    parsers (OLE2 containers: .ppt OfficeArt walk, .xls BIFF8): dense
+    single-bit flips, multi-bit flips, and truncations of the real
+    fixtures must either parse or raise a catchable Exception - never
+    hang, never escape as a non-Exception error. Same pattern as the
+    WARC bit-flip harness (tests/test_warc.py)."""
+    import pathlib
+    import random
+
+    from docling_spark.legacy import convert_xls
+    from docling_spark.pptbin import convert_ppt
+    from docling_spark.serialize import to_json, to_markdown
+
+    ref = pathlib.Path("/root/reference/tests/data")
+    targets = [
+        (convert_ppt, (ref / "ppt/sources/legacy_sample.ppt").read_bytes()),
+        (convert_xls, (ref / "xls/sources/legacy_sample.xls").read_bytes()),
+    ]
+    rng = random.Random(77)
+    for conv, raw in targets:
+        # single-bit flips: 96 random positions (headers, directory,
+        # FAT, record payloads all get hit at this density)
+        for _ in range(96):
+            flipped = bytearray(raw)
+            i = rng.randrange(len(flipped))
+            flipped[i] ^= 1 << rng.randrange(8)
+            try:
+                doc = conv(bytes(flipped), name="fuzz")
+                to_markdown(doc)
+                to_json(doc)
+            except Exception:
+                pass  # a clean raise is fine; the engine envelopes it
+        # multi-bit storms
+        for _ in range(16):
+            flipped = bytearray(raw)
+            for _ in range(32):
+                i = rng.randrange(len(flipped))
+                flipped[i] ^= 1 << rng.randrange(8)
+            try:
+                to_markdown(conv(bytes(flipped), name="fuzz"))
+            except Exception:
+                pass
+        # truncations at structure-relevant sizes (OLE2 header is 512,
+        # sector boundaries every 512)
+        cuts = {1, 8, 64, 511, 512, 513, 1024, len(raw) // 2,
+                len(raw) - 1}
+        for cut in sorted(c for c in cuts if 0 < c < len(raw)):
+            try:
+                to_markdown(conv(raw[:cut], name="fuzz"))
+            except Exception:
+                pass
+        # unflipped fixture still parses after all that (no shared state)
+        to_markdown(conv(raw, name="fuzz"))
+
+
+def test_legacy_parsers_enveloped_by_engine_dispatch():
+    """The same hostile .ppt/.xls/.doc bytes driven through the engine
+    batch path: every row must come back as a status envelope."""
+    import pathlib
+    import random
+
+    import pandas as pd
+
+    from docling_spark.engine import _extract_batches
+
+    ref = pathlib.Path("/root/reference/tests/data")
+    fixtures = [(p.name, p.read_bytes()) for p in (
+        ref / "ppt/sources/legacy_sample.ppt",
+        ref / "xls/sources/legacy_sample.xls",
+        ref / "doc/sources/legacy_sample.doc") if p.exists()]
+    assert len(fixtures) == 3
+    rng = random.Random(99)
+    urls, raws = [], []
+    for name, raw in fixtures:
+        for i in range(8):
+            flipped = bytearray(raw)
+            for _ in range(8):
+                pos = rng.randrange(len(flipped))
+                flipped[pos] ^= 1 << rng.randrange(8)
+            urls.append(f"https://f/flip{i}/{name}")
+            raws.append(bytes(flipped))
+            cut = rng.randrange(1, len(raw))
+            urls.append(f"https://f/cut{i}/{name}")
+            raws.append(raw[:cut])
+    batch = pd.DataFrame({"url": urls, "html": raws})
+    outs = list(_extract_batches([batch]))
+    assert sum(len(o) for o in outs) == len(urls)
+    for o in outs:
+        assert set(o["status"]) <= {"success", "failure"}
