@@ -1070,11 +1070,80 @@ def _q_pdf_layout_stages(spark, sf_dir):
         F.size("elements").alias("n_elements"))
 
 
+_JPEG_MEDIA_CACHE = None
+
+
+def _jpeg_media_rows():
+    """Deterministic baseline-JPEG fixture rows with ANALYTIC expected
+    features: every image is flat per 8x8 block and encoded with
+    all-ones quant tables, so the full codec chain (huffman -> dequant
+    -> IDCT -> upsample -> YCbCr) is exactly lossless, and the expected
+    width/height/feature_v0 are derived WITHOUT running the decoder -
+    only the shared 3-value color round-trip math
+    (multimodal._rgb_to_ycbcr_int / _ycbcr_to_rgb_int). The derivation
+    mirrors the decoder's float op order exactly (integer-exact sums,
+    then the same two divisions). Returns
+    [(media_id, payload, width, height, feature_v0)]."""
+    global _JPEG_MEDIA_CACHE
+    if _JPEG_MEDIA_CACHE is not None:
+        return _JPEG_MEDIA_CACHE
+    import numpy as np
+
+    from docling_spark.multimodal import (_rgb_to_ycbcr_int,
+                                          _ycbcr_to_rgb_int,
+                                          encode_jpeg_baseline)
+
+    def rt(rgb):
+        return _ycbcr_to_rgb_int(*_rgb_to_ycbcr_int(*rgb))
+
+    rows = []
+
+    def add(mid, px, feature, **kw):
+        rows.append((mid, encode_jpeg_baseline(px, **kw),
+                     px.shape[1], px.shape[0], feature))
+
+    c = rt((200, 30, 90))                      # solid RGB 4:4:4
+    add(1000, np.full((16, 16, 3), (200, 30, 90), np.uint8),
+        sum(c) / 3 / 255)
+    c = rt((10, 220, 40))                      # solid RGB 4:2:0, non-square
+    add(1001, np.full((8, 24, 3), (10, 220, 40), np.uint8),
+        sum(c) / 3 / 255, subsampling="420")
+    add(1002, np.full((24, 8), 136, np.uint8), 136.0 / 255)  # solid gray
+    g = np.zeros((16, 16), np.uint8)           # four flat gray quadrants
+    vals = [40, 90, 160, 250]
+    g[:8, :8], g[:8, 8:], g[8:, :8], g[8:, 8:] = vals
+    add(1003, g, sum(vals) / 4 / 255)
+    c = rt((64, 64, 192))                      # solid RGB + restart markers
+    add(1004, np.full((16, 32, 3), (64, 64, 192), np.uint8),
+        sum(c) / 3 / 255, restart_interval=1)
+    quads = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    img = np.zeros((16, 16, 3), np.uint8)      # four flat color quadrants
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = quads
+    add(1005, img, sum(sum(rt(q)) for q in quads) / 12 / 255)
+    _JPEG_MEDIA_CACHE = rows
+    return rows
+
+
+def _jpeg_media_values_sql() -> str:
+    """The JPEG fixture rows as a DuckDB VALUES list: payload embedded
+    as unhex so byte_len is recomputed in SQL; the sha256 digest rides
+    as a hex literal (DuckDB's sha256() is VARCHAR-only - the digest is
+    of the payload bytes embedded right beside it, recheckable);
+    width/height/feature are the analytic literals."""
+    import hashlib as _hl
+    return ",\n                       ".join(
+        f"({mid}, unhex('{payload.hex()}'), "
+        # the e0 suffix forces DOUBLE literal inference (a bare decimal
+        # becomes DECIMAL(17,16) whose double conversion is 1 ulp off)
+        f"'{_hl.sha256(payload).hexdigest()}', {w}, {h}, {f!r}e0)"
+        for mid, payload, w, h, f in _jpeg_media_rows())
+
+
 def _media_table(spark, sf_dir):
     # orderBy before limit: the oracle compares VALUES, so the row subset
     # must be deterministic (a bare limit is not)
     docs = _load(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
-    return docs.select(
+    base = docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -1082,6 +1151,11 @@ def _media_table(spark, sf_dir):
         F.encode("text", "utf-8").alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
     )
+    jdf = spark.createDataFrame(
+        [(mid, "image", payload, "image/jpeg")
+         for mid, payload, _w, _h, _f in _jpeg_media_rows()],
+        "media_id long, kind string, payload binary, mime string")
+    return base.unionByName(jdf)
 
 
 def _q_media_features(spark, sf_dir):
@@ -2167,7 +2241,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(quality), 4) AS avg_quality
             FROM scored GROUP BY lang_guess
         """,
-        "media_inventory": """
+        "media_inventory": f"""
             SELECT doc_id AS media_id,
                    CASE WHEN doc_id % 3 = 0 THEN 'image'
                         WHEN doc_id % 3 = 1 THEN 'audio'
@@ -2176,6 +2250,12 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM (SELECT doc_id, text FROM documents
                   ORDER BY doc_id LIMIT 200)
+            UNION ALL
+            SELECT media_id, 'image' AS kind,
+                   octet_length(payload) AS byte_len,
+                   sha AS sha256
+            FROM (VALUES {_jpeg_media_values_sql()})
+                 AS j(media_id, payload, sha, width, height, feature_v0)
         """,
         # Full-frame twin of the mapInPandas feature extractor: the text
         # payloads carry no real media container headers (UTF-8 prose
@@ -2184,7 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         # replicate exactly (hex-slice casts; /2^32 is exact in binary
         # FP).  This value-gates all 8 output columns of the Arrow UDF,
         # not just the byte_len/sha256 slice media_inventory covers.
-        "media_features": """
+        "media_features": f"""
             WITH m AS (
                 SELECT doc_id AS media_id,
                        CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -2219,6 +2299,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN kind = 'image' THEN u32a / 4294967296.0
                         ELSE u32b / 4294967296.0 END AS feature_v0
             FROM h
+            UNION ALL
+            SELECT media_id, 'image' AS kind,
+                   octet_length(payload) AS byte_len,
+                   sha AS sha256,
+                   width, height, CAST(NULL AS DOUBLE) AS duration_s,
+                   feature_v0
+            FROM (VALUES {_jpeg_media_values_sql()})
+                 AS j(media_id, payload, sha, width, height, feature_v0)
         """,
         "stratified_sample": """
             WITH b AS (

@@ -7,13 +7,18 @@ and tested. REAL decoders (pure stdlib + numpy, no codec libraries):
 - PNG full pixel decode (:func:`decode_png_pixels` - zlib inflate +
   unfilter; all color types, bit depths 1-16) feeding a real
   mean-luminance feature;
+- baseline-sequential JPEG full pixel decode
+  (:func:`decode_jpeg_pixels` - Huffman entropy decode + numpy
+  dequant/IDCT/upsample/YCbCr; 4:4:4/4:2:2/4:2:0, restart markers)
+  plus a matching minimal encoder (:func:`encode_jpeg_baseline`);
 - image dimensions for PNG/GIF/BMP/JPEG/TIFF/WebP headers
   (:func:`decode_image_header`);
 - WAV duration/sample-rate (:func:`decode_wav_header`).
 
-Only compressed audio/video probing (mp3/mp4/mkv) remains stubbed via
-``_fake_decode`` - those codecs are absent from this container; swap in
-PIL/av in production, the dataflow is unchanged.
+``_fake_decode`` remains only for exotic image codecs (progressive
+JPEG, WebP/TIFF pixels) and raw a/v sample decode - those codec libs
+are absent from this container; swap in PIL/av in production, the
+dataflow is unchanged.
 """
 
 from __future__ import annotations
@@ -265,6 +270,592 @@ def decode_png_pixels(payload: bytes):
     return px
 
 
+# ---------------------------------------------------- baseline JPEG codec
+# REAL baseline-sequential JPEG (ITU-T T.81) decode from scratch:
+# stdlib marker walk + pure-Python Huffman entropy decode + numpy
+# dequant/IDCT/upsample/YCbCr. The reference consumes image pixels via
+# PIL throughout (docling/backend/*, PIL.Image.open); this is the
+# no-external-codec equivalent for the dominant crawl image format.
+# Progressive (SOF2), arithmetic coding, 12-bit precision, and lossless
+# modes return None and fall back to header-only features.
+
+def _zigzag_order():
+    """Natural (row-major) index for each zigzag scan position,
+    generated by the diagonal walk rather than transcribed."""
+    order = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(s, 7) + 1)       # ascending r
+        if s % 2 == 0:
+            rs = reversed(rs)                          # descending r
+        order.extend(r * 8 + (s - r) for r in rs)
+    return order
+
+
+_ZZ = _zigzag_order()
+
+_IDCT_C = None
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II basis C: spatial = C.T @ coef @ C."""
+    global _IDCT_C
+    if _IDCT_C is None:
+        import numpy as np
+        x = np.arange(8)
+        c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+        c *= np.sqrt(2.0 / 8.0)
+        c[0] /= np.sqrt(2.0)
+        _IDCT_C = c
+    return _IDCT_C
+
+
+class _JpegError(Exception):
+    pass
+
+
+def _build_huff(counts, symbols):
+    """DHT (counts per length 1..16, symbol list) -> {(len, code): sym}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _extend(v, t):
+    """T.81 F.2.2.1 EXTEND: v (t bits) -> signed coefficient value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+class _BitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+
+    __slots__ = ("d", "n", "bitpos")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.n = len(data) * 8
+        self.bitpos = 0
+
+    def bit(self) -> int:
+        p = self.bitpos
+        if p >= self.n:
+            raise _JpegError("bitstream exhausted")
+        self.bitpos = p + 1
+        return (self.d[p >> 3] >> (7 - (p & 7))) & 1
+
+    def receive(self, t: int) -> int:
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise _JpegError("invalid huffman code")
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Baseline-sequential JPEG -> (height, width, channels) uint8
+    numpy array (channels 3 = RGB via JFIF YCbCr, 1 = grayscale), or
+    None when the frame is out of the baseline envelope or damaged.
+
+    Supports arbitrary h/v sampling factors with integer upsample
+    ratios (4:4:4, 4:2:2, 4:2:0, 4:1:1), restart intervals, multiple
+    DQT/DHT segments, and 16-bit quantizer precision. The entropy loop
+    is pure Python (the one hot loop); dequant, IDCT (one batched
+    einsum over all blocks), upsampling, and color conversion are
+    vectorized numpy - at crawl scale this runs Arrow-batched inside
+    ``mapInPandas`` like every other media decoder here.
+    """
+    import struct
+
+    import numpy as np
+    if payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict = {}
+        huff_dc: dict = {}
+        huff_ac: dict = {}
+        frame = None
+        dri = 0
+        pos = 2
+        n = len(payload)
+        scans = []
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            m = payload[pos + 1]
+            if m == 0xD9:  # EOI
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            seg = payload[pos + 4:pos + 2 + seglen]
+            if m == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if pq:
+                        vals = struct.unpack(f">64H", seg[i:i + 128])
+                        i += 128
+                    else:
+                        vals = seg[i:i + 64]
+                        i += 64
+                    tab = np.zeros(64, dtype=np.int32)
+                    for z, v in enumerate(vals):
+                        tab[_ZZ[z]] = v
+                    qt[tq] = tab
+            elif m == 0xC4:  # DHT
+                i = 0
+                while i + 17 <= len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = seg[i + 1:i + 17]
+                    nsym = sum(counts)
+                    syms = seg[i + 17:i + 17 + nsym]
+                    (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(
+                        counts, syms)
+                    i += 17 + nsym
+            elif m in (0xC0, 0xC1):  # SOF0/SOF1 (huffman sequential)
+                prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+                if prec != 8 or fw == 0 or fh == 0 or nc not in (1, 3):
+                    return None
+                if fw * fh > 64_000_000:
+                    return None  # decompression-bomb guard
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                    comps.append([cid, hv >> 4, hv & 15, tq])
+                frame = (fw, fh, comps)
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                       0xCD, 0xCE, 0xCF):
+                return None  # progressive/arith/lossless out of envelope
+            elif m == 0xDD:  # DRI
+                (dri,) = struct.unpack(">H", seg[:2])
+            elif m == 0xDA:  # SOS
+                ns = seg[0]
+                sel = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c:3 + 2 * c]
+                    sel.append((cs, tt >> 4, tt & 15))
+                # entropy data runs to the next real marker
+                data_at = pos + 2 + seglen
+                end = data_at
+                while end + 1 < n:
+                    if payload[end] == 0xFF and payload[end + 1] != 0x00 \
+                            and not (0xD0 <= payload[end + 1] <= 0xD7):
+                        break
+                    end += 1
+                scans.append((sel, payload[data_at:end]))
+                pos = end
+                continue
+            pos += 2 + seglen
+        if frame is None or not scans:
+            return None
+        return _jpeg_reconstruct(frame, scans[0], qt, huff_dc, huff_ac,
+                                 dri)
+    except (_JpegError, IndexError, ValueError, KeyError,
+            struct.error):
+        return None
+
+
+def _jpeg_reconstruct(frame, scan, qt, huff_dc, huff_ac, dri):
+    import numpy as np
+    fw, fh, comps = frame
+    sel, data = scan
+    if len(sel) != len(comps):
+        return None  # multi-scan sequential not supported
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    for c in comps:
+        if c[1] == 0 or c[2] == 0 or hmax % c[1] or vmax % c[2]:
+            return None
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    order = []
+    for cs, td, ta in sel:
+        c = by_id.get(cs)
+        if c is None or td not in huff_dc or ta not in huff_ac \
+                or c[3] not in qt:
+            return None
+        order.append((c, huff_dc[td], huff_ac[ta], qt[c[3]]))
+    interleaved = len(sel) > 1
+    # coefficient stores, one per component
+    store = {}
+    for c in comps:
+        if interleaved:
+            bw, bh = mcux * c[1], mcuy * c[2]
+        else:
+            bw, bh = -(-fw // 8), -(-fh // 8)
+        store[c[0]] = np.zeros((bh * bw, 64), dtype=np.int32)
+    # restart segments: unstuff each independently, reset DC preds
+    if dri:
+        segs = []
+        s = 0
+        i = 0
+        nd = len(data)
+        while i + 1 < nd:
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                segs.append(data[s:i])
+                s = i + 2
+                i += 2
+            else:
+                i += 1
+        segs.append(data[s:])
+    else:
+        segs = [data]
+    n_mcu = (mcux * mcuy if interleaved else
+             store[sel[0][0]].shape[0])
+    mcu = 0
+    for seg in segs:
+        rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+        preds = {c[0]: 0 for c in comps}
+        limit = min(n_mcu, mcu + dri) if dri else n_mcu
+        while mcu < limit:
+            if interleaved:
+                my, mx = divmod(mcu, mcux)
+                for c, tdc, tac, q in order:
+                    cid, ch, cv, _ = c
+                    for v in range(cv):
+                        for hh in range(ch):
+                            bi = ((my * cv + v) * (mcux * ch)
+                                  + mx * ch + hh)
+                            preds[cid] = _decode_block(
+                                rd, store[cid][bi], tdc, tac, q,
+                                preds[cid])
+            else:
+                c, tdc, tac, q = order[0]
+                preds[c[0]] = _decode_block(
+                    rd, store[c[0]][mcu], tdc, tac, q, preds[c[0]])
+            mcu += 1
+        if mcu >= n_mcu:
+            break
+    C = _dct_matrix()
+    planes = {}
+    for c in comps:
+        cid, ch, cv, _ = c
+        coefs = store[cid].reshape(-1, 8, 8).astype(np.float64)
+        spatial = np.einsum("ij,njk,kl->nil", C.T, coefs, C)
+        px = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        if interleaved:
+            bw, bh = mcux * ch, mcuy * cv
+        else:
+            bw, bh = -(-fw // 8), -(-fh // 8)
+        plane = (px.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        cw, chh = -(-fw * ch // hmax), -(-fh * cv // vmax)
+        plane = plane[:chh, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // cv, axis=0),
+                          hmax // ch, axis=1)
+        planes[cid] = plane[:fh, :fw]
+    if len(comps) == 1:
+        return planes[comps[0][0]][:, :, None]
+    y = planes[comps[0][0]].astype(np.float64)
+    cb = planes[comps[1][0]].astype(np.float64) - 128.0
+    cr = planes[comps[2][0]].astype(np.float64) - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(rd, out, tdc, tac, q, pred):
+    """One 8x8 block: DC diff + AC run-length into natural order,
+    dequantized in place. Returns the new DC predictor."""
+    t = rd.huff(tdc)
+    pred += _extend(rd.receive(t), t) if t else 0
+    out[0] = pred * q[0]
+    k = 1
+    while k < 64:
+        rs = rd.huff(tac)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                break
+            k += 16
+            continue
+        k += r
+        if k > 63:
+            raise _JpegError("AC index overflow")
+        out[_ZZ[k]] = _extend(rd.receive(s), s) * q[_ZZ[k]]
+        k += 1
+    return pred
+
+
+def _rgb_to_ycbcr_int(r, g, b):
+    """JFIF forward color transform on ONE pixel, with the same
+    rounding the encoder applies - shared with the oracle builder so
+    expected fixture features are derived analytically."""
+    y = round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+    cr = round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+    clip = lambda v: max(0, min(255, v))
+    return clip(y), clip(cb), clip(cr)
+
+
+def _ycbcr_to_rgb_int(y, cb, cr):
+    """JFIF inverse transform on ONE pixel with the decoder's rounding."""
+    r = round(y + 1.402 * (cr - 128))
+    g = round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    b = round(y + 1.772 * (cb - 128))
+    clip = lambda v: max(0, min(255, v))
+    return clip(r), clip(g), clip(b)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def pad(self):
+        while self.nbits:
+            self.write(1, 1)
+
+
+def encode_jpeg_baseline(px, subsampling: str = "444",
+                         quant=None, restart_interval: int = 0) -> bytes:
+    """Minimal baseline JPEG ENCODER (test-fixture + sink utility).
+
+    ``px``: (h, w) or (h, w, 1) grayscale, or (h, w, 3) RGB uint8.
+    ``subsampling``: "444" or "420". ``quant``: 64 ints in natural
+    order for BOTH tables (default all-ones - near-lossless, and
+    EXACTLY lossless for per-8x8-flat content, which is what makes the
+    media-fixture oracle analytic). Huffman tables are canonical
+    two-pass tables built from the actual symbol census (valid DHT;
+    the decoder reads whatever DHT declares, so Annex-K defaults are
+    unnecessary). ``restart_interval`` emits DRI + RSTn markers.
+    """
+    import struct
+
+    import numpy as np
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if nch not in (1, 3):
+        raise ValueError("grayscale or RGB input only")
+    q = np.ones(64, dtype=np.int32) if quant is None else \
+        np.asarray(quant, dtype=np.int32).reshape(64)
+    if nch == 3:
+        fr = px.astype(np.float64)
+        y = np.round(0.299 * fr[:, :, 0] + 0.587 * fr[:, :, 1]
+                     + 0.114 * fr[:, :, 2])
+        cb = np.round(128 - 0.168736 * fr[:, :, 0]
+                      - 0.331264 * fr[:, :, 1] + 0.5 * fr[:, :, 2])
+        cr = np.round(128 + 0.5 * fr[:, :, 0] - 0.418688 * fr[:, :, 1]
+                      - 0.081312 * fr[:, :, 2])
+        planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+        if subsampling == "420":
+            sampling = [(2, 2), (1, 1), (1, 1)]
+            for i in (1, 2):
+                p = planes[i]
+                # pad odd edges by replication before the 2x2 box mean
+                if p.shape[0] % 2:
+                    p = np.vstack([p, p[-1:]])
+                if p.shape[1] % 2:
+                    p = np.hstack([p, p[:, -1:]])
+                planes[i] = np.round(
+                    (p[0::2, 0::2] + p[0::2, 1::2]
+                     + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0)
+        elif subsampling == "444":
+            sampling = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsampling must be 444 or 420")
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+        sampling = [(1, 1)]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    C = _dct_matrix()
+    comp_blocks = []
+    for p, (sh, sv) in zip(planes, sampling):
+        bw, bh = mcux * sh, mcuy * sv
+        full = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        ph, pw = p.shape
+        full[:ph, :pw] = p
+        full[ph:, :pw] = p[-1:, :]            # edge-replicate pad
+        full[:, pw:] = full[:, pw - 1:pw]
+        blocks = (full.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8) - 128.0)
+        coefs = np.einsum("ij,njk,kl->nil", C, blocks, C.T)
+        qz = np.round(coefs.reshape(-1, 64) / q[None, :]
+                      .astype(np.float64)).astype(np.int32)
+        comp_blocks.append((qz, sh, sv, bw))
+
+    def mag(v):
+        t = 0
+        a = abs(v)
+        while a:
+            t += 1
+            a >>= 1
+        return t
+
+    # pass 1: census of DC/AC symbols; pass 2: emit
+    zz = _ZZ
+
+    def block_symbols(blk, pred, dc_syms, ac_syms, emit=None):
+        diff = int(blk[0]) - pred
+        t = mag(diff)
+        dc_syms[t] = dc_syms.get(t, 0) + 1
+        if emit:
+            wtr, dct, act = emit
+            code, ln = dct[t]
+            wtr.write(code, ln)
+            if t:
+                wtr.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last = 0
+        for k in range(63, 0, -1):
+            if blk[zz[k]]:
+                last = k
+                break
+        for k in range(1, last + 1):
+            v = int(blk[zz[k]])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms[0xF0] = ac_syms.get(0xF0, 0) + 1
+                if emit:
+                    code, ln = emit[2][0xF0]
+                    emit[0].write(code, ln)
+                run -= 16
+            s = mag(v)
+            sym = (run << 4) | s
+            ac_syms[sym] = ac_syms.get(sym, 0) + 1
+            if emit:
+                code, ln = emit[2][sym]
+                emit[0].write(code, ln)
+                emit[0].write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            ac_syms[0] = ac_syms.get(0, 0) + 1
+            if emit:
+                code, ln = emit[2][0]
+                emit[0].write(code, ln)
+        return int(blk[0])
+
+    n_comp = len(comp_blocks)
+    tbl_of = [0] + [1] * (n_comp - 1)   # 0 = luma, 1 = chroma tables
+    dc_census = [{}, {}]
+    ac_census = [{}, {}]
+
+    def walk(emit_tables=None, wtr=None):
+        preds = [0] * n_comp
+        n_mcu = mcux * mcuy
+        since_rst = 0
+        rst = 0
+        for m in range(n_mcu):
+            if restart_interval and m and since_rst == restart_interval:
+                if wtr is not None:
+                    wtr.pad()
+                    wtr.out.extend(b"\xff" + bytes([0xD0 + (rst & 7)]))
+                rst += 1
+                since_rst = 0
+                preds = [0] * n_comp
+            my, mx = divmod(m, mcux)
+            for ci, (qz, sh, sv, bw8) in enumerate(comp_blocks):
+                ti = tbl_of[ci]
+                for v in range(sv):
+                    for hh in range(sh):
+                        bi = (my * sv + v) * (mcux * sh) + mx * sh + hh
+                        emit = None
+                        if emit_tables is not None:
+                            emit = (wtr, emit_tables[0][ti],
+                                    emit_tables[1][ti])
+                        preds[ci] = block_symbols(
+                            qz[bi], preds[ci], dc_census[ti],
+                            ac_census[ti], emit)
+            since_rst += 1
+
+    walk()
+
+    def canonical(census):
+        """census -> (counts[16], symbols, {sym: (code, len)}): all
+        codes get one length L = ceil(log2(n+1)) (the +1 keeps the
+        all-ones code unused, as T.81 tables conventionally do)."""
+        syms = sorted(census)
+        if not syms:
+            syms = [0]
+        L = max(1, (len(syms)).bit_length())
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        codes = {s: (i, L) for i, s in enumerate(syms)}
+        return counts, syms, codes
+
+    dc_tabs, ac_tabs, dc_codes, ac_codes = [], [], [], []
+    for ti in range(2 if n_comp > 1 else 1):
+        c, s, k = canonical(dc_census[ti])
+        dc_tabs.append((c, s))
+        dc_codes.append(k)
+        c, s, k = canonical(ac_census[ti])
+        ac_tabs.append((c, s))
+        ac_codes.append(k)
+    # reset census (walk() fills it again during emit; values unused)
+    dc_census = [{}, {}]
+    ac_census = [{}, {}]
+    wtr = _BitWriter()
+    walk(emit_tables=(dc_codes, ac_codes), wtr=wtr)
+    wtr.pad()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    zzq = bytes(int(q[zz[i]]) for i in range(64))
+    for tq in range(2 if n_comp > 1 else 1):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zzq
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * n_comp, 8, h, w,
+                                     n_comp)
+    for ci, (_, sh, sv, _) in enumerate(comp_blocks):
+        out += bytes([ci + 1, (sh << 4) | sv, tbl_of[ci]])
+    for ti in range(2 if n_comp > 1 else 1):
+        for tc, (counts, syms) in ((0, dc_tabs[ti]), (1, ac_tabs[ti])):
+            out += b"\xff\xc4" + struct.pack(
+                ">H", 19 + len(syms)) + bytes([(tc << 4) | ti]) \
+                + bytes(counts) + bytes(syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * n_comp, n_comp)
+    for ci in range(n_comp):
+        ti = tbl_of[ci]
+        out += bytes([ci + 1, (ti << 4) | ti])
+    out += b"\x00\x3f\x00"
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 
 
 # ------------------------------------------------ compressed a/v probing
@@ -511,8 +1102,12 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             raw = bytes(payload) if payload is not None else b""
             feats = None
             if kind == "image":
-                px = decode_png_pixels(raw) if raw[:4] == b"\x89PNG" \
-                    else None
+                if raw[:4] == b"\x89PNG":
+                    px = decode_png_pixels(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    px = decode_jpeg_pixels(raw)
+                else:
+                    px = None
                 if px is not None:
                     # REAL pixel feature: mean luminance, normalized
                     import numpy as _np

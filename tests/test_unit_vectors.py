@@ -266,3 +266,123 @@ class TestMediaProbes:
         assert probe_mp4(junk) is None
         assert probe_mp3(junk) is None
         assert probe_mkv(junk) is None
+
+
+# --------------------------------------------------- baseline JPEG codec
+
+class TestJpegCodec:
+    """Round-trip encode->decode units (the container has no PIL; the
+    encoder is itself from-scratch, so agreement pins both directions)
+    plus decode of the reference repo's real camera/scanner JPEGs."""
+
+    def test_solid_color_exact_all_modes(self):
+        import numpy as np
+
+        from docling_spark.multimodal import (_rgb_to_ycbcr_int,
+                                              _ycbcr_to_rgb_int,
+                                              decode_jpeg_pixels,
+                                              encode_jpeg_baseline)
+        for rgb, sub, dri in (((200, 30, 90), "444", 0),
+                              ((10, 220, 40), "420", 0),
+                              ((64, 64, 192), "444", 1),
+                              ((255, 255, 255), "420", 2)):
+            img = np.full((16, 24, 3), rgb, np.uint8)
+            px = decode_jpeg_pixels(encode_jpeg_baseline(
+                img, subsampling=sub, restart_interval=dri))
+            want = _ycbcr_to_rgb_int(*_rgb_to_ycbcr_int(*rgb))
+            got = np.unique(px.reshape(-1, 3), axis=0)
+            assert got.shape == (1, 3) and tuple(got[0]) == want, (rgb, sub)
+
+    def test_gradient_roundtrip_within_quant_error(self):
+        import numpy as np
+
+        from docling_spark.multimodal import (decode_jpeg_pixels,
+                                              encode_jpeg_baseline)
+        g = np.zeros((24, 32, 3), np.uint8)
+        g[:, :, 0] = np.arange(32)[None, :] * 8
+        g[:, :, 1] = np.arange(24)[:, None] * 10
+        g[:, :, 2] = 128
+        px = decode_jpeg_pixels(encode_jpeg_baseline(g))
+        err = np.abs(px.astype(int) - g.astype(int))
+        assert err.max() <= 3 and err.mean() <= 1.0
+
+    def test_grayscale_and_nonmultiple_of_8_dims(self):
+        import numpy as np
+
+        from docling_spark.multimodal import (decode_jpeg_pixels,
+                                              encode_jpeg_baseline)
+        gray = (np.arange(21)[:, None] * np.arange(13)[None, :] % 256) \
+            .astype(np.uint8)
+        px = decode_jpeg_pixels(encode_jpeg_baseline(gray))
+        assert px.shape == (21, 13, 1)
+        assert np.abs(px[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+
+    def test_real_quant_tables_still_roundtrip_roughly(self):
+        import numpy as np
+
+        from docling_spark.multimodal import (decode_jpeg_pixels,
+                                              encode_jpeg_baseline)
+        # a mild real-world-ish quant table (not all-ones): low
+        # frequencies cheap, high frequencies coarse
+        q = np.ones(64, dtype=np.int32)
+        q[:] = 8
+        q[0] = 4
+        rng = np.random.RandomState(3)
+        img = rng.randint(60, 196, (16, 16, 3)).astype(np.uint8)
+        px = decode_jpeg_pixels(encode_jpeg_baseline(img, quant=q))
+        err = np.abs(px.astype(float) - img.astype(float)).mean()
+        assert err < 12.0, err
+
+    def test_reference_jpegs_decode(self):
+        import pathlib
+
+        from docling_spark.multimodal import (decode_image_header,
+                                              decode_jpeg_pixels)
+        base = pathlib.Path("/root/reference/tests/data")
+        # baseline 4:2:0 photo: pixel dims must match the SOF header
+        raw = (base / "latex/sources/arXiv-2501.01300v2/cas-email.jpeg") \
+            .read_bytes()
+        px = decode_jpeg_pixels(raw)
+        w, h, fmt = decode_image_header(raw)
+        assert fmt == "jpeg" and px.shape == (h, w, 3)
+        # mid-gray-ish photo, not a degenerate all-black/white decode
+        assert 100 < px.mean() < 230
+        # progressive (SOF2) stays out of the baseline envelope -> None
+        prog = (base / "latex/sources/2310.06825/images/header.jpeg") \
+            .read_bytes()
+        assert decode_jpeg_pixels(prog) is None
+
+    def test_jpeg_decoder_total_on_hostile_bytes(self):
+        import random
+
+        import numpy as np
+
+        from docling_spark.multimodal import (decode_jpeg_pixels,
+                                              encode_jpeg_baseline)
+        img = np.full((16, 16, 3), (90, 140, 30), np.uint8)
+        raw = encode_jpeg_baseline(img, restart_interval=1)
+        rng = random.Random(5)
+        for _ in range(64):
+            flipped = bytearray(raw)
+            i = rng.randrange(len(flipped))
+            flipped[i] ^= 1 << rng.randrange(8)
+            out = decode_jpeg_pixels(bytes(flipped))  # None or array
+            assert out is None or out.dtype == np.uint8
+        for cut in (2, 10, 50, len(raw) - 3):
+            out = decode_jpeg_pixels(raw[:cut])
+            assert out is None or out.dtype == np.uint8
+
+    def test_media_features_use_real_jpeg_decode(self, spark):
+        """Integration: a JPEG payload through extract_media_features
+        yields REAL pixel dims (not sha-derived fakes)."""
+        import numpy as np
+
+        from docling_spark import multimodal
+        from docling_spark.multimodal import encode_jpeg_baseline
+        img = np.full((24, 40, 3), (50, 60, 70), np.uint8)
+        raw = encode_jpeg_baseline(img)
+        df = spark.createDataFrame(
+            [(1, "image", raw, "image/jpeg")],
+            "media_id long, kind string, payload binary, mime string")
+        row = multimodal.extract_media_features(df).collect()[0]
+        assert (row.width, row.height) == (40, 24)
