@@ -1152,32 +1152,19 @@ def glyphs_to_cells(glyphs: list[tuple], page_height: float,
                 ink_bot = min(g[1] + g[9] * g[3] for g in vsrc)
             else:
                 ink_top, ink_bot = top_y, bot_y
-            visible = [g for g in run if g[4].strip()]
-            # whitespace contributes its advance rect UNLESS it came
-            # from a pen-continuous whitespace-only show (flag 2:
-            # merged-and-trimmed, no geometry).  In-string whitespace -
-            # including a trailing space inside a show like "through "
-            # - joins the box (multi_page groundtruth right edges sit
-            # at those spaces' advance ends).
-            ws_cells = [g for g in run
-                        if not g[4].strip()
-                        and not (len(g) > 14 and g[14] == 2)]
-            if visible or ws_cells:
-                # visible right edge: the glyph's ink extent (FreeType
-                # outline x1), advance fallback
-                xs0, xs1 = [], []
-                for g in visible:
-                    xs0.append(g[0])
-                    ink_w = (g[13] * g[3]
-                             if len(g) > 13 and g[10] and g[13] > 0
-                             else max(g[2], 0.0))
-                    xs1.append(g[0] + ink_w)
-                for g in ws_cells:
-                    xs0.append(g[0])
-                    xs1.append(g[0] + max(g[2], 0.0))
-                ink_x0, ink_x1 = min(xs0), max(xs1)
-            else:
-                ink_x0, ink_x1 = x0, x1
+            # horizontal extents: every glyph - visible AND whitespace,
+            # including pen-continuous whitespace-only shows (flag 2) -
+            # contributes its ADVANCE rect. Measured against all 11
+            # groundtruth doctags (round-7 grid over {flag-2 excluded,
+            # included} x {outline-ink edge, advance edge}): this is
+            # the strictly-dominant combination (678 -> 652 diff lines,
+            # multi_page 60 -> 44, no fixture regresses). The residual
+            # right-edge deltas are sub-point, erratic per line, and
+            # consistent with FreeType HINTED advance quantization
+            # inside docling-parse - not reproducible without a
+            # TrueType bytecode interpreter (pinned by the ratchets in
+            # tests/test_pdf.py).
+            ink_x0, ink_x1 = x0, x1
             cells.append(TextCell(text, x0, page_height - top_y,
                                   x1, page_height - bot_y, size, bold,
                                   mono, italic=italic,

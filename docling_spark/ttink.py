@@ -61,6 +61,41 @@ class TrueTypeInk:
         self.cmap = None
         if not self.by_gid and "cmap" in tabs:
             self._parse_cmap(tabs["cmap"][0])
+        # hmtx advances (font-program metrics; docling-parse derives its
+        # cell rects from these, which can differ from the PDF /Widths
+        # ints by sub-0.001em rounding that accumulates across a line)
+        self.hmtx_off = self.n_hmetrics = 0
+        if "hhea" in tabs and "hmtx" in tabs:
+            hh = tabs["hhea"][0]
+            self.n_hmetrics = struct.unpack(">H", data[hh + 34:hh + 36])[0]
+            self.hmtx_off = tabs["hmtx"][0]
+
+    def advance_gid(self, gid: int):
+        """hmtx advance for a glyph id, in em units (None if absent)."""
+        if not self.n_hmetrics:
+            return None
+        i = min(gid, self.n_hmetrics - 1)
+        try:
+            (aw,) = struct.unpack(
+                ">H", self.data[self.hmtx_off + 4 * i:
+                                self.hmtx_off + 4 * i + 2])
+        except struct.error:
+            return None
+        return aw / self.upem
+
+    def advance(self, code: int):
+        """hmtx advance for a character code via the cmap, em units."""
+        if self.by_gid:
+            gid = code
+            if self.gid_map is not None:
+                i = 2 * code
+                gid = (self.gid_map[i] << 8 | self.gid_map[i + 1]) \
+                    if i + 1 < len(self.gid_map) else 0
+            return self.advance_gid(gid)
+        if self.cmap is None:
+            return None
+        gid = self.cmap(code)
+        return self.advance_gid(gid) if gid else None
 
     def _parse_cmap(self, co: int) -> None:
         data = self.data
