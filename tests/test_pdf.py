@@ -716,6 +716,54 @@ class TestGroundtruthSpacingArtifact:
                 "- \x84 Yes, at the local (municipal) level\n"
                 "\n\x84\n\nNo\n\n26. If your country") in q25
 
+    def test_table_mislabeled_enumeration_is_ml_state(self):
+        """Per-hunk evidence for the REMAINING table_mislabeled md
+        hunks (q26/q27): the same checkbox-option row shape that q24
+        renders as uniform BULLETS is rendered by the groundtruth as
+        members of one merged ORDERED list spanning two questions -
+        q26's options numbered 2.-6. (the question itself is implicit
+        item 1), then q27's options numbered 8.-14., i.e. the question
+        paragraph "27." absorbed ordinal slot 7 of the SAME list - and
+        the eighth option of q27 ("They can conduct mediation") is
+        ejected as a stranded checkbox + bare paragraph while its
+        seven siblings stay enumerated. Whether a group of identical
+        rows becomes bullets, one merged cross-question enumeration,
+        or an orphan paragraph is decided by the layout model's
+        predicted clusters and confidences
+        (utils/layout_postprocessor.py:505-560 operates on
+        model-cluster geometry + confidence), not by any observable of
+        the page content."""
+        gt = pathlib.Path(
+            "/root/reference/tests/data/pdf/groundtruth/"
+            "table_mislabeled_as_picture.md").read_text()
+        # q26 options: enumerated 2..6 directly after the question line
+        assert ("services? (Please select all that apply)\n"
+                "2. \x84 Yes, there are specific guidelines for "
+                "non-lawyers providing legal aid services\n"
+                "3. \x84 Yes, there are specific guidelines on "
+                "faculty/student ratios\n"
+                "4. \x84 No, it is up to the discretion of each "
+                "university\n"
+                "5. \x84 Don't know\n"
+                "6. \x84 There are no university-based student law "
+                "clinics\n27. If your country") in gt
+        # q27 options: numbering CONTINUES at 8 (the question consumed
+        # slot 7 of the same merged list)
+        q27 = gt.split("27. If your country")[1]
+        assert q27.startswith(
+            " allows legal aid services through university-based "
+            "student law clinics, what type of legal aid services is "
+            "a student authorized to undertake? (Please select all "
+            "that apply)\n8. \x84 There is no limitation")
+        assert "\n14. \x84 They can provide a full range" in q27
+        # the eighth, geometrically identical option row is ejected as
+        # a stranded checkbox glyph + bare paragraph
+        assert ("regardless of gravity\n\n\x84\n\n"
+                "They can conduct mediation") in q27
+        # while q24's identical option rows are uniform bullets (pinned
+        # in test_table_mislabeled_option_rows_are_ml_state): the same
+        # row shape gets three renderings across one page
+
     def test_cross_show_sites_are_non_monotone(self, page0):
         """Counterexample 3 (trailing space -> Tm-positioned fraction
         digit, four structurally identical sites): the groundtruth
