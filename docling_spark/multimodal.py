@@ -314,17 +314,26 @@ class _JpegError(Exception):
 
 
 def _build_huff(counts, symbols):
-    """DHT (counts per length 1..16, symbol list) -> {(len, code): sym}."""
-    table = {}
+    """DHT (counts per length 1..16, symbol list) -> (lut, codes):
+    ``lut`` resolves any code of length <= 8 from the next 8 bits in
+    one list index (the overwhelmingly common case - one lookup per
+    symbol instead of a per-bit walk); ``codes`` is the {(len, code):
+    sym} dict for the 9..16-bit tail."""
+    codes = {}
     code = 0
     k = 0
+    lut = [None] * 256
     for ln in range(1, 17):
         for _ in range(counts[ln - 1]):
-            table[(ln, code)] = symbols[k]
+            codes[(ln, code)] = symbols[k]
+            if ln <= 8:
+                base = code << (8 - ln)
+                for b in range(base, base + (1 << (8 - ln))):
+                    lut[b] = (symbols[k], ln)
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut, codes
 
 
 def _extend(v, t):
@@ -333,34 +342,65 @@ def _extend(v, t):
 
 
 class _BitReader:
-    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+    """MSB-first bit reader over an UNSTUFFED entropy segment, with a
+    byte-fed accumulator: symbols resolve via one 8-bit LUT index and
+    value bits via one shift+mask (the entropy loop is the decoder's
+    single Python-side hot loop)."""
 
-    __slots__ = ("d", "n", "bitpos")
+    __slots__ = ("d", "n", "pos", "acc", "bits")
 
     def __init__(self, data: bytes):
         self.d = data
-        self.n = len(data) * 8
-        self.bitpos = 0
+        self.n = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.bits = 0
 
-    def bit(self) -> int:
-        p = self.bitpos
-        if p >= self.n:
-            raise _JpegError("bitstream exhausted")
-        self.bitpos = p + 1
-        return (self.d[p >> 3] >> (7 - (p & 7))) & 1
+    def _fill(self):
+        d, pos, n = self.d, self.pos, self.n
+        acc, bits = self.acc, self.bits
+        while bits <= 16 and pos < n:
+            acc = (acc << 8) | d[pos]
+            pos += 1
+            bits += 8
+        self.acc, self.bits, self.pos = acc, bits, pos
 
     def receive(self, t: int) -> int:
-        v = 0
-        for _ in range(t):
-            v = (v << 1) | self.bit()
+        if t == 0:
+            return 0
+        if self.bits < t:
+            self._fill()
+            if self.bits < t:
+                raise _JpegError("bitstream exhausted")
+        self.bits -= t
+        v = (self.acc >> self.bits) & ((1 << t) - 1)
+        self.acc &= (1 << self.bits) - 1
         return v
 
     def huff(self, table) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((ln, code))
+        if self.bits < 16:
+            self._fill()
+        avail = self.bits
+        if avail == 0:
+            raise _JpegError("bitstream exhausted")
+        lut, codes = table
+        if avail >= 8:
+            hit = lut[(self.acc >> (avail - 8)) & 0xFF]
+        else:
+            hit = lut[(self.acc << (8 - avail)) & 0xFF]
+        if hit is not None:
+            sym, ln = hit
+            if ln <= avail:
+                self.bits = avail - ln
+                self.acc &= (1 << self.bits) - 1
+                return sym
+        for ln in range(9, 17):
+            if ln > avail:
+                break
+            sym = codes.get((ln, self.acc >> (avail - ln)))
             if sym is not None:
+                self.bits = avail - ln
+                self.acc &= (1 << self.bits) - 1
                 return sym
         raise _JpegError("invalid huffman code")
 
@@ -495,14 +535,18 @@ def _jpeg_reconstruct(frame, scan, qt, huff_dc, huff_ac, dri):
             return None
         order.append((c, huff_dc[td], huff_ac[ta], qt[c[3]]))
     interleaved = len(sel) > 1
-    # coefficient stores, one per component
+    # coefficient stores: one flat Python list per component (RAW
+    # values - dequant is one vectorized multiply later; list setitem
+    # is ~10x cheaper than numpy scalar setitem in the entropy loop)
     store = {}
+    n_blocks = {}
     for c in comps:
         if interleaved:
             bw, bh = mcux * c[1], mcuy * c[2]
         else:
             bw, bh = -(-fw // 8), -(-fh // 8)
-        store[c[0]] = np.zeros((bh * bw, 64), dtype=np.int32)
+        n_blocks[c[0]] = bh * bw
+        store[c[0]] = [0] * (bh * bw * 64)
     # restart segments: unstuff each independently, reset DC preds
     if dri:
         segs = []
@@ -519,8 +563,7 @@ def _jpeg_reconstruct(frame, scan, qt, huff_dc, huff_ac, dri):
         segs.append(data[s:])
     else:
         segs = [data]
-    n_mcu = (mcux * mcuy if interleaved else
-             store[sel[0][0]].shape[0])
+    n_mcu = (mcux * mcuy if interleaved else n_blocks[sel[0][0]])
     mcu = 0
     for seg in segs:
         rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
@@ -529,28 +572,35 @@ def _jpeg_reconstruct(frame, scan, qt, huff_dc, huff_ac, dri):
         while mcu < limit:
             if interleaved:
                 my, mx = divmod(mcu, mcux)
-                for c, tdc, tac, q in order:
+                for c, tdc, tac, _q in order:
                     cid, ch, cv, _ = c
+                    out = store[cid]
                     for v in range(cv):
                         for hh in range(ch):
                             bi = ((my * cv + v) * (mcux * ch)
                                   + mx * ch + hh)
                             preds[cid] = _decode_block(
-                                rd, store[cid][bi], tdc, tac, q,
+                                rd, out, bi * 64, tdc, tac,
                                 preds[cid])
             else:
-                c, tdc, tac, q = order[0]
+                c, tdc, tac, _q = order[0]
                 preds[c[0]] = _decode_block(
-                    rd, store[c[0]][mcu], tdc, tac, q, preds[c[0]])
+                    rd, store[c[0]], mcu * 64, tdc, tac, preds[c[0]])
             mcu += 1
         if mcu >= n_mcu:
             break
     C = _dct_matrix()
     planes = {}
+    qn = {c[0]: qt[c[3]].astype(np.float64) for c in comps}
     for c in comps:
         cid, ch, cv, _ = c
-        coefs = store[cid].reshape(-1, 8, 8).astype(np.float64)
-        spatial = np.einsum("ij,njk,kl->nil", C.T, coefs, C)
+        coefs = (np.asarray(store[cid], dtype=np.float64)
+                 .reshape(-1, 64) * qn[cid][None, :]).reshape(-1, 8, 8)
+        # separable IDCT as two big BLAS matmuls: S = C.T @ X @ C
+        nb = coefs.shape[0]
+        y = (coefs.reshape(-1, 8) @ C).reshape(nb, 8, 8)
+        y = (y.transpose(0, 2, 1).reshape(-1, 8) @ C).reshape(nb, 8, 8)
+        spatial = y.transpose(0, 2, 1)
         px = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
         if interleaved:
             bw, bh = mcux * ch, mcuy * cv
@@ -574,25 +624,30 @@ def _jpeg_reconstruct(frame, scan, qt, huff_dc, huff_ac, dri):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def _decode_block(rd, out, tdc, tac, q, pred):
-    """One 8x8 block: DC diff + AC run-length into natural order,
-    dequantized in place. Returns the new DC predictor."""
+def _decode_block(rd, out, base, tdc, tac, pred):
+    """One 8x8 block: DC diff + AC run-length into natural order at
+    ``out[base:base+64]`` (raw, pre-dequant). Returns the new DC
+    predictor. EXTEND is inlined - this is the decoder's hot loop."""
     t = rd.huff(tdc)
-    pred += _extend(rd.receive(t), t) if t else 0
-    out[0] = pred * q[0]
+    if t:
+        v = rd.receive(t)
+        pred += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+    out[base] = pred
     k = 1
+    zz = _ZZ
     while k < 64:
         rs = rd.huff(tac)
-        r, s = rs >> 4, rs & 15
+        s = rs & 15
         if s == 0:
-            if r != 15:
+            if rs != 0xF0:
                 break
             k += 16
             continue
-        k += r
+        k += rs >> 4
         if k > 63:
             raise _JpegError("AC index overflow")
-        out[_ZZ[k]] = _extend(rd.receive(s), s) * q[_ZZ[k]]
+        v = rd.receive(s)
+        out[base + zz[k]] = v - (1 << s) + 1 if v < (1 << (s - 1)) else v
         k += 1
     return pred
 
