@@ -603,6 +603,47 @@ def _q_text_knn(spark, sf_dir):
             .select("query_id", "nbr_id", "rank"))
 
 
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 per query (textfns.bm25_topk) over documents,
+    with three deterministic term queries drawn from the corpus
+    vocabulary; Lucene-variant idf, scores rounded to 6 decimals."""
+    docs = _load(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(
+        [(0, "hash"), (0, "join"), (1, "window"), (1, "sort"),
+         (2, "customer"), (2, "query"), (2, "stream")],
+        "query_id int, term string")
+    return textfns.bm25_topk(docs, qs, k=10)
+
+
+def _q_pmi_pairs(spark, sf_dir):
+    """Collocation profile (textfns.pmi_pairs): PMI over word pairs
+    co-occurring within a 4-token window, min pair count 5."""
+    docs = _load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return textfns.pmi_pairs(docs, window=4, min_pair=5)
+
+
+_ROBOTS_BODIES = [
+    ("a.test", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"),
+    ("b.test", "# comment\nUser-agent: docbot\nDisallow: /nope/\n\n"
+               "User-agent: *\nDisallow: /\n"),
+    ("c.test", "User-agent: otherbot\nUser-agent: docbot\n"
+               "Disallow: /both/\nAllow: /both/sub\n"),
+    ("d.test", "User-agent: *\nDisallow:\n"),
+    ("e.test", "User-Agent: DocBot\nAllow: /only\n"
+               "Disallow: /only/private # trailing comment\n"),
+]
+
+
+def _q_robots_rules(spark, sf_dir):
+    """robots.txt -> policy rules (webgraph.parse_robots): grouped
+    User-agent sections, exact-agent-over-wildcard precedence,
+    case-insensitive keys, comments, empty Disallow. The oracle is the
+    HAND-DERIVED RFC 9309 expectation for the fixture bodies
+    (independent of the parser's algebra)."""
+    df = spark.createDataFrame(_ROBOTS_BODIES, "host string, body string")
+    return webgraph.parse_robots(df, agent="docbot")
+
+
 def _q_bigram_entropy(spark, sf_dir):
     """Per-source bigram conditional entropy (textfns.bigram_entropy):
     template-heavy sources score low, organic prose high."""
@@ -1268,6 +1309,9 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": _q_hash_embed,
         "text_knn": _q_text_knn,
         "bigram_entropy": _q_bigram_entropy,
+        "bm25_topk": _q_bm25,
+        "pmi_pairs": _q_pmi_pairs,
+        "robots_rules": _q_robots_rules,
         # rows-only: zlib not SQL-expressible
         "compression_quality": _q_compression_quality,
         "length_quantiles": _q_length_quantiles,
@@ -3134,6 +3178,107 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_oracle_sql(),
         "gram_novelty": _gram_novelty_oracle_sql(),
         "cdc_chunks": _cdc_chunks_oracle_sql(),
+        # Okapi BM25 twin (_q_bm25): same word split, same Lucene-variant
+        # idf, same k1/b, score rounded to 6 before ranking
+        "bm25_topk": r"""
+            WITH q(query_id, word) AS (VALUES
+                (0, 'hash'), (0, 'join'), (1, 'window'), (1, 'sort'),
+                (2, 'customer'), (2, 'query'), (2, 'stream')
+            ), words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text),
+                                                    '[^0-9a-z_]+')) AS word
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, word, count(*) AS tf
+                FROM words WHERE word <> '' GROUP BY 1, 2
+            ), dl AS (
+                SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+            ), stats AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                       avg(dl) AS avgdl FROM dl
+            ), qtf AS (
+                SELECT DISTINCT q.query_id, t.doc_id, t.word, t.tf
+                FROM tf t JOIN q USING (word)
+            ), dfq AS (
+                SELECT query_id, word, count(DISTINCT doc_id) AS df
+                FROM qtf GROUP BY 1, 2
+            ), scored AS (
+                SELECT qtf.query_id, qtf.doc_id,
+                       ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+                FROM qtf
+                JOIN dfq USING (query_id, word)
+                JOIN dl USING (doc_id), stats
+            ), agg AS (
+                SELECT query_id, doc_id, round(sum(s), 6) AS score
+                FROM scored GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score, rank FROM (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS rank
+                FROM agg
+            ) WHERE rank <= 10
+        """,
+        # PMI collocation twin (_q_pmi_pairs): posexplode positions over
+        # the RAW split array (empties keep their index, filtered after,
+        # mirroring Spark's posexplode-then-filter), banded pair join
+        "pmi_pairs": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(text),
+                                             '[^0-9a-z_]+') AS words
+                FROM documents WHERE doc_id < 200
+            ), toks AS (
+                SELECT doc_id, pos, word FROM (
+                    SELECT doc_id,
+                           unnest([{'pos': x - 1, 'word': words[x]}
+                                   for x in generate_series(1, len(words))],
+                                  recursive := true)
+                    FROM t
+                ) WHERE word <> ''
+            ), pairs AS (
+                SELECT least(a.word, b.word) AS w1,
+                       greatest(a.word, b.word) AS w2
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+                WHERE b.pos > a.pos AND b.pos - a.pos <= 4
+                      AND a.word <> b.word
+            ), c12 AS (
+                SELECT w1, w2, count(*) AS c12 FROM pairs
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            ), c1 AS (
+                SELECT w, count(*) AS c FROM (
+                    SELECT w1 AS w FROM pairs
+                    UNION ALL SELECT w2 FROM pairs
+                ) GROUP BY 1
+            ), n AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n_obs FROM pairs
+            )
+            SELECT c12.w1, c12.w2, c12.c12,
+                   round(ln(n_obs * c12 / (ca.c * cb.c)), 6) AS pmi
+            FROM c12
+            JOIN c1 ca ON ca.w = c12.w1
+            JOIN c1 cb ON cb.w = c12.w2, n
+        """,
+        # robots.txt twin (_q_robots_rules): the HAND-DERIVED RFC 9309
+        # expectation for the fixture bodies - a.test wildcard group
+        # applies (2 rules), b.test exact group shadows the wildcard,
+        # c.test multi-UA group matches, d.test empty Disallow emits
+        # nothing, e.test case-insensitive UA + trailing comment strip
+        "robots_rules": """
+            SELECT * FROM (VALUES
+                ('a.test', '/private/', FALSE),
+                ('a.test', '/private/ok', TRUE),
+                ('b.test', '/nope/', FALSE),
+                ('c.test', '/both/', FALSE),
+                ('c.test', '/both/sub', TRUE),
+                ('e.test', '/only', TRUE),
+                ('e.test', '/only/private', FALSE)
+            ) AS r(host, path_prefix, allow)
+        """,
         "bigram_entropy": r"""
             WITH t AS (
                 SELECT source,

@@ -271,7 +271,7 @@ def main() -> None:
         "event_funnel", "embedding_profile", "dsir_weights", "vocab_zipf",
         "sequence_pack", "perplexity_buckets", "incremental_novelty",
         "source_vocab_overlap", "retention_cohorts", "host_cap",
-        "dup_spans", "split_leakage",
+        "dup_spans", "split_leakage", "bm25_topk", "pmi_pairs",
     ]
 
     def make_query_leg(fn):

@@ -1114,3 +1114,111 @@ def source_vocab_overlap(documents: DataFrame, min_count: int = 2,
                     F.col("common").cast("long").alias("common"),
                     F.round(F.col("common") / union_sz, 6)
                      .alias("jaccard")))
+
+
+def bm25_topk(documents: DataFrame, queries: DataFrame, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              col: str = "text") -> DataFrame:
+    """Okapi BM25 top-k retrieval: for each query (``query_id``,
+    ``term`` rows - terms already tokenized/lowercased) return the k
+    best-scoring documents. The ranking primitive of every
+    corpus-curation "find documents like these benchmark topics" pass,
+    and the classic lexical-retrieval baseline next to the embedding
+    kNN operators in similarity.py.
+
+    Formula (Lucene/Robertson variant, non-negative idf):
+      idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+      s(d, t) = idf * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Plan (100-TB lens): one explode -> (doc, word) TF hash agg (the
+    corpus' only heavy shuffle, map-side combinable), doc lengths as a
+    by-product agg of the same TF table, df restricted to QUERY TERMS
+    ONLY (query terms broadcast into the TF scan - the df/idf
+    dimension is query-vocabulary-sized, never corpus-vocabulary), one
+    scalar avgdl broadcast back, and a per-query top-k window over the
+    scored (query, doc) pairs - WindowGroupLimit pushes the rank<=k
+    filter map-side. Scores round to 6 decimals (absorbs float
+    summation order; Spark ln == DuckDB ln to well under that).
+    """
+    terms = queries.select("query_id", F.lower(F.col("term"))
+                           .alias("word")).distinct()
+    words = (documents
+             .select("doc_id", F.explode(_word_tokens(col)).alias("word"))
+             .where(F.col("word") != ""))
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    qtf = tf.join(F.broadcast(terms), "word")
+    df_ = qtf.groupBy("query_id", "word").agg(
+        F.countDistinct("doc_id").alias("df"))
+    scored = (qtf
+              .join(F.broadcast(df_), ["query_id", "word"])
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))
+              .select(
+                  "query_id", "doc_id",
+                  (F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5))
+                   * F.col("tf") * (k1 + 1.0)
+                   / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                          / F.col("avgdl"))))
+                  .alias("s")))
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("s"), 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank"))
+
+
+def pmi_pairs(documents: DataFrame, window: int = 5,
+              min_pair: int = 3, col: str = "text") -> DataFrame:
+    """Pointwise mutual information over co-occurring word pairs
+    within a ``window``-token window: the corpus-level collocation
+    profile (multi-word expressions, domain jargon) used to diagnose
+    and compare crawl slices; PMI = ln(n_obs * c12 / (c1 * c2)) where
+    c1/c2 count the words' appearances in observed pairs.
+
+    Plan shape: posexplode -> positions table; the co-occurrence join
+    is an equi-join on doc_id with a BOUNDED band predicate
+    (0 < pos_b - pos_a <= window), so each token joins at most
+    ``window`` partners - the output is O(tokens * window), never
+    quadratic. Pair/word counts are two hash aggs off the same pair
+    table; ``min_pair`` prunes the noise tail before the join-back.
+    Ordered pairs (w1 < w2 lexicographically) keep the pair key
+    deterministic.
+    """
+    toks = (documents
+            .select("doc_id", F.posexplode(_word_tokens(col))
+                    .alias("pos", "word"))
+            .where(F.col("word") != ""))
+    a = toks.select("doc_id", F.col("pos").alias("pa"),
+                    F.col("word").alias("wa"))
+    bt = toks.select("doc_id", F.col("pos").alias("pb"),
+                     F.col("word").alias("wb"))
+    pairs = (a.join(bt, "doc_id")
+             .where((F.col("pb") > F.col("pa"))
+                    & (F.col("pb") - F.col("pa") <= window)
+                    & (F.col("wa") != F.col("wb")))
+             .select(F.least("wa", "wb").alias("w1"),
+                     F.greatest("wa", "wb").alias("w2")))
+    c12 = (pairs.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c12"))
+           .where(F.col("c12") >= min_pair))
+    c1 = (pairs.select(F.col("w1").alias("w")).unionAll(
+          pairs.select(F.col("w2").alias("w")))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n_obs = pairs.agg(F.count(F.lit(1)).cast("double").alias("n_obs"))
+    return (c12
+            .join(c1.select(F.col("w").alias("w1"),
+                            F.col("c").alias("c1")), "w1")
+            .join(c1.select(F.col("w").alias("w2"),
+                            F.col("c").alias("c2")), "w2")
+            .crossJoin(F.broadcast(n_obs))
+            .select("w1", "w2", "c12",
+                    F.round(F.log(F.col("n_obs") * F.col("c12")
+                                  / (F.col("c1") * F.col("c2"))), 6)
+                    .alias("pmi")))

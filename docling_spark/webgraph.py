@@ -317,3 +317,69 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
                                    + F.col("dm") / F.col("n")))
                      .alias("rank")))
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """robots.txt bodies -> the (host, path_prefix, allow) rules table
+    :func:`policy_filter` consumes - the parser that completes the
+    WARC -> policy chain (Common Crawl stores robots.txt responses as
+    ordinary WARC records; their bodies land here).
+
+    ``robots``: (host, body). Grammar per REP (RFC 9309): ``#``
+    comments stripped, keys case-insensitive, a GROUP is one-or-more
+    consecutive ``User-agent`` lines followed by its ``Allow``/
+    ``Disallow`` rules; a group applies when it names ``agent``
+    exactly or ``*``, and when any exact-agent group exists the ``*``
+    groups are ignored (most-specific-agent precedence). An empty
+    ``Disallow:`` value means "allow everything" and emits no rule
+    (policy_filter already defaults to allow).
+
+    Plan shape (100-TB lens): bodies split/posexploded to lines, group
+    ids assigned by a running sum over a per-HOST window ordered by
+    line position - robots bodies are small and host-partitioned, so
+    the windows never see data-scale partitions; everything else is
+    hash aggregation + one broadcast-sized semi-join on the applicable
+    group set. No UDFs.
+    """
+    from pyspark.sql import Window
+
+    lines = (robots
+             .select("host", F.posexplode(F.split("body", r"\r?\n"))
+                     .alias("pos", "line"))
+             .select("host", "pos",
+                     F.trim(F.regexp_replace("line", r"#.*$", ""))
+                     .alias("line"))
+             .where(F.col("line") != ""))
+    kv = lines.select(
+        "host", "pos",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+        .alias("key"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1))
+        .alias("value"))
+    kv = kv.where(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    prev_ua = F.lag(is_ua, 1, 0).over(w)
+    # a UA line NOT preceded by a UA line opens a new group
+    kv = kv.withColumn(
+        "group_id",
+        F.sum(F.when((is_ua == 1) & (prev_ua == 0), 1).otherwise(0))
+        .over(w))
+    agents = (kv.where(F.col("key") == "user-agent")
+              .select("host", "group_id",
+                      F.lower(F.col("value")).alias("ua")))
+    mine = agents.where(F.col("ua") == agent.lower()) \
+        .select("host", "group_id").distinct()
+    wild = agents.where(F.col("ua") == "*") \
+        .select("host", "group_id").distinct()
+    hosts_with_exact = mine.select("host").distinct()
+    applicable = mine.unionByName(
+        wild.join(hosts_with_exact, "host", "left_anti"))
+    rules = (kv.where(F.col("key").isin("allow", "disallow"))
+             .join(applicable, ["host", "group_id"])
+             .where(F.col("value") != "")
+             .select("host",
+                     F.col("value").alias("path_prefix"),
+                     (F.col("key") == "allow").alias("allow"))
+             .distinct())
+    return rules

@@ -1050,3 +1050,48 @@ def test_registry_orders_oracle_twinned_first():
     assert flags == sorted(flags, reverse=True), (
         "rows-only query ordered before an oracle-twinned one")
     assert sum(flags) >= 66
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    """Hand-shaped corpus: the doc mentioning the query term twice
+    outranks the single mention; a rarer term contributes more than a
+    ubiquitous one (idf)."""
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "spark spark engine engine engine"),
+         (2, "spark engine engine engine engine"),
+         (3, "engine engine engine engine engine"),
+         (4, "rare engine engine engine engine")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "spark"), (1, "rare"), (1, "engine")],
+                               "query_id int, term string")
+    out = textfns.bm25_topk(docs, qs, k=4).collect()
+    q0 = [r.doc_id for r in sorted(
+        (r for r in out if r.query_id == 0), key=lambda r: r.rank)]
+    assert q0 == [1, 2]  # doc 1 has tf=2 for 'spark'
+    q1 = {r.doc_id: r.score for r in out if r.query_id == 1}
+    # 'rare' appears only in doc 4: its idf dwarfs the ubiquitous
+    # 'engine' contribution, so doc 4 must rank first
+    top = min((r for r in out if r.query_id == 1), key=lambda r: r.rank)
+    assert top.doc_id == 4 and q1[4] > q1[3]
+
+
+def test_pmi_prefers_true_collocations(spark):
+    """Words that only ever appear together get higher PMI than words
+    that co-occur incidentally among many partners."""
+    from docling_spark import textfns
+    rows = []
+    for i in range(30):
+        rows.append((i, "alpha beta filler%d filler%d" % (i, i + 100)))
+    for i in range(30, 60):
+        rows.append((i, "common x%d common y%d common z%d"
+                     % (i, i, i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.w1, r.w2): r.pmi
+           for r in textfns.pmi_pairs(docs, window=4,
+                                      min_pair=3).collect()}
+    assert ("alpha", "beta") in out
+    exclusive = out[("alpha", "beta")]
+    promiscuous = [v for (a, b), v in out.items()
+                   if "common" in (a, b) and (a, b) != ("common", "common")]
+    assert promiscuous and exclusive > max(promiscuous)

@@ -379,3 +379,23 @@ def test_approx_percentile_variants_keep_plan_shape(spark):
     kept_e = ge.where("keep").count() / n
     kept_a = ga.where("keep").count() / n
     assert abs(kept_a - kept_e) <= 0.10, (kept_e, kept_a)
+
+
+def test_bm25_plan_broadcasts_query_dimensions(spark):
+    """bm25_topk: query terms / df / corpus stats ride broadcast joins
+    (the corpus-side TF table never shuffles for them), no cartesian
+    product, and the per-query top-k is WindowGroupLimit-pushed."""
+    plan = _plan(spark, "bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 3, plan[:3000]
+    assert "WindowGroupLimit" in plan
+
+
+def test_pmi_plan_band_join_is_equi_join(spark):
+    """pmi_pairs: the windowed co-occurrence join must be an equi-join
+    on doc_id (band predicate as post-filter), never a cartesian."""
+    plan = _plan(spark, "pmi_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan

@@ -317,3 +317,47 @@ def test_policy_filter_empty_prefix_is_host_default(spark):
     assert rows["https://a.test/x"].allowed is True          # /x beats ""
     assert rows["https://a.test/blocked/y"].allowed is False
     assert rows["https://b.test/z"].allowed is True          # no rules
+
+
+class TestParseRobots:
+    def _rules(self, spark, bodies, agent="docbot"):
+        df = spark.createDataFrame(bodies, "host string, body string")
+        out = webgraph.parse_robots(df, agent=agent).collect()
+        return {(r.host, r.path_prefix, r.allow) for r in out}
+
+    def test_exact_agent_shadows_wildcard(self, spark):
+        got = self._rules(spark, [
+            ("h.test", "User-agent: docbot\nDisallow: /bot/\n\n"
+                       "User-agent: *\nDisallow: /\n")])
+        assert got == {("h.test", "/bot/", False)}
+
+    def test_wildcard_applies_when_no_exact_group(self, spark):
+        got = self._rules(spark, [
+            ("h.test", "User-agent: other\nDisallow: /o/\n\n"
+                       "User-agent: *\nDisallow: /w/\nAllow: /w/ok\n")])
+        assert got == {("h.test", "/w/", False), ("h.test", "/w/ok", True)}
+
+    def test_multi_ua_group_and_crlf_and_case(self, spark):
+        got = self._rules(spark, [
+            ("h.test", "User-Agent: A\r\nUSER-AGENT: DocBot\r\n"
+                       "Disallow: /x/\r\nAllow: /x/pub\r\n")])
+        assert got == {("h.test", "/x/", False), ("h.test", "/x/pub", True)}
+
+    def test_empty_disallow_and_comments(self, spark):
+        got = self._rules(spark, [
+            ("h.test", "# full line comment\nUser-agent: *\n"
+                       "Disallow:\nAllow: /a # tail comment\n")])
+        assert got == {("h.test", "/a", True)}
+
+    def test_rules_feed_policy_filter(self, spark):
+        """End-to-end: parse_robots output drives policy_filter."""
+        rules = webgraph.parse_robots(spark.createDataFrame(
+            [("h.test", "User-agent: *\nDisallow: /private/\n")],
+            "host string, body string"))
+        pages = spark.createDataFrame(
+            [("https://h.test/private/x",), ("https://h.test/pub",)],
+            "url string")
+        got = {r.url: r.allowed
+               for r in webgraph.policy_filter(pages, rules).collect()}
+        assert got == {"https://h.test/private/x": False,
+                       "https://h.test/pub": True}
