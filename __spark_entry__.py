@@ -644,6 +644,148 @@ def _q_robots_rules(spark, sf_dir):
     return webgraph.parse_robots(df, agent="docbot")
 
 
+def _image_pixel_fixtures():
+    """The 6 deterministic fixture images as (media_id, px) with
+    JPEG ids 1000+ and byte-identical-pixel PNG twins at 2000+ (the
+    cross-encode near-dup plant: the flat-block JPEGs decode exactly
+    losslessly, so each PNG twin has Hamming-0 dHash distance)."""
+    import numpy as np
+
+    from docling_spark.pngio import encode_png_like_pil
+    _jpeg_media_rows()  # populate _JPEG_MEDIA_ARRAYS
+    arrays = {}
+    for mid, px in _JPEG_MEDIA_ARRAYS.items():
+        a = px if px.ndim == 3 else px[:, :, None]
+        arrays[mid] = np.asarray(a, np.uint8)
+    payloads = {mid: payload for mid, payload, *_ in _jpeg_media_rows()}
+    rows = [(mid, payloads[mid]) for mid in sorted(payloads)]
+    rows += [(mid + 1000, encode_png_like_pil(arrays[mid]))
+             for mid in sorted(arrays)]
+    return rows, arrays
+
+
+def _expected_dhashes():
+    """media_id -> expected dHash, derived from the ORIGINAL pixel
+    arrays (never the decoders): the oracle value pins that decode +
+    Arrow plumbing reproduce the constructed pixels bit-exactly."""
+    from docling_spark.multimodal import dhash_pixels
+    _, arrays = _image_pixel_fixtures()
+    out = {}
+    for mid, a in arrays.items():
+        h = dhash_pixels(a)
+        out[mid] = h          # JPEG row
+        out[mid + 1000] = h   # PNG twin, identical pixels
+    return out
+
+
+def _q_image_dhash(spark, sf_dir):
+    """Perceptual image hash (multimodal.image_dhash) over the media
+    fixture: 6 JPEG + 6 pixel-identical PNG twins hash to analytic
+    values derived from the constructed arrays; text payloads (not a
+    decodable image) and the 8-px-wide grayscale (smaller than the
+    9-wide dHash grid) yield NULL."""
+    rows, _ = _image_pixel_fixtures()
+    media = spark.createDataFrame(
+        [(mid, payload) for mid, payload in rows],
+        "media_id long, payload binary")
+    return multimodal.image_dhash(media)
+
+
+def _q_image_near_dups(spark, sf_dir):
+    """Near-duplicate images (multimodal.image_near_dups): banded
+    16-bit dHash blocking + bit_count verify over the fixture set -
+    every JPEG pairs with its PNG twin at Hamming 0, and flat images
+    (dHash 0) all pair with each other."""
+    rows, _ = _image_pixel_fixtures()
+    media = spark.createDataFrame(
+        [(mid, payload) for mid, payload in rows],
+        "media_id long, payload binary")
+    return multimodal.image_near_dups(
+        multimodal.image_dhash(media), max_hamming=4)
+
+
+_SITEMAP_BODIES = [
+    ("a.test", "<?xml version=\"1.0\"?>\n"
+               "<urlset>\n"
+               "  <url>\n    <loc>https://a.test/</loc>\n"
+               "    <lastmod>2024-01-05</lastmod>\n"
+               "    <priority>1.0</priority>\n  </url>\n"
+               "  <url><loc> https://a.test/p?x=1 </loc></url>\n"
+               "  <url>\n    <loc>https://a.test/q</loc>\n"
+               "    <priority>0.5</priority>\n  </url>\n"
+               "</urlset>\n"),
+    ("b.test", "<sitemapindex>\n"
+               "  <sitemap>\n    <loc>https://b.test/s1.xml</loc>\n"
+               "    <lastmod>2024-02-01</lastmod>\n  </sitemap>\n"
+               "  <sitemap><loc>https://b.test/s2.xml</loc></sitemap>\n"
+               "</sitemapindex>"),
+    ("c.test", "<urlset></urlset>"),
+]
+
+
+def _q_sitemap_entries(spark, sf_dir):
+    """sitemap.xml discovery (webgraph.parse_sitemaps): urlset and
+    sitemapindex blocks, whitespace-padded locs, optional
+    lastmod/priority. Oracle is the hand-derived expectation."""
+    df = spark.createDataFrame(_SITEMAP_BODIES, "host string, body string")
+    return webgraph.parse_sitemaps(df)
+
+
+def _q_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (textfns.train_split):
+    split = pure function of (seed, doc_id) via md5-60bit buckets."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.train_split(docs, val_frac=0.05, test_frac=0.05,
+                               seed=42)
+
+
+def _image_dhash_oracle_sql() -> str:
+    """VALUES twin for _q_image_dhash: (media_id, dhash, width,
+    height) from the original arrays; undersized images NULL-hash."""
+    _, arrays = _image_pixel_fixtures()
+    exp = _expected_dhashes()
+    rows = []
+    for mid in sorted(exp):
+        a = arrays[mid if mid < 2000 else mid - 1000]
+        h = exp[mid]
+        hv = "CAST(NULL AS BIGINT)" if h is None else str(h)
+        rows.append(f"({mid}, {hv}, {a.shape[1]}, {a.shape[0]})")
+    vals = ",\n                ".join(rows)
+    return f"""
+            SELECT media_id, dhash, width, height
+            FROM (VALUES
+                {vals}
+            ) AS d(media_id, dhash, width, height)
+        """
+
+
+def _image_near_dups_oracle_sql() -> str:
+    """VALUES twin for _q_image_near_dups: pairs derived from the
+    expected hashes under the operator's exact contract (share >= 1
+    16-bit band AND Hamming <= 4)."""
+    from itertools import combinations
+    exp = {m: h for m, h in _expected_dhashes().items() if h is not None}
+
+    def bands(h):
+        u = h & 0xFFFFFFFFFFFFFFFF
+        return {(b, (u >> (16 * b)) & 0xFFFF) for b in range(4)}
+
+    rows = []
+    for a, b in combinations(sorted(exp), 2):
+        ua = exp[a] & 0xFFFFFFFFFFFFFFFF
+        ub = exp[b] & 0xFFFFFFFFFFFFFFFF
+        ham = bin(ua ^ ub).count("1")
+        if ham <= 4 and bands(exp[a]) & bands(exp[b]):
+            rows.append(f"({a}, {b}, {ham})")
+    vals = ",\n                ".join(rows)
+    return f"""
+            SELECT media_a, media_b, hamming
+            FROM (VALUES
+                {vals}
+            ) AS p(media_a, media_b, hamming)
+        """
+
+
 def _q_bigram_entropy(spark, sf_dir):
     """Per-source bigram conditional entropy (textfns.bigram_entropy):
     template-heavy sources score low, organic prose high."""
@@ -1112,6 +1254,7 @@ def _q_pdf_layout_stages(spark, sf_dir):
 
 
 _JPEG_MEDIA_CACHE = None
+_JPEG_MEDIA_ARRAYS: dict = {}  # media_id -> the ORIGINAL pixel array
 
 
 def _jpeg_media_rows():
@@ -1140,6 +1283,7 @@ def _jpeg_media_rows():
     rows = []
 
     def add(mid, px, feature, **kw):
+        _JPEG_MEDIA_ARRAYS[mid] = px
         rows.append((mid, encode_jpeg_baseline(px, **kw),
                      px.shape[1], px.shape[0], feature))
 
@@ -1312,6 +1456,10 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25,
         "pmi_pairs": _q_pmi_pairs,
         "robots_rules": _q_robots_rules,
+        "image_dhash": _q_image_dhash,
+        "image_near_dups": _q_image_near_dups,
+        "sitemap_entries": _q_sitemap_entries,
+        "train_split": _q_train_split,
         # rows-only: zlib not SQL-expressible
         "compression_quality": _q_compression_quality,
         "length_quantiles": _q_length_quantiles,
@@ -3278,6 +3426,41 @@ def oracle_sql() -> dict[str, str]:
                 ('e.test', '/only', TRUE),
                 ('e.test', '/only/private', FALSE)
             ) AS r(host, path_prefix, allow)
+        """,
+        # perceptual-hash twins (_q_image_dhash / _q_image_near_dups):
+        # expected values derived from the ORIGINAL constructed pixel
+        # arrays - the Spark row must reproduce them through real
+        # decode + Arrow plumbing
+        "image_dhash": _image_dhash_oracle_sql(),
+        "image_near_dups": _image_near_dups_oracle_sql(),
+        # hand-derived sitemap expectation (_q_sitemap_entries)
+        "sitemap_entries": """
+            SELECT host, kind, loc, lastmod,
+                   CAST(priority AS DOUBLE) AS priority
+            FROM (VALUES
+                ('a.test', 'url', 'https://a.test/', '2024-01-05', 1.0),
+                ('a.test', 'url', 'https://a.test/p?x=1', NULL, NULL),
+                ('a.test', 'url', 'https://a.test/q', NULL, 0.5),
+                ('b.test', 'sitemap', 'https://b.test/s1.xml',
+                 '2024-02-01', NULL),
+                ('b.test', 'sitemap', 'https://b.test/s2.xml', NULL, NULL)
+            ) AS s(host, kind, loc, lastmod, priority)
+        """,
+        # deterministic split twin (_q_train_split): same md5-60bit
+        # bucket family, same integer thresholds
+        "train_split": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       CAST(CONCAT('0x', substr(md5('split:42:'
+                           || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, source, bucket,
+                   CASE WHEN bucket < 500 THEN 'test'
+                        WHEN bucket < 1000 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM b
         """,
         "bigram_entropy": r"""
             WITH t AS (

@@ -1229,3 +1229,119 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     """
     return media.select("media_id", "kind", "payload").mapInPandas(
         _feature_batches, schema=FEATURE_SCHEMA)
+
+
+# --------------------------------------------------- perceptual image hash
+
+def dhash_pixels(px, hash_size: int = 8):
+    """Difference hash (dHash) of a decoded pixel array: box-mean
+    downscale to (hash_size, hash_size+1) luminance grid, one bit per
+    horizontal gradient, packed row-major MSB-first into a SIGNED
+    64-bit int (Spark LongType). None when the image is smaller than
+    the grid. Deterministic: integer box boundaries ``i*dim//n`` and
+    float64 means - the standard near-dup hash for crawl images
+    (robust to re-encode/resize, unlike the payload sha256).
+    """
+    import numpy as np
+    h, w = px.shape[0], px.shape[1]
+    rows, cols = hash_size, hash_size + 1
+    if h < rows or w < cols:
+        return None
+    if px.shape[2] >= 3:
+        f = px.astype(np.float64)
+        g = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+    else:
+        g = px[:, :, 0].astype(np.float64)
+    ys = [y * h // rows for y in range(rows + 1)]
+    xs = [x * w // cols for x in range(cols + 1)]
+    grid = np.empty((rows, cols))
+    for r in range(rows):
+        for c in range(cols):
+            grid[r, c] = g[ys[r]:ys[r + 1], xs[c]:xs[c + 1]].mean()
+    v = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            v = (v << 1) | int(grid[r, c + 1] > grid[r, c])
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+DHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("dhash", LongType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+])
+
+
+def _dhash_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"media_id": [], "dhash": [], "width": [], "height": []}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            raw = bytes(payload) if payload is not None else b""
+            if raw[:4] == b"\x89PNG":
+                px = decode_png_pixels(raw)
+            elif raw[:2] == b"\xff\xd8":
+                px = decode_jpeg_pixels(raw)
+            else:
+                px = None
+            if px is None:
+                out["media_id"].append(mid)
+                out["dhash"].append(None)
+                out["width"].append(None)
+                out["height"].append(None)
+                continue
+            out["media_id"].append(mid)
+            out["dhash"].append(dhash_pixels(px))
+            out["width"].append(int(px.shape[1]))
+            out["height"].append(int(px.shape[0]))
+        yield pd.DataFrame(out)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> (media_id, dhash, width, height) via the
+    real PNG/JPEG decoders; undecodable payloads yield a NULL hash.
+    Arrow-batched mapInPandas like every media stage here."""
+    return media.select("media_id", "payload").mapInPandas(
+        _dhash_batches, schema=DHASH_SCHEMA)
+
+
+def image_near_dups(hashes: DataFrame, max_hamming: int = 4,
+                    max_bucket_size: int = 1000) -> DataFrame:
+    """Near-duplicate image pairs from dHashes: block on 4 x 16-bit
+    sub-bands of the hash (a pair within Hamming distance <= 3 is
+    GUARANTEED to agree on at least one band by pigeonhole; at 4 the
+    probability of missing is small and acceptable for dedup), cap hot
+    buckets (flat/logo boilerplate images pile up on few hashes), then
+    verify with bit_count on the XOR - the simhash recipe
+    (dedup.simhash_near_duplicates) applied to the image modality.
+    """
+    from pyspark.sql import functions as F
+
+    from .dedup import _cap_hot_buckets
+    h = hashes.where(F.col("dhash").isNotNull()).select(
+        "media_id", "dhash")
+    banded = h.select(
+        "media_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned("dhash", 16 * b)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
+            for b in range(4)])).alias("bv")) \
+        .select("media_id", "dhash", "bv.band", "bv.band_val")
+    banded = _cap_hot_buckets(banded, ["band", "band_val"],
+                              max_bucket_size)
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.band_val") == F.col("r.band_val"))
+               & (F.col("l.media_id") < F.col("r.media_id")))
+        .select(F.col("l.media_id").alias("media_a"),
+                F.col("r.media_id").alias("media_b"),
+                F.col("l.dhash").alias("ha"),
+                F.col("r.dhash").alias("hb"))
+        .distinct())
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (pairs.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+            .select("media_a", "media_b", "hamming"))

@@ -1222,3 +1222,29 @@ def pmi_pairs(documents: DataFrame, window: int = 5,
                     F.round(F.log(F.col("n_obs") * F.col("c12")
                                   / (F.col("c1") * F.col("c2"))), 6)
                     .alias("pmi")))
+
+
+def train_split(documents: DataFrame, val_frac: float = 0.05,
+                test_frac: float = 0.05, seed: int = 42,
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment: split membership is a
+    pure function of ``(seed, doc_id)`` - md5-60bit bucket in [0,
+    10000) against integer thresholds - so it is reproducible on any
+    engine, stable under corpus growth (a document never changes
+    split when new data arrives), and leak-free by construction
+    (duplicate ids land in the same split; run content dedup /
+    split_leakage first for near-dup leakage).
+
+    One scan-side projection, no shuffle - the 100-TB split is a WHERE
+    clause on the bucket expression, pushed into the scan.
+    """
+    t_test = int(round(test_frac * 10000))
+    t_val = t_test + int(round(val_frac * 10000))
+    bucket = (F.conv(F.substring(F.md5(F.concat(
+        F.lit(f"split:{seed}:"), F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long") % 10000)
+    return documents.select(
+        F.col(id_col), "source", bucket.alias("bucket"),
+        F.when(bucket < t_test, "test")
+         .when(bucket < t_val, "val")
+         .otherwise("train").alias("split"))

@@ -383,3 +383,38 @@ def parse_robots(robots: DataFrame, agent: str = "*") -> DataFrame:
                      (F.col("key") == "allow").alias("allow"))
              .distinct())
     return rules
+
+
+def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
+    """sitemap.xml bodies -> one row per entry: ``(host, kind, loc,
+    lastmod, priority)`` where kind is ``url`` (a page in a urlset) or
+    ``sitemap`` (a child sitemap in a sitemapindex) - the URL-discovery
+    complement to :func:`parse_robots` for seeding/refreshing a crawl
+    frontier from the pages a host advertises.
+
+    ``sitemaps``: (host, body). Pure scan-side regexp algebra over the
+    two-level sitemap grammar ((?s) dot-matches-newline blocks, field
+    extracts inside each block; Java-regex/RE2 common subset so the
+    oracle replays it): no XML parser needed for the fixed tag set, no
+    UDF, one explode per kind. Missing lastmod/priority surface as
+    NULL.
+    """
+    def entries(kind: str, block_tag: str):
+        block_re = f"(?s)<{block_tag}[^>]*>(.*?)</{block_tag}>"
+        e = (sitemaps
+             .select("host", F.explode(F.regexp_extract_all(
+                 F.col("body"), F.lit(block_re), 1)).alias("entry")))
+        loc = F.regexp_extract("entry", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+        lastmod = F.regexp_extract(
+            "entry", r"(?s)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+        prio = F.regexp_extract(
+            "entry", r"(?s)<priority>\s*(.*?)\s*</priority>", 1)
+        return (e.select(
+            "host", F.lit(kind).alias("kind"), loc.alias("loc"),
+            F.when(lastmod == "", None).otherwise(lastmod).alias("lastmod"),
+            F.when(prio == "", None).otherwise(prio).cast("double")
+            .alias("priority"))
+            .where(F.col("loc") != ""))
+
+    return entries("url", "url").unionByName(
+        entries("sitemap", "sitemap"))

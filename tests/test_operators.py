@@ -1095,3 +1095,23 @@ def test_pmi_prefers_true_collocations(spark):
     promiscuous = [v for (a, b), v in out.items()
                    if "common" in (a, b) and (a, b) != ("common", "common")]
     assert promiscuous and exclusive > max(promiscuous)
+
+
+def test_train_split_deterministic_and_stable_under_growth(spark, docs):
+    """Split membership is a pure function of (seed, doc_id): re-running
+    gives identical rows, and adding MORE documents never changes an
+    existing document's split (the anti-leak property)."""
+    from docling_spark import textfns
+    full = textfns.train_split(docs)
+    half = textfns.train_split(docs.where(F.col("doc_id") % 2 == 0))
+    m_full = {r.doc_id: r.split for r in full.collect()}
+    m_half = {r.doc_id: r.split for r in half.collect()}
+    assert m_half == {k: v for k, v in m_full.items() if k % 2 == 0}
+    fracs = {s: n / len(m_full) for s, n in
+             __import__("collections").Counter(m_full.values()).items()}
+    assert 0.80 <= fracs.get("train", 0) <= 0.98
+    assert fracs.get("test", 0) > 0 and fracs.get("val", 0) > 0
+    # a different seed reshuffles membership
+    other = {r.doc_id: r.split
+             for r in textfns.train_split(docs, seed=7).collect()}
+    assert other != m_full

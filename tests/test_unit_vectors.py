@@ -386,3 +386,76 @@ class TestJpegCodec:
             "media_id long, kind string, payload binary, mime string")
         row = multimodal.extract_media_features(df).collect()[0]
         assert (row.width, row.height) == (40, 24)
+
+
+class TestImageDhash:
+    def test_hand_computed_tiny_case(self):
+        """9x8 image where each downscale box is one pixel: the grid IS
+        the image, so the 64 gradient bits are hand-derivable."""
+        import numpy as np
+
+        from docling_spark.multimodal import dhash_pixels
+        px = np.zeros((8, 9, 1), np.uint8)
+        px[:, :, 0] = np.arange(9)[None, :] * 10          # rising rows
+        px[3, :, 0] = np.arange(9)[::-1] * 10             # one falling row
+        want = 0
+        for r in range(8):
+            for c in range(8):
+                want = (want << 1) | int(px[r, c + 1, 0] > px[r, c, 0])
+        got = dhash_pixels(px)
+        assert got % (1 << 64) == want  # signed-long packing
+        # rising rows contribute 0xFF bytes, the falling row 0x00
+        assert (want >> (8 * 4)) & 0xFF == 0  # row 3 from the top = byte 4
+
+    def test_flat_image_hashes_zero_and_small_none(self):
+        import numpy as np
+
+        from docling_spark.multimodal import dhash_pixels
+        assert dhash_pixels(np.full((32, 32, 3), 77, np.uint8)) == 0
+        assert dhash_pixels(np.full((8, 8, 1), 9, np.uint8)) is None
+
+    def test_reencode_stability_across_codecs(self):
+        """The SAME pixels through PNG and (flat-lossless) JPEG produce
+        the identical hash - the property that makes dHash a
+        cross-encode dedup key where sha256 is useless."""
+        import numpy as np
+
+        from docling_spark.multimodal import (decode_jpeg_pixels,
+                                              decode_png_pixels,
+                                              dhash_pixels,
+                                              encode_jpeg_baseline)
+        from docling_spark.pngio import encode_png_like_pil
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = \
+            [(10, 10, 10), (80, 80, 80), (160, 160, 160), (240, 240, 240)]
+        h_png = dhash_pixels(decode_png_pixels(encode_png_like_pil(img)))
+        h_jpg = dhash_pixels(decode_jpeg_pixels(encode_jpeg_baseline(img)))
+        assert h_png == h_jpg != 0
+
+    def test_near_dups_spark_roundtrip(self, spark):
+        """image_dhash + image_near_dups end-to-end: a JPEG/PNG twin
+        pair is found at Hamming 0; an unrelated gradient is not."""
+        import numpy as np
+
+        from docling_spark import multimodal
+        from docling_spark.multimodal import encode_jpeg_baseline
+        from docling_spark.pngio import encode_png_like_pil
+        quad = np.zeros((16, 16, 3), np.uint8)
+        quad[:8, :8], quad[:8, 8:], quad[8:, :8], quad[8:, 8:] = \
+            [(10, 0, 0), (0, 80, 0), (0, 0, 160), (240, 240, 0)]
+        grad = np.zeros((16, 16, 3), np.uint8)
+        grad[:, :, 1] = (np.arange(16)[None, :] * 16)
+        rows = [(1, encode_jpeg_baseline(quad)),
+                (2, encode_png_like_pil(quad)),
+                (3, encode_png_like_pil(grad)),
+                (4, b"not an image")]
+        media = spark.createDataFrame(rows, "media_id long, payload binary")
+        hashes = multimodal.image_dhash(media)
+        got = {r.media_id: r for r in hashes.collect()}
+        assert got[1].dhash == got[2].dhash is not None
+        assert got[3].dhash != got[1].dhash
+        assert got[4].dhash is None and got[4].width is None
+        pairs = {(r.media_a, r.media_b, r.hamming)
+                 for r in multimodal.image_near_dups(hashes).collect()}
+        assert (1, 2, 0) in pairs
+        assert not any(3 in (a, b) for a, b, _ in pairs)

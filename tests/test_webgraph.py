@@ -361,3 +361,31 @@ class TestParseRobots:
                for r in webgraph.policy_filter(pages, rules).collect()}
         assert got == {"https://h.test/private/x": False,
                        "https://h.test/pub": True}
+
+
+class TestParseSitemaps:
+    def test_urlset_and_index(self, spark):
+        bodies = [
+            ("a.test", "<urlset><url><loc>https://a.test/x</loc>"
+                       "<lastmod>2024-03-01</lastmod>"
+                       "<priority>0.8</priority></url>"
+                       "<url><loc>\n https://a.test/y \n</loc></url>"
+                       "</urlset>"),
+            ("b.test", "<sitemapindex><sitemap>"
+                       "<loc>https://b.test/more.xml</loc>"
+                       "</sitemap></sitemapindex>"),
+        ]
+        df = spark.createDataFrame(bodies, "host string, body string")
+        got = {(r.host, r.kind, r.loc): (r.lastmod, r.priority)
+               for r in webgraph.parse_sitemaps(df).collect()}
+        assert got[("a.test", "url", "https://a.test/x")] == \
+            ("2024-03-01", 0.8)
+        assert got[("a.test", "url", "https://a.test/y")] == (None, None)
+        assert got[("b.test", "sitemap", "https://b.test/more.xml")] == \
+            (None, None)
+
+    def test_empty_and_garbage_bodies(self, spark):
+        df = spark.createDataFrame(
+            [("c.test", "<urlset></urlset>"), ("d.test", "not xml at all")],
+            "host string, body string")
+        assert webgraph.parse_sitemaps(df).count() == 0
