@@ -406,17 +406,21 @@ class _BitReader:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Baseline-sequential JPEG -> (height, width, channels) uint8
-    numpy array (channels 3 = RGB via JFIF YCbCr, 1 = grayscale), or
-    None when the frame is out of the baseline envelope or damaged.
+    """JPEG -> (height, width, channels) uint8 numpy array (channels
+    3 = RGB via JFIF YCbCr, 1 = grayscale), or None when the frame is
+    out of the huffman envelope (arithmetic coding, 12-bit, lossless,
+    hierarchical) or damaged.
 
-    Supports arbitrary h/v sampling factors with integer upsample
-    ratios (4:4:4, 4:2:2, 4:2:0, 4:1:1), restart intervals, multiple
-    DQT/DHT segments, and 16-bit quantizer precision. The entropy loop
-    is pure Python (the one hot loop); dequant, IDCT (one batched
-    einsum over all blocks), upsampling, and color conversion are
-    vectorized numpy - at crawl scale this runs Arrow-batched inside
-    ``mapInPandas`` like every other media decoder here.
+    Baseline/extended sequential (SOF0/SOF1) AND progressive (SOF2:
+    spectral selection + successive approximation, DC and AC first +
+    refinement scans, EOB runs) are fully decoded. Supports arbitrary
+    h/v sampling factors with integer upsample ratios (4:4:4, 4:2:2,
+    4:2:0, 4:1:1), restart intervals, per-scan huffman table
+    redefinition, and 16-bit quantizer precision. The entropy loop is
+    pure Python (the one hot loop); dequant, IDCT (batched BLAS
+    matmuls), upsampling, and color conversion are vectorized numpy -
+    at crawl scale this runs Arrow-batched inside ``mapInPandas`` like
+    every other media decoder here.
     """
     import struct
 
@@ -428,6 +432,7 @@ def decode_jpeg_pixels(payload: bytes):
         huff_dc: dict = {}
         huff_ac: dict = {}
         frame = None
+        progressive = False
         dri = 0
         pos = 2
         n = len(payload)
@@ -458,7 +463,7 @@ def decode_jpeg_pixels(payload: bytes):
                     for z, v in enumerate(vals):
                         tab[_ZZ[z]] = v
                     qt[tq] = tab
-            elif m == 0xC4:  # DHT
+            elif m == 0xC4:  # DHT (tables may be redefined between scans)
                 i = 0
                 while i + 17 <= len(seg):
                     tc, th = seg[i] >> 4, seg[i] & 15
@@ -468,7 +473,7 @@ def decode_jpeg_pixels(payload: bytes):
                     (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(
                         counts, syms)
                     i += 17 + nsym
-            elif m in (0xC0, 0xC1):  # SOF0/SOF1 (huffman sequential)
+            elif m in (0xC0, 0xC1, 0xC2):  # huffman sequential/progressive
                 prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
                 if prec != 8 or fw == 0 or fh == 0 or nc not in (1, 3):
                     return None
@@ -479,9 +484,10 @@ def decode_jpeg_pixels(payload: bytes):
                     cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                     comps.append([cid, hv >> 4, hv & 15, tq])
                 frame = (fw, fh, comps)
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                progressive = m == 0xC2
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                        0xCD, 0xCE, 0xCF):
-                return None  # progressive/arith/lossless out of envelope
+                return None  # arithmetic/lossless/hierarchical
             elif m == 0xDD:  # DRI
                 (dri,) = struct.unpack(">H", seg[:2])
             elif m == 0xDA:  # SOS
@@ -490,6 +496,7 @@ def decode_jpeg_pixels(payload: bytes):
                 for c in range(ns):
                     cs, tt = seg[1 + 2 * c:3 + 2 * c]
                     sel.append((cs, tt >> 4, tt & 15))
+                ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
                 # entropy data runs to the next real marker
                 data_at = pos + 2 + seglen
                 end = data_at
@@ -498,14 +505,19 @@ def decode_jpeg_pixels(payload: bytes):
                             and not (0xD0 <= payload[end + 1] <= 0xD7):
                         break
                     end += 1
-                scans.append((sel, payload[data_at:end]))
+                # per-scan snapshots: tables/DRI can change between scans
+                scans.append((sel, payload[data_at:end], ss, se,
+                              ahal >> 4, ahal & 15, dict(huff_dc),
+                              dict(huff_ac), dri))
                 pos = end
                 continue
             pos += 2 + seglen
         if frame is None or not scans:
             return None
-        return _jpeg_reconstruct(frame, scans[0], qt, huff_dc, huff_ac,
-                                 dri)
+        if progressive:
+            return _jpeg_progressive(frame, scans, qt)
+        sel, data, _, _, _, _, hdc, hac, sdri = scans[0]
+        return _jpeg_reconstruct(frame, (sel, data), qt, hdc, hac, sdri)
     except (_JpegError, IndexError, ValueError, KeyError,
             struct.error):
         return None
@@ -589,6 +601,20 @@ def _jpeg_reconstruct(frame, scan, qt, huff_dc, huff_ac, dri):
             mcu += 1
         if mcu >= n_mcu:
             break
+    dims = {}
+    for c in comps:
+        if interleaved:
+            dims[c[0]] = (mcux * c[1], mcuy * c[2])
+        else:
+            dims[c[0]] = (-(-fw // 8), -(-fh // 8))
+    return _jpeg_finish(frame, store, dims, qt, hmax, vmax)
+
+
+def _jpeg_finish(frame, store, dims, qt, hmax, vmax):
+    """Coefficient stores -> pixels: vectorized dequant, batched-matmul
+    IDCT, plane assembly, chroma upsample, YCbCr->RGB."""
+    import numpy as np
+    fw, fh, comps = frame
     C = _dct_matrix()
     planes = {}
     qn = {c[0]: qt[c[3]].astype(np.float64) for c in comps}
@@ -602,10 +628,7 @@ def _jpeg_reconstruct(frame, scan, qt, huff_dc, huff_ac, dri):
         y = (y.transpose(0, 2, 1).reshape(-1, 8) @ C).reshape(nb, 8, 8)
         spatial = y.transpose(0, 2, 1)
         px = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
-        if interleaved:
-            bw, bh = mcux * ch, mcuy * cv
-        else:
-            bw, bh = -(-fw // 8), -(-fh // 8)
+        bw, bh = dims[cid]
         plane = (px.reshape(bh, bw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
         cw, chh = -(-fw * ch // hmax), -(-fh * cv // vmax)
@@ -622,6 +645,232 @@ def _jpeg_reconstruct(frame, scan, qt, huff_dc, huff_ac, dri):
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _split_restarts(data: bytes, dri: int):
+    """Entropy data -> restart segments (one when dri == 0)."""
+    if not dri:
+        return [data]
+    segs = []
+    s = 0
+    i = 0
+    nd = len(data)
+    while i + 1 < nd:
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            segs.append(data[s:i])
+            s = i + 2
+            i += 2
+        else:
+            i += 1
+    segs.append(data[s:])
+    return segs
+
+
+def _jpeg_progressive(frame, scans, qt):
+    """Progressive (SOF2) reconstruction: every scan deposits spectral
+    bands / precision bits into shared per-component coefficient
+    stores (T.81 G.1.2 semantics: DC first/refine, AC first with EOB
+    runs, AC refine with correction bits), then one shared finish.
+    Stores are MCU-padded so interleaved DC scans and non-interleaved
+    AC scans (component raster order over ceil(comp/8) dims, stride =
+    padded width) address the same blocks."""
+    fw, fh, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax == 0 or vmax == 0:
+        return None
+    for c in comps:
+        if c[1] == 0 or c[2] == 0 or hmax % c[1] or vmax % c[2]:
+            return None
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    one = len(comps) == 1
+    store = {}
+    dims = {}
+    for c in comps:
+        bw, bh = ((-(-fw // 8), -(-fh // 8)) if one
+                  else (mcux * c[1], mcuy * c[2]))
+        dims[c[0]] = (bw, bh)
+        store[c[0]] = [0] * (bw * bh * 64)
+    for sel, data, ss, se, ah, al, hdc, hac, dri in scans:
+        if not sel:
+            return None
+        is_dc = ss == 0
+        if is_dc and se != 0:
+            return None  # DC scans carry only coefficient 0
+        if not is_dc and len(sel) != 1:
+            return None  # spec: AC scans are single-component
+        segs = _split_restarts(data, dri)
+        if is_dc and len(sel) > 1:
+            # interleaved DC scan over MCUs
+            order = []
+            for cs, td, _ta in sel:
+                c = by_id.get(cs)
+                if c is None or (ah == 0 and td not in hdc):
+                    return None
+                order.append((c, hdc.get(td)))
+            n_mcu = mcux * mcuy
+            mcu = 0
+            for seg in segs:
+                rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+                preds = {c[0]: 0 for c in comps}
+                limit = min(n_mcu, mcu + dri) if dri else n_mcu
+                while mcu < limit:
+                    my, mx = divmod(mcu, mcux)
+                    for c, tdc in order:
+                        cid, ch, cv, _ = c
+                        out = store[cid]
+                        stride = dims[cid][0]
+                        for v in range(cv):
+                            for hh in range(ch):
+                                bi = ((my * cv + v) * stride
+                                      + mx * ch + hh)
+                                preds[cid] = _dc_scan_block(
+                                    rd, out, bi * 64, tdc, ah, al,
+                                    preds[cid])
+                    mcu += 1
+                if mcu >= n_mcu:
+                    break
+            continue
+        # single-component scan (DC or AC), component raster order
+        cs, td, ta = sel[0]
+        c = by_id.get(cs)
+        if c is None:
+            return None
+        cid, ch, cv, _ = c
+        stride = dims[cid][0]
+        cw = -(-fw * ch // hmax)   # component samples
+        chh = -(-fh * cv // vmax)
+        cbw, cbh = -(-cw // 8), -(-chh // 8)  # non-interleaved blocks
+        if one:
+            cbw, cbh = dims[cid]
+        n_units = cbw * cbh
+        tdc = hdc.get(td)
+        tac = hac.get(ta)
+        if is_dc and ah == 0 and tdc is None:
+            return None
+        if not is_dc and tac is None:
+            return None
+        out = store[cid]
+        unit = 0
+        eobrun = 0
+        for seg in segs:
+            rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+            pred = 0
+            eobrun = 0
+            limit = min(n_units, unit + dri) if dri else n_units
+            while unit < limit:
+                by, bx = divmod(unit, cbw)
+                base = (by * stride + bx) * 64
+                if is_dc:
+                    pred = _dc_scan_block(rd, out, base, tdc, ah, al,
+                                          pred)
+                elif ah == 0:
+                    eobrun = _ac_first_block(rd, out, base, tac, ss,
+                                             se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(rd, out, base, tac, ss,
+                                              se, al, eobrun)
+                unit += 1
+            if unit >= n_units:
+                break
+    return _jpeg_finish(frame, store, dims, qt, hmax, vmax)
+
+
+def _dc_scan_block(rd, out, base, tdc, ah, al, pred):
+    """DC coefficient for one block: first scan (ah==0) decodes the
+    diff at reduced precision (<< al); refinement appends one bit
+    (arithmetic-shift residuals are non-negative, so OR-ing is
+    adding)."""
+    if ah == 0:
+        t = rd.huff(tdc)
+        if t:
+            v = rd.receive(t)
+            pred += v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+        out[base] = pred << al
+        return pred
+    if rd.receive(1):
+        out[base] |= 1 << al
+    return pred
+
+
+def _ac_first_block(rd, out, base, tac, ss, se, al, eobrun):
+    """AC band, first scan (T.81 G.1.2.2): run-length values at
+    reduced precision plus EOBn run codes spanning whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    zz = _ZZ
+    k = ss
+    while k <= se:
+        rs = rd.huff(tac)
+        s = rs & 15
+        r = rs >> 4
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += rd.receive(r)
+                return eobrun - 1
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise _JpegError("AC index overflow")
+        v = rd.receive(s)
+        out[base + zz[k]] = (v - (1 << s) + 1
+                             if v < (1 << (s - 1)) else v) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(rd, out, base, tac, ss, se, al, eobrun):
+    """AC band refinement (T.81 G.1.2.3 / the libjpeg-documented
+    algorithm): already-nonzero coefficients receive correction bits;
+    new coefficients arrive as +-1<<al; EOB runs sweep correction bits
+    across the remaining band."""
+    zz = _ZZ
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.huff(tac)
+            s = rs & 15
+            r = rs >> 4
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.receive(r)
+                    break
+                # r == 15: pass 16 zero-history coefficients
+            else:
+                val = p1 if rd.receive(1) else m1
+            while k <= se:
+                cur = out[base + zz[k]]
+                if cur != 0:
+                    if rd.receive(1) and not (cur & p1):
+                        out[base + zz[k]] = cur + (p1 if cur >= 0
+                                                   else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                out[base + zz[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            cur = out[base + zz[k]]
+            if cur != 0:
+                if rd.receive(1) and not (cur & p1):
+                    out[base + zz[k]] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_block(rd, out, base, tdc, tac, pred):
