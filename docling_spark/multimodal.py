@@ -7,18 +7,19 @@ and tested. REAL decoders (pure stdlib + numpy, no codec libraries):
 - PNG full pixel decode (:func:`decode_png_pixels` - zlib inflate +
   unfilter; all color types, bit depths 1-16) feeding a real
   mean-luminance feature;
-- baseline-sequential JPEG full pixel decode
+- JPEG full pixel decode, baseline-sequential AND progressive
   (:func:`decode_jpeg_pixels` - Huffman entropy decode + numpy
-  dequant/IDCT/upsample/YCbCr; 4:4:4/4:2:2/4:2:0, restart markers)
-  plus a matching minimal encoder (:func:`encode_jpeg_baseline`);
+  dequant/IDCT/upsample/YCbCr; SOF0/SOF1/SOF2 with spectral selection
+  + successive approximation, 4:4:4/4:2:2/4:2:0, restart markers)
+  plus a matching minimal baseline encoder
+  (:func:`encode_jpeg_baseline`);
 - image dimensions for PNG/GIF/BMP/JPEG/TIFF/WebP headers
   (:func:`decode_image_header`);
 - WAV duration/sample-rate (:func:`decode_wav_header`).
 
-``_fake_decode`` remains only for exotic image codecs (progressive
-JPEG, WebP/TIFF pixels) and raw a/v sample decode - those codec libs
-are absent from this container; swap in PIL/av in production, the
-dataflow is unchanged.
+``_fake_decode`` remains only for WebP/TIFF pixel decode and raw a/v
+sample decode - those codec libs are absent from this container; swap
+in PIL/av in production, the dataflow is unchanged.
 """
 
 from __future__ import annotations
