@@ -536,6 +536,120 @@ def _q_policy_filter(spark, sf_dir):
     return webgraph.policy_filter(pages, rules)
 
 
+def _q_crawl_frontier(spark, sf_dir):
+    """The composed crawl-prioritization pipeline
+    (webgraph.crawl_frontier): link_graph -> md5-60bit host ids ->
+    3-iteration PageRank -> policy_filter survivors -> two-phase
+    salted per-host cap. The oracle composes the four stages' twins
+    into one CTE chain."""
+    pages = _fixture_pages(spark, 64)
+    rules = spark.createDataFrame(
+        _POLICY_RULES, "host string, path_prefix string, allow boolean")
+    return webgraph.crawl_frontier(pages, rules, k_per_host=3, n_iter=3)
+
+
+def _crawl_frontier_oracle_sql(k: int = 3, n_iter: int = 3) -> str:
+    """DuckDB twin of ``_q_crawl_frontier``: link-graph edge extraction
+    (the link_graph twin's regexes), md5-60bit host ids, the shared
+    PageRank CTE chain, the policy twin's longest-prefix/deny-wins
+    aggregation, and a per-host row_number cap (the salted two-phase
+    Spark plan is value-identical to the single window by
+    construction)."""
+    path = pages_mod.ensure_pages(64)
+    values = ", ".join(
+        f"('{h}', '{p}', {str(a).lower()})" for h, p, a in _POLICY_RULES)
+    hid = ("CAST(CONCAT('0x', substr(md5({c}), 1, 15)) AS BIGINT)")
+    header = rf"""
+        pg AS (
+            SELECT url, decode(html) AS body FROM read_parquet(
+                '{path}/*.parquet')
+        ), hrefs AS (
+            SELECT lower(regexp_replace(
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       ':\d+$', '')) AS src_host,
+                   unnest(regexp_extract_all(
+                       body, 'href="([^"]*)"', 1)) AS href
+            FROM pg
+        ), lg AS (
+            SELECT DISTINCT src_host,
+                   CASE WHEN regexp_matches(href,
+                            '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                        THEN lower(regexp_replace(
+                            regexp_extract(href,
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)',
+                                1),
+                            ':\d+$', ''))
+                        ELSE src_host END AS dst_host
+            FROM hrefs
+            WHERE regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+               OR (href LIKE '/%' AND href NOT LIKE '//%')
+        ), e AS (
+            SELECT DISTINCT {hid.format(c='src_host')} AS src,
+                   {hid.format(c='dst_host')} AS dst
+            FROM lg
+            WHERE {hid.format(c='src_host')} <> {hid.format(c='dst_host')}
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e
+                UNION ALL SELECT dst FROM e)
+        ), nrow AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), outdeg AS (
+            SELECT src, count(*) AS outdeg FROM e GROUP BY src
+        ), r0 AS (
+            SELECT node, 1.0 / nrow.n AS rank FROM nodes CROSS JOIN nrow
+        )"""
+    chain = ",".join(_pagerank_iter_ctes(n_iter))
+    return rf"""
+        WITH {header},{chain},
+        hosts AS (
+            SELECT DISTINCT host FROM (
+                SELECT src_host AS host FROM lg
+                UNION ALL SELECT dst_host FROM lg)
+        ), hr AS (
+            SELECT h.host, r.rank
+            FROM hosts h JOIN r{n_iter} r
+              ON {hid.format(c='h.host')} = r.node
+        ), raw AS (
+            SELECT url,
+                   lower(regexp_replace(
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       ':\d+$', '')) AS host,
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS pp
+            FROM pg
+        ), p AS (
+            SELECT url, host,
+                   CASE WHEN pp = '' THEN '/' ELSE pp END AS path
+            FROM raw
+        ), rules(host, path_prefix, allow) AS (
+            VALUES {values}
+        ), m AS (
+            SELECT p.url, p.host, r.path_prefix, r.allow
+            FROM p LEFT JOIN rules r
+              ON p.host = r.host AND starts_with(p.path, r.path_prefix)
+        ), verdicts AS (
+            SELECT url, host,
+                   max(len(path_prefix) * 2
+                       + CASE WHEN allow THEN 0 ELSE 1 END) AS rule_key
+            FROM m GROUP BY url, host
+        ), allowed AS (
+            SELECT url, host FROM verdicts
+            WHERE rule_key IS NULL OR rule_key % 2 = 0
+        ), ranked AS (
+            SELECT a.url, a.host,
+                   round(coalesce(hr.rank, 0.0), 6) AS host_rank,
+                   row_number() OVER (
+                       PARTITION BY a.host ORDER BY a.url) AS slot
+            FROM allowed a LEFT JOIN hr ON a.host = hr.host
+        )
+        SELECT url, host, host_rank, slot FROM ranked WHERE slot <= {k}
+    """
+
+
 def _q_warc_ingest(spark, sf_dir):
     """Common-Crawl WARC ingest (warc.read_warc): binaryFile scan ->
     stdlib record walk in Arrow-batched mapInPandas -> pages-shaped
@@ -1460,6 +1574,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dups": _q_image_near_dups,
         "sitemap_entries": _q_sitemap_entries,
         "train_split": _q_train_split,
+        "crawl_frontier": _q_crawl_frontier,
         # rows-only: zlib not SQL-expressible
         "compression_quality": _q_compression_quality,
         "length_quantiles": _q_length_quantiles,
@@ -2127,6 +2242,20 @@ def _pagerank_oracle_sql(n_nodes: int = 60, n_iter: int = 5,
         ), r0 AS (
             SELECT node, 1.0 / nrow.n AS rank FROM nodes CROSS JOIN nrow
         )"""]
+    ctes.extend(_pagerank_iter_ctes(n_iter, damping))
+    return ("WITH " + ",".join(ctes)
+            + f"\n        SELECT node, round(rank, 6) AS rank"
+              f" FROM r{n_iter}")
+
+
+def _pagerank_iter_ctes(n_iter: int, damping: float = 0.85) -> list:
+    """The power-iteration CTE chain d1/c1/r1..rN, assuming CTEs
+    e(src,dst), nodes(node), nrow(n), outdeg(src,outdeg), r0(node,rank)
+    are already defined - shared by the pagerank twin and composed
+    twins (crawl_frontier)."""
+    d = repr(float(damping))
+    omd = repr(1.0 - float(damping))
+    ctes = []
     for k in range(1, n_iter + 1):
         ctes.append(f"""
         d{k} AS (
@@ -2148,9 +2277,7 @@ def _pagerank_oracle_sql(n_nodes: int = 60, n_iter: int = 5,
             LEFT JOIN c{k} c ON nd.node = c.dst
             CROSS JOIN nrow CROSS JOIN d{k} dg
         )""")
-    return ("WITH " + ",".join(ctes)
-            + f"\n        SELECT node, round(rank, 6) AS rank"
-              f" FROM r{n_iter}")
+    return ctes
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3433,6 +3560,7 @@ def oracle_sql() -> dict[str, str]:
         # decode + Arrow plumbing
         "image_dhash": _image_dhash_oracle_sql(),
         "image_near_dups": _image_near_dups_oracle_sql(),
+        "crawl_frontier": _crawl_frontier_oracle_sql(),
         # hand-derived sitemap expectation (_q_sitemap_entries)
         "sitemap_entries": """
             SELECT host, kind, loc, lastmod,

@@ -418,3 +418,59 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
 
     return entries("url", "url").unionByName(
         entries("sitemap", "sitemap"))
+
+
+def crawl_frontier(pages: DataFrame, rules: DataFrame,
+                   k_per_host: int = 3, n_iter: int = 3,
+                   damping: float = 0.85, n_salts: int = 16,
+                   url_col: str = "url",
+                   html_col: str = "html") -> DataFrame:
+    """The full crawl-prioritization composition in one operator:
+    host authority (PageRank over the host link graph extracted from
+    the pages themselves), robots policy verdicts, and a per-host
+    budget cap - the ranked URL frontier a recrawl scheduler consumes.
+
+    Pipeline (every stage is an operator already oracle-checked on its
+    own): :func:`link_graph` -> host edges keyed by md5-60bit host ids
+    (engine-portable, no driver-side id assignment) ->
+    :func:`pagerank` -> a host-cardinality rank dimension broadcast
+    onto the :func:`policy_filter` survivors -> two-phase salted
+    per-host cap (the host_budget_cap recipe: a mega-host's membership
+    sorts across ``n_salts`` parallel tasks, then only the bounded
+    survivors re-rank). Hosts outside the link graph rank 0.
+
+    Output: (url, host, host_rank, slot) - slot 1..k per host,
+    deterministic (url ASC within host).
+    """
+    from pyspark.sql import Window
+
+    def hid(c):
+        return F.conv(F.substring(F.md5(F.col(c)), 1, 15), 16, 10) \
+            .cast("long")
+
+    lg = link_graph(pages, url_col, html_col)
+    edges = lg.select(hid("src_host").alias("src"),
+                      hid("dst_host").alias("dst"))
+    pr = pagerank(edges, n_iter=n_iter, damping=damping,
+                  checkpoint_every=0)
+    hosts = (lg.select(F.col("src_host").alias("host"))
+             .unionByName(lg.select(F.col("dst_host").alias("host")))
+             .distinct())
+    host_rank = (hosts.select("host", hid("host").alias("node"))
+                 .join(pr, "node").select("host", "rank"))
+    allowed = (policy_filter(pages, rules, url_col)
+               .where(F.col("allowed"))
+               .select(url_col, "host"))
+    ranked = (allowed.join(F.broadcast(host_rank), "host", "left")
+              .select(url_col, "host",
+                      F.coalesce("rank", F.lit(0.0)).alias("host_rank")))
+    salted = ranked.withColumn(
+        "salt", F.pmod(F.xxhash64(url_col), F.lit(n_salts)))
+    w1 = Window.partitionBy("host", "salt").orderBy(url_col)
+    survivors = (salted.withColumn("rn", F.row_number().over(w1))
+                 .where(F.col("rn") <= k_per_host).drop("rn", "salt"))
+    w2 = Window.partitionBy("host").orderBy(url_col)
+    return (survivors.withColumn("slot", F.row_number().over(w2))
+            .where(F.col("slot") <= k_per_host)
+            .select(url_col, "host",
+                    F.round("host_rank", 6).alias("host_rank"), "slot"))

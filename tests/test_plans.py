@@ -399,3 +399,13 @@ def test_pmi_plan_band_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_crawl_frontier_broadcast_rank_no_cartesian(spark):
+    """crawl_frontier: the host-rank dimension rides a broadcast join
+    onto the policy survivors; nothing goes all-pairs; the two-phase
+    cap keeps windows per (host, salt) then per host."""
+    plan = _plan(spark, "crawl_frontier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
