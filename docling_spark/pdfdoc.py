@@ -539,8 +539,8 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
     doc = Doc(name, filename=filename or f"{name}.pdf",
               binary_hash=binary_hash, mimetype="application/pdf")
     pages = extract_page_cells(raw, page_range=page_range, with_images=True,
-                               password=password)
-    for page_no, width, height, cells, image_rects in pages:
+                               password=password, with_paths=True)
+    for page_no, width, height, cells, image_rects, path_rects in pages:
         doc.pages[page_no] = (width, height)
         if not cells and not image_rects:
             continue
@@ -566,6 +566,7 @@ def convert_pdf(raw: bytes, name: str = "file", filename: str = "",
             if not cells:
                 continue
         table_regions, used = _detect_tables(cells, body_size)
+        table_regions = _expand_tables_by_rules(table_regions, path_rects)
         flow_cells = [c for c in cells if id(c) not in used]
         flow_cells = _order_columns(flow_cells, width)
         blocks = _merge_into_blocks(flow_cells, body_size,
@@ -899,6 +900,31 @@ def _two_deck_header(grp, cols, col_of):
         # single-column stack: one rowspan-2 header cell
         specs.append((text, 0, 2, k, k + 1, True))
     return specs
+
+
+def _expand_tables_by_rules(table_regions, path_rects):
+    """Grow each detected table's bbox to the drawn RULE LINES that
+    frame it: the reference's table region (TableFormer cluster snapped
+    by the postprocessor) spans the painted grid, not just the text
+    cells - verified against 2305.03393 where the groundtruth rect
+    equals the rule union including stroke width to <0.5 loc. Only
+    thin painted paths (<= 3 pt in one dimension - rules, not filled
+    panels) within 6 pt of the text region participate; one pass is
+    enough because frame rules touch the text region directly."""
+    if not path_rects:
+        return table_regions
+    rules = [p for p in path_rects
+             if min(p[2] - p[0], p[3] - p[1]) <= 3.0]
+    out = []
+    for (tt, tb, tl, tr, tdata) in table_regions:
+        el, et, er, eb = tl, tt, tr, tb
+        for (pl, pt, pr, pb) in rules:
+            if pr < el - 6 or pl > er + 6 or pb < et - 6 or pt > eb + 6:
+                continue
+            el, et = min(el, pl), min(et, pt)
+            er, eb = max(er, pr), max(eb, pb)
+        out.append((et, eb, el, er, tdata))
+    return out
 
 
 def _detect_tables(cells, body_size):

@@ -641,13 +641,29 @@ class PdfTextExtractor:
         self._run(content, resources, _ID, glyphs, 0, images)
         return glyphs, images
 
+    def page_glyphs_images_paths(self, page: dict):
+        """-> (glyphs, images, paths); paths are device-space bboxes
+        (x0, y0, x1, y1) of PAINTED vector paths (stroked or filled) -
+        table rule lines, separators, boxes. Clip-only paths (W .. n)
+        are excluded."""
+        content = self.doc.page_content(page)
+        resources = self.doc.resolve(page.get("Resources")) or {}
+        glyphs: list[tuple] = []
+        images: list[tuple] = []
+        paths: list[tuple] = []
+        self._run(content, resources, _ID, glyphs, 0, images, paths)
+        return glyphs, images, paths
+
     def _run(self, content: bytes, resources: dict, base_ctm,
-             glyphs: list, depth: int, images: list | None = None):
+             glyphs: list, depth: int, images: list | None = None,
+             paths: list | None = None):
         r = self.doc.resolve
         lex = Lexer(content, 0, refs=False)
         stack: list = []
         ctm = base_ctm
         gstack: list = []
+        ppts: list = []  # current-path device-space points (paths mode)
+        lw = 1.0         # line width (PDF default)
         # text state
         font = Font()
         tfs = 0.0
@@ -751,9 +767,50 @@ class PdfTextExtractor:
                 elif op == b"Q":
                     if gstack:
                         ctm = gstack.pop()
+                elif paths is not None and op in (b"m", b"l") \
+                        and len(stack) >= 2:
+                    x, y = float(stack[-2]), float(stack[-1])
+                    ppts.append((x * ctm[0] + y * ctm[2] + ctm[4],
+                                 x * ctm[1] + y * ctm[3] + ctm[5]))
+                elif paths is not None and op == b"c" and len(stack) >= 6:
+                    for i in (-6, -4, -2):  # controls bound the curve
+                        x, y = float(stack[i]), float(stack[i + 1])
+                        ppts.append((x * ctm[0] + y * ctm[2] + ctm[4],
+                                     x * ctm[1] + y * ctm[3] + ctm[5]))
+                elif paths is not None and op in (b"v", b"y") \
+                        and len(stack) >= 4:
+                    for i in (-4, -2):
+                        x, y = float(stack[i]), float(stack[i + 1])
+                        ppts.append((x * ctm[0] + y * ctm[2] + ctm[4],
+                                     x * ctm[1] + y * ctm[3] + ctm[5]))
+                elif paths is not None and op == b"re" and len(stack) >= 4:
+                    x, y, w_, h_ = (float(v) for v in stack[-4:])
+                    for px_, py_ in ((x, y), (x + w_, y), (x, y + h_),
+                                     (x + w_, y + h_)):
+                        ppts.append((px_ * ctm[0] + py_ * ctm[2] + ctm[4],
+                                     px_ * ctm[1] + py_ * ctm[3] + ctm[5]))
+                elif paths is not None and op == b"w" and stack:
+                    lw = float(stack[-1])
+                elif paths is not None and op in (
+                        b"S", b"s", b"f", b"F", b"f*", b"B", b"B*",
+                        b"b", b"b*"):
+                    if ppts:
+                        xs = [p[0] for p in ppts]
+                        ys = [p[1] for p in ppts]
+                        # stroked paths paint half the (CTM-scaled)
+                        # line width beyond the path geometry
+                        half = 0.0
+                        if op not in (b"f", b"F", b"f*"):
+                            sx = (ctm[0] ** 2 + ctm[1] ** 2) ** 0.5
+                            half = lw * sx / 2.0
+                        paths.append((min(xs) - half, min(ys) - half,
+                                      max(xs) + half, max(ys) + half))
+                    ppts = []
+                elif paths is not None and op == b"n":
+                    ppts = []  # clip-only path: no paint, no geometry
                 elif op == b"Do" and stack and depth < self.max_form_depth:
                     self._do_xobject(str(stack[-1]), resources, ctm,
-                                     glyphs, depth, images)
+                                     glyphs, depth, images, paths)
                 elif op == b"BI":
                     # inline image: skip to EI at whitespace boundary
                     m = re.compile(rb"\sEI[\s\x00]").search(
@@ -766,7 +823,7 @@ class PdfTextExtractor:
             stack.clear()
 
     def _do_xobject(self, name, resources, ctm, glyphs, depth,
-                    images=None):
+                    images=None, paths=None):
         r = self.doc.resolve
         xobjs = r(resources.get("XObject")) if resources else None
         xo = r(xobjs.get(name)) if isinstance(xobjs, dict) else None
@@ -793,7 +850,8 @@ class PdfTextExtractor:
             body = decode_stream(xo, r)
         except PdfError:
             return
-        self._run(body, inner_res, inner, glyphs, depth + 1, images)
+        self._run(body, inner_res, inner, glyphs, depth + 1, images,
+                  paths)
 
     def _show(self, raw, font: Font, tfs, tc, tw, th, ts, tm, ctm,
               tmode, glyphs: list) -> tuple:
@@ -1213,10 +1271,14 @@ def page_size(doc: PdfDocument, page: dict) -> tuple[float, float]:
     return w, h
 
 
-def extract_page_cells(data: bytes, page_range=None, with_images=False, password: str = ""):
+def extract_page_cells(data: bytes, page_range=None, with_images=False,
+                       password: str = "", with_paths=False):
     """PDF bytes -> [(page_no 1-based, width, height, cells)] or, with
     ``with_images``, [(page_no, width, height, cells, image_rects)] where
     image_rects are top-left-origin (l, t, r, b) of drawn bitmaps.
+    ``with_paths`` (implies images) appends a sixth element: painted
+    vector-path bboxes (table rules, separators) in top-left origin,
+    stroke width included.
 
     ``page_range=(lo, hi)`` is the reference's page-range pushdown
     (``pdf_backend.py:59-105``): pages outside it are never parsed.
@@ -1231,15 +1293,25 @@ def extract_page_cells(data: bytes, page_range=None, with_images=False, password
             if page_no < lo or page_no > hi:
                 continue
         w, h = page_size(doc, page)
+        paths: list = []
         try:
-            glyphs, imgs = extractor.page_glyphs_and_images(page)
+            if with_paths:
+                glyphs, imgs, paths = \
+                    extractor.page_glyphs_images_paths(page)
+            else:
+                glyphs, imgs = extractor.page_glyphs_and_images(page)
         except (PdfError, RecursionError):
             glyphs, imgs = [], []
         cells = glyphs_to_cells(glyphs, h)
-        if with_images:
+        if with_images or with_paths:
             rects = [(x0, h - y1, x1, h - y0) for (x0, y0, x1, y1) in imgs
                      if (x1 - x0) * (y1 - y0) >= 32 * 32]
-            out.append((page_no, w, h, cells, rects))
+            if with_paths:
+                prects = [(x0, h - y1, x1, h - y0)
+                          for (x0, y0, x1, y1) in paths]
+                out.append((page_no, w, h, cells, rects, prects))
+            else:
+                out.append((page_no, w, h, cells, rects))
         else:
             out.append((page_no, w, h, cells))
     return out

@@ -410,11 +410,17 @@ class TestPdfDoctags:
     # N/64 pt values matching neither the glyf control box, exact
     # curve extrema, the raw advance, hmtx metrics, nor grid-fit
     # ceilings - erratic per line, sub-point in magnitude)
+    # round 7b: table bboxes now grow to the PAINTED RULE LINES that
+    # frame them (pdfdoc._expand_tables_by_rules over the new
+    # vector-path extraction incl. stroke width) - 2305's table rect
+    # went from 0/4 to 3/4 exact edges (36 -> 39 exact locs, worst
+    # 4 -> 1); the residual left edge sits ~0.2 pt outside every
+    # computable geometry (model-region territory)
     RATCHET = {
         "multi_page": (190, 3),
         "picture_classification": (39, 3),
         "right_to_left_01": (7, 2),
-        "2305.03393v1-pg9": (36, 4),
+        "2305.03393v1-pg9": (39, 1),
     }
 
     # every remaining groundtruth doctags file carries a diff-count pin
@@ -872,11 +878,16 @@ class TestMultiPageDoctagsMLEvidence:
         rows = []
         page_no = [0]
         orig_pg = pt.PdfTextExtractor.page_glyphs_and_images
+        orig_pgp = pt.PdfTextExtractor.page_glyphs_images_paths
         orig_show = pt.PdfTextExtractor._show
 
         def pg(self, page):
             page_no[0] += 1
             return orig_pg(self, page)
+
+        def pgp(self, page):
+            page_no[0] += 1
+            return orig_pgp(self, page)
 
         def show(self, raw, font, tfs, tc, tw, th, ts, tm, ctm,
                  tmode, glyphs):
@@ -899,6 +910,7 @@ class TestMultiPageDoctagsMLEvidence:
             return out
 
         pt.PdfTextExtractor.page_glyphs_and_images = pg
+        pt.PdfTextExtractor.page_glyphs_images_paths = pgp
         pt.PdfTextExtractor._show = show
         try:
             from docling_spark.pdfdoc import convert_pdf
@@ -906,6 +918,7 @@ class TestMultiPageDoctagsMLEvidence:
                         name="multi_page")
         finally:
             pt.PdfTextExtractor.page_glyphs_and_images = orig_pg
+            pt.PdfTextExtractor.page_glyphs_images_paths = orig_pgp
             pt.PdfTextExtractor._show = orig_show
         return rows
 
@@ -1407,3 +1420,53 @@ def test_ttink_hmtx_advances_match_pdf_widths():
             assert abs(w_hm - w_pdf / 1000.0) < 1e-3, (code, w_pdf, w_hm)
             checked += 1
     assert checked >= 100
+
+
+def test_painted_path_extraction_geometry():
+    """page_glyphs_images_paths: stroked lines carry half the line
+    width on every side, filled rects carry exact geometry, clip-only
+    paths (W .. n) are excluded, and cm transforms apply."""
+    import zlib
+    content = (b"q 2 0 0 2 10 10 cm 4 w\n"
+               b"0 0 m 50 0 l S\n"            # stroked line, scaled 2x
+               b"10 10 30 20 re f\n"          # filled rect
+               b"0 0 100 100 re W n\n"        # clip only - excluded
+               b"Q\n")
+    comp = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+           b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+           b"3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 200 200]"
+           b"/Contents 4 0 R>>endobj\n"
+           b"4 0 obj<</Length " + str(len(comp)).encode()
+           + b"/Filter/FlateDecode>>stream\n" + comp
+           + b"\nendstream endobj\n")
+    xref_at = len(pdf)
+    pdf += (b"xref\n0 5\n0000000000 65535 f \n")
+    # rebuild offsets
+    offs = []
+    pos = pdf.index(b"1 0 obj")
+    for i in (b"1 0 obj", b"2 0 obj", b"3 0 obj", b"4 0 obj"):
+        offs.append(pdf.index(i))
+    pdf = pdf[:xref_at]
+    xref = b"xref\n0 5\n0000000000 65535 f \n" + b"".join(
+        b"%010d 00000 n \n" % o for o in offs)
+    trailer = (b"trailer<</Size 5/Root 1 0 R>>\nstartxref\n"
+               + str(xref_at).encode() + b"\n%%EOF")
+    pdf += xref + trailer
+
+    from docling_spark.pdfio import PdfDocument
+    from docling_spark.pdftext import PdfTextExtractor
+    doc = PdfDocument(pdf)
+    ex = PdfTextExtractor(doc)
+    page = next(iter(doc.pages()))
+    _, _, paths = ex.page_glyphs_images_paths(page)
+    assert len(paths) == 2, paths
+    # stroked line: cm scales by 2 -> device line (10,10)-(110,10),
+    # width 4*2=8 -> half 4 on each side
+    line = min(paths, key=lambda p: p[1])
+    assert line == (6.0, 6.0, 114.0, 14.0), line
+    # filled rect: (10,10,30x20) under 2x+10 -> (30,30)-(90,70), no
+    # stroke growth
+    rect = max(paths, key=lambda p: p[1])
+    assert rect == (30.0, 30.0, 90.0, 70.0), rect
