@@ -760,11 +760,14 @@ def _q_robots_rules(spark, sf_dir):
 
 def _image_pixel_fixtures():
     """The 6 deterministic fixture images as (media_id, px) with
-    JPEG ids 1000+ and byte-identical-pixel PNG twins at 2000+ (the
-    cross-encode near-dup plant: the flat-block JPEGs decode exactly
-    losslessly, so each PNG twin has Hamming-0 dHash distance)."""
+    JPEG ids 1000+, byte-identical-pixel PNG twins at 2000+, and GIF
+    twins at 3000+ (the cross-encode near-dup plant: the flat-block
+    JPEGs decode exactly losslessly and PNG/GIF are lossless for
+    <=256-color content, so every twin trio has Hamming-0 dHash
+    distance across three codecs)."""
     import numpy as np
 
+    from docling_spark.multimodal import encode_gif
     from docling_spark.pngio import encode_png_like_pil
     _jpeg_media_rows()  # populate _JPEG_MEDIA_ARRAYS
     arrays = {}
@@ -775,6 +778,10 @@ def _image_pixel_fixtures():
     rows = [(mid, payloads[mid]) for mid in sorted(payloads)]
     rows += [(mid + 1000, encode_png_like_pil(arrays[mid]))
              for mid in sorted(arrays)]
+    rows += [(mid + 2000, encode_gif(
+        arrays[mid][:, :, 0] if arrays[mid].shape[2] == 1
+        else arrays[mid]))
+        for mid in sorted(arrays)]
     return rows, arrays
 
 
@@ -782,6 +789,8 @@ def _expected_dhashes():
     """media_id -> expected dHash, derived from the ORIGINAL pixel
     arrays (never the decoders): the oracle value pins that decode +
     Arrow plumbing reproduce the constructed pixels bit-exactly."""
+    import numpy as np
+
     from docling_spark.multimodal import dhash_pixels
     _, arrays = _image_pixel_fixtures()
     out = {}
@@ -789,6 +798,10 @@ def _expected_dhashes():
         h = dhash_pixels(a)
         out[mid] = h          # JPEG row
         out[mid + 1000] = h   # PNG twin, identical pixels
+        # GIF twin: gray arrays decode as replicated-channel RGB -
+        # identical luminance, same hash (verified by the oracle)
+        g = a if a.shape[2] == 3 else np.repeat(a, 3, axis=2)
+        out[mid + 2000] = dhash_pixels(g)
     return out
 
 
@@ -860,7 +873,7 @@ def _image_dhash_oracle_sql() -> str:
     exp = _expected_dhashes()
     rows = []
     for mid in sorted(exp):
-        a = arrays[mid if mid < 2000 else mid - 1000]
+        a = arrays[mid % 1000 + 1000]
         h = exp[mid]
         hv = "CAST(NULL AS BIGINT)" if h is None else str(h)
         rows.append(f"({mid}, {hv}, {a.shape[1]}, {a.shape[0]})")

@@ -1411,6 +1411,8 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     px = decode_png_pixels(raw)
                 elif raw[:2] == b"\xff\xd8":
                     px = decode_jpeg_pixels(raw)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    px = decode_gif_pixels(raw)
                 else:
                     px = None
                 if px is not None:
@@ -1532,6 +1534,8 @@ def _dhash_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 px = decode_png_pixels(raw)
             elif raw[:2] == b"\xff\xd8":
                 px = decode_jpeg_pixels(raw)
+            elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                px = decode_gif_pixels(raw)
             else:
                 px = None
             if px is None:
@@ -1544,7 +1548,15 @@ def _dhash_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["dhash"].append(dhash_pixels(px))
             out["width"].append(int(px.shape[1]))
             out["height"].append(int(px.shape[0]))
-        yield pd.DataFrame(out)
+        # nullable-Int64 column, NOT the default float64 a None forces:
+        # float64 has a 53-bit mantissa and silently rounds 64-bit
+        # hashes (578721382704613384 -> ...376)
+        yield pd.DataFrame({
+            "media_id": out["media_id"],
+            "dhash": pd.Series(out["dhash"], dtype="Int64"),
+            "width": pd.Series(out["width"], dtype="Int32"),
+            "height": pd.Series(out["height"], dtype="Int32"),
+        })
 
 
 def image_dhash(media: DataFrame) -> DataFrame:
@@ -1595,3 +1607,189 @@ def image_near_dups(hashes: DataFrame, max_hamming: int = 4,
     return (pairs.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("media_a", "media_b", "hamming"))
+
+
+# -------------------------------------------------------------- GIF codec
+
+def decode_gif_pixels(payload: bytes):
+    """GIF87a/89a first frame -> (height, width, 3) uint8 RGB numpy
+    array (logical-screen sized, frame composed at its offset over the
+    background color), or None when damaged. From-scratch LZW with
+    variable code width (LSB-first packing), local/global color
+    tables, and interlace reordering - the third major crawl image
+    codec next to PNG and JPEG."""
+    import numpy as np
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        if w == 0 or h == 0 or w * h > 64_000_000:
+            return None
+        flags = payload[10]
+        bg_index = payload[11]
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            b = payload[pos]
+            if b == 0x3B:  # trailer
+                return None
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(payload) and payload[pos]:
+                    pos += 1 + payload[pos]
+                pos += 1
+                continue
+            if b != 0x2C:
+                return None
+            fl = int.from_bytes(payload[pos + 1:pos + 3], "little")
+            ft = int.from_bytes(payload[pos + 3:pos + 5], "little")
+            fw = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            fh = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                table = np.frombuffer(payload[pos:pos + 3 * n],
+                                      dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if table is None or fw == 0 or fh == 0:
+                return None
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            indices = _gif_lzw(bytes(data), min_code, fw * fh)
+            if indices is None:
+                return None
+            idx = np.array(indices[:fw * fh], dtype=np.int32)
+            if len(idx) < fw * fh:
+                idx = np.pad(idx, (0, fw * fh - len(idx)))
+            frame = idx.reshape(fh, fw)
+            if iflags & 0x40:  # interlace: rows in 8/8/4/2 passes
+                order = (list(range(0, fh, 8)) + list(range(4, fh, 8))
+                         + list(range(2, fh, 4)) + list(range(1, fh, 2)))
+                de = np.empty_like(frame)
+                de[order] = frame
+                frame = de
+            np.clip(frame, 0, len(table) - 1, out=frame)
+            rgb = table[frame]
+            canvas = np.empty((h, w, 3), dtype=np.uint8)
+            bg = table[bg_index] if gct is not None \
+                and bg_index < len(gct) else np.zeros(3, np.uint8)
+            canvas[:, :] = bg
+            y1 = min(h, ft + fh)
+            x1 = min(w, fl + fw)
+            canvas[ft:y1, fl:x1] = rgb[:y1 - ft, :x1 - fl]
+            return canvas
+        return None
+    except (IndexError, ValueError):
+        return None
+
+
+def _gif_lzw(data: bytes, min_code: int, max_out: int):
+    """GIF LZW decode (LSB-first variable-width codes) -> index list,
+    None on a broken stream."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear = 1 << min_code
+    eoi = clear + 1
+    out: list = []
+    bitpos = 0
+    nbits = len(data) * 8
+    width = min_code + 1
+    dict_base = [(i,) for i in range(clear)] + [None, None]
+    table = list(dict_base)
+    prev = None
+    while bitpos + width <= nbits:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte:byte + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(dict_base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + (prev[0],)
+        else:
+            return None
+        out.extend(entry)
+        if len(out) >= max_out:
+            return out
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def encode_gif(px, palette=None) -> bytes:
+    """Minimal single-frame GIF89a encoder (test-fixture utility):
+    palette-quantization-free - the input must use <= 256 distinct
+    colors. LZW emits a clear code before every literal (valid per
+    spec, constant code width, no dictionary growth)."""
+    import numpy as np
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=2)
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs <=256 distinct colors")
+    bits = max(2, int(len(colors) - 1).bit_length())
+    n_table = 1 << bits
+    table = np.zeros((n_table, 3), np.uint8)
+    table[:len(colors)] = colors
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += table.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") \
+        + h.to_bytes(2, "little") + b"\x00"
+    min_code = bits
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    acc = 0
+    nacc = 0
+    stream = bytearray()
+
+    def put(code):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    put(clear)
+    for v in inverse:
+        put(int(v))
+        put(clear)  # reset: dictionary never grows, width constant
+    put(eoi)
+    if nacc:
+        stream.append(acc & 0xFF)
+    out += bytes([min_code])
+    for i in range(0, len(stream), 255):
+        block = stream[i:i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -666,3 +666,72 @@ class TestJpegProgressive:
             flipped[i] ^= 1 << rng.randrange(8)
             out = decode_jpeg_pixels(bytes(flipped))
             assert out is None or out.dtype == np.uint8
+
+
+class TestGifCodec:
+    def test_roundtrip_exact_color_and_gray(self):
+        import numpy as np
+
+        from docling_spark.multimodal import decode_gif_pixels, encode_gif
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = \
+            [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+        px = decode_gif_pixels(encode_gif(img))
+        assert (px == img).all()
+        gray = (np.arange(12)[:, None] * np.arange(20)[None, :] * 9
+                % 256).astype(np.uint8)
+        px = decode_gif_pixels(encode_gif(gray))
+        assert px.shape == (12, 20, 3)
+        assert (px == gray[:, :, None]).all()
+
+    def test_interlaced_frame_reorders_rows(self):
+        """Set the interlace flag on an encoder output whose rows were
+        pre-permuted into interlace pass order: the decoder must undo
+        the 8/8/4/2 pass interleave and reproduce the original."""
+        import numpy as np
+
+        from docling_spark.multimodal import decode_gif_pixels, encode_gif
+        h, w = 16, 8
+        img = (np.arange(h)[:, None] * np.ones((1, w)) * 15) \
+            .astype(np.uint8)
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        permuted = img[order]          # rows as stored in the file
+        raw = bytearray(encode_gif(permuted))
+        at = raw.index(b"\x2c")        # image descriptor
+        assert raw[at + 9] == 0        # flags byte
+        raw[at + 9] = 0x40             # interlaced
+        px = decode_gif_pixels(bytes(raw))
+        assert (px == img[:, :, None].repeat(3, axis=2)).all()
+
+    def test_gif_decoder_total_on_hostile_bytes(self):
+        import random
+
+        import numpy as np
+
+        from docling_spark.multimodal import decode_gif_pixels, encode_gif
+        img = np.tile(np.arange(16, dtype=np.uint8) * 16, (8, 1))
+        raw = encode_gif(img)
+        rng = random.Random(9)
+        for _ in range(64):
+            flipped = bytearray(raw)
+            i = rng.randrange(len(flipped))
+            flipped[i] ^= 1 << rng.randrange(8)
+            out = decode_gif_pixels(bytes(flipped))
+            assert out is None or out.dtype == np.uint8
+        for cut in (2, 7, 13, 20, len(raw) - 2):
+            out = decode_gif_pixels(raw[:cut])
+            assert out is None or out.dtype == np.uint8
+
+    def test_media_features_real_gif(self, spark):
+        import numpy as np
+
+        from docling_spark import multimodal
+        from docling_spark.multimodal import encode_gif
+        img = np.full((24, 40, 3), (50, 60, 70), np.uint8)
+        df = spark.createDataFrame(
+            [(1, "image", encode_gif(img), "image/gif")],
+            "media_id long, kind string, payload binary, mime string")
+        row = multimodal.extract_media_features(df).collect()[0]
+        assert (row.width, row.height) == (40, 24)
+        assert abs(row.feature_v0 - 60.0 / 255) < 1e-12
