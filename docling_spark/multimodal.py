@@ -17,6 +17,7 @@ and tested. REAL decoders (pure stdlib + numpy, no codec libraries):
   (:func:`decode_image_header`);
 - WAV duration/sample-rate (:func:`decode_wav_header`).
 
+BMP truecolor/paletted pixels decode too (:func:`decode_bmp_pixels`);
 ``_fake_decode`` remains only for WebP/TIFF pixel decode and raw a/v
 sample decode - those codec libs are absent from this container; swap
 in PIL/av in production, the dataflow is unchanged.
@@ -1413,6 +1414,8 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     px = decode_jpeg_pixels(raw)
                 elif raw[:6] in (b"GIF87a", b"GIF89a"):
                     px = decode_gif_pixels(raw)
+                elif raw[:2] == b"BM":
+                    px = decode_bmp_pixels(raw)
                 else:
                     px = None
                 if px is not None:
@@ -1536,6 +1539,8 @@ def _dhash_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 px = decode_jpeg_pixels(raw)
             elif raw[:6] in (b"GIF87a", b"GIF89a"):
                 px = decode_gif_pixels(raw)
+            elif raw[:2] == b"BM":
+                px = decode_bmp_pixels(raw)
             else:
                 px = None
             if px is None:
@@ -1793,3 +1798,62 @@ def encode_gif(px, palette=None) -> bytes:
         out += bytes([len(block)]) + block
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# -------------------------------------------------------------- BMP decode
+
+def decode_bmp_pixels(payload: bytes):
+    """Uncompressed BMP (BITMAPINFOHEADER+, 24/32-bit truecolor or
+    1/4/8-bit paletted) -> (height, width, 3) uint8 RGB, or None.
+    Bottom-up and top-down row orders, 4-byte row padding."""
+    import struct
+
+    import numpy as np
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    try:
+        data_at = struct.unpack("<I", payload[10:14])[0]
+        hdr = struct.unpack("<I", payload[14:18])[0]
+        if hdr < 40:
+            return None
+        w, h = struct.unpack("<ii", payload[18:26])
+        planes, bpp = struct.unpack("<HH", payload[26:30])
+        comp = struct.unpack("<I", payload[30:34])[0]
+        topdown = h < 0
+        h = abs(h)
+        if w <= 0 or h == 0 or w * h > 64_000_000:
+            return None
+        if comp not in (0, 3) or bpp not in (1, 4, 8, 24, 32):
+            return None
+        palette = None
+        if bpp <= 8:
+            n_colors = struct.unpack("<I", payload[46:50])[0] \
+                or (1 << bpp)
+            pal_at = 14 + hdr
+            pal = np.frombuffer(
+                payload[pal_at:pal_at + 4 * n_colors], dtype=np.uint8)
+            if len(pal) < 4 * n_colors:
+                return None
+            palette = pal.reshape(-1, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+        stride = (w * bpp + 31) // 32 * 4
+        need = stride * h
+        raw = payload[data_at:data_at + need]
+        if len(raw) < need:
+            return None
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        if bpp == 24:
+            px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]
+        elif bpp == 32:
+            px = rows[:, :w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            vals = bits.reshape(h, -1, bpp)
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint16)
+            idx = (vals * weights).sum(axis=2)[:, :w]
+            idx = np.clip(idx, 0, len(palette) - 1)
+            px = palette[idx]
+        if not topdown:
+            px = px[::-1]
+        return np.ascontiguousarray(px.astype(np.uint8))
+    except (struct.error, ValueError, IndexError):
+        return None

@@ -735,3 +735,72 @@ class TestGifCodec:
         row = multimodal.extract_media_features(df).collect()[0]
         assert (row.width, row.height) == (40, 24)
         assert abs(row.feature_v0 - 60.0 / 255) < 1e-12
+
+
+class TestBmpDecode:
+    @staticmethod
+    def _make(px, bpp=24, topdown=False):
+        import struct
+        h, w = px.shape[:2]
+        stride = (w * bpp + 31) // 32 * 4
+        rows = []
+        for y in (range(h) if topdown else range(h - 1, -1, -1)):
+            row = px[y][:, ::-1].tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        data = b"".join(rows)
+        hdr = struct.pack("<IiiHHIIiiII", 40, w,
+                          -h if topdown else h, 1, bpp, 0, len(data),
+                          2835, 2835, 0, 0)
+        off = 14 + 40
+        return (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+                + hdr + data)
+
+    def test_truecolor_both_row_orders(self):
+        import numpy as np
+
+        from docling_spark.multimodal import decode_bmp_pixels
+        img = np.zeros((5, 7, 3), np.uint8)
+        img[:, :, 0] = np.arange(7)[None, :] * 30
+        img[:, :, 2] = np.arange(5)[:, None] * 40
+        for td in (False, True):
+            out = decode_bmp_pixels(self._make(img, topdown=td))
+            assert out is not None and (out == img).all(), td
+
+    def test_paletted_8bit(self):
+        import struct
+
+        import numpy as np
+
+        from docling_spark.multimodal import decode_bmp_pixels
+        pal = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 255],
+                        [255, 255, 255]], np.uint8)
+        idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]], np.uint8)
+        h, w = idx.shape
+        stride = (w * 8 + 31) // 32 * 4
+        data = b"".join(
+            idx[y].tobytes() + b"\x00" * (stride - w)
+            for y in range(h - 1, -1, -1))
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                          len(data), 2835, 2835, 4, 0)
+        pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+        off = 14 + 40 + len(pal_bytes)
+        raw = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+               + hdr + pal_bytes + data)
+        out = decode_bmp_pixels(raw)
+        assert out is not None and (out == pal[idx]).all()
+
+    def test_total_on_garbage(self):
+        import numpy as np
+
+        from docling_spark.multimodal import decode_bmp_pixels
+        import random
+        img = np.full((4, 4, 3), 99, np.uint8)
+        raw = self._make(img)
+        rng = random.Random(4)
+        for _ in range(48):
+            fl = bytearray(raw)
+            i = rng.randrange(len(fl))
+            fl[i] ^= 1 << rng.randrange(8)
+            out = decode_bmp_pixels(bytes(fl))
+            assert out is None or out.dtype == np.uint8
+        assert decode_bmp_pixels(b"BM tiny") is None
