@@ -17,9 +17,10 @@ and tested. REAL decoders (pure stdlib + numpy, no codec libraries):
   (:func:`decode_image_header`);
 - WAV duration/sample-rate (:func:`decode_wav_header`).
 
-BMP truecolor/paletted pixels decode too (:func:`decode_bmp_pixels`);
-``_fake_decode`` remains only for WebP/TIFF pixel decode and raw a/v
-sample decode - those codec libs are absent from this container; swap
+BMP truecolor/paletted and baseline TIFF (none/LZW/PackBits, gray/
+RGB/palette/bilevel) pixels decode too (:func:`decode_bmp_pixels`,
+:func:`decode_tiff_pixels`); ``_fake_decode`` remains only for WebP
+pixel decode and raw a/v sample decode - those codec libs are absent from this container; swap
 in PIL/av in production, the dataflow is unchanged.
 """
 
@@ -1416,6 +1417,8 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     px = decode_gif_pixels(raw)
                 elif raw[:2] == b"BM":
                     px = decode_bmp_pixels(raw)
+                elif raw[:4] in (b"II*\x00", b"MM\x00*"):
+                    px = decode_tiff_pixels(raw)
                 else:
                     px = None
                 if px is not None:
@@ -1541,6 +1544,8 @@ def _dhash_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 px = decode_gif_pixels(raw)
             elif raw[:2] == b"BM":
                 px = decode_bmp_pixels(raw)
+            elif raw[:4] in (b"II*\x00", b"MM\x00*"):
+                px = decode_tiff_pixels(raw)
             else:
                 px = None
             if px is None:
@@ -1857,3 +1862,169 @@ def decode_bmp_pixels(payload: bytes):
         return np.ascontiguousarray(px.astype(np.uint8))
     except (struct.error, ValueError, IndexError):
         return None
+
+
+# ------------------------------------------------------------- TIFF decode
+
+def decode_tiff_pixels(payload: bytes):
+    """Baseline TIFF (IFD0) -> (height, width, channels) uint8, or
+    None. Scope: 8-bit samples (gray / RGB / palette) and 1-bit
+    bilevel, strip-based, chunky planar config; compressions none (1),
+    LZW (5, MSB-first with early change + horizontal predictor), and
+    PackBits (32773). Both byte orders."""
+    import struct
+
+    import numpy as np
+    if payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    fmt = "<" if payload[:2] == b"II" else ">"
+    try:
+        ifd = struct.unpack(fmt + "I", payload[4:8])[0]
+        n = struct.unpack(fmt + "H", payload[ifd:ifd + 2])[0]
+        tags: dict = {}
+        for i in range(min(n, 512)):
+            e = payload[ifd + 2 + 12 * i: ifd + 14 + 12 * i]
+            tag, typ = struct.unpack(fmt + "HH", e[:4])
+            cnt = struct.unpack(fmt + "I", e[4:8])[0]
+            size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue
+            total = size * cnt
+            if total <= 4:
+                buf = e[8:8 + total]
+            else:
+                off = struct.unpack(fmt + "I", e[8:12])[0]
+                buf = payload[off:off + total]
+                if len(buf) < total:
+                    return None
+            ch = {1: "B", 3: "H", 4: "I"}.get(typ, "B")
+            vals = struct.unpack(f"{fmt}{cnt}{ch}", buf) \
+                if typ != 2 else (buf,)
+            tags[tag] = vals
+        w = tags.get(256, (0,))[0]
+        h = tags.get(257, (0,))[0]
+        if not w or not h or w * h > 64_000_000:
+            return None
+        bps = tags.get(258, (1,))
+        comp = tags.get(259, (1,))[0]
+        photo = tags.get(262, (1,))[0]
+        offsets = tags.get(273)
+        spp = tags.get(277, (1,))[0]
+        rps = tags.get(278, (h,))[0] or h
+        counts = tags.get(279)
+        predictor = tags.get(317, (1,))[0]
+        if offsets is None or counts is None:
+            return None
+        if tags.get(284, (1,))[0] != 1:
+            return None  # planar config 2 out of scope
+        if spp not in (1, 3) or len(set(bps)) != 1:
+            return None
+        depth = bps[0]
+        if depth not in (1, 8) or (depth == 1 and spp != 1):
+            return None
+        if comp not in (1, 5, 32773):
+            return None
+        row_bytes = (w * spp * depth + 7) // 8
+        out = bytearray()
+        for off, cnt in zip(offsets, counts):
+            strip = payload[off:off + cnt]
+            if len(strip) < cnt:
+                return None
+            if comp == 5:
+                strip = _tiff_lzw(strip)
+            elif comp == 32773:
+                strip = _packbits(strip)
+            if strip is None:
+                return None
+            out += strip
+        need = row_bytes * h
+        if len(out) < need:
+            return None
+        rows = np.frombuffer(bytes(out[:need]),
+                             dtype=np.uint8).reshape(h, row_bytes)
+        if depth == 1:
+            bits = np.unpackbits(rows, axis=1)[:, :w]
+            px = (bits * 255).astype(np.uint8)
+            if photo == 0:
+                px = 255 - px
+            return px[:, :, None]
+        arr = rows[:, :w * spp].reshape(h, w, spp).astype(np.uint8)
+        if predictor == 2:
+            arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(
+                np.uint8)
+        if photo == 3:  # palette: ColorMap is 16-bit per channel
+            cmap = tags.get(320)
+            if cmap is None:
+                return None
+            third = len(cmap) // 3
+            table = (np.array(cmap, dtype=np.uint32)
+                     .reshape(3, third).T // 257).astype(np.uint8)
+            idx = np.clip(arr[:, :, 0], 0, third - 1)
+            return table[idx]
+        if photo == 0 and spp == 1:
+            arr = 255 - arr
+        return arr
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def _tiff_lzw(data: bytes):
+    """TIFF LZW (MSB-first, early change): strip bytes -> decoded."""
+    out = bytearray()
+    table: list = []
+    width = 9
+    prev = None
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [None, None]
+        width = 9
+        prev = None
+
+    reset()
+    while bitpos + width <= nbits:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte:byte + 4], "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # early change: width bumps one code EARLIER than GIF
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _packbits(data: bytes):
+    """PackBits RLE: strip bytes -> decoded."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)

@@ -804,3 +804,170 @@ class TestBmpDecode:
             out = decode_bmp_pixels(bytes(fl))
             assert out is None or out.dtype == np.uint8
         assert decode_bmp_pixels(b"BM tiny") is None
+
+
+class TestTiffDecode:
+    @staticmethod
+    def _tiff(w, h, strips, extra_tags, le=True):
+        """Assemble a single-IFD TIFF: strips = list of raw strip
+        bytes; extra_tags = {tag: (type, [values])}."""
+        import struct
+        fmt = "<" if le else ">"
+        header = (b"II*\x00" if le else b"MM\x00*")
+        # layout: header(8) | strip data | ifd | out-of-line values
+        data_at = 8
+        strip_offsets = []
+        body = bytearray()
+        for s in strips:
+            strip_offsets.append(data_at + len(body))
+            body += s
+        tags = {256: (3, [w]), 257: (3, [h]),
+                273: (4, strip_offsets),
+                279: (4, [len(s) for s in strips])}
+        tags.update(extra_tags)
+        ifd_at = data_at + len(body)
+        n = len(tags)
+        entries = bytearray()
+        overflow = bytearray()
+        over_at = ifd_at + 2 + 12 * n + 4
+        ch = {1: "B", 3: "H", 4: "I"}
+        size = {1: 1, 3: 2, 4: 4}
+        for tag in sorted(tags):
+            typ, vals = tags[tag]
+            total = size[typ] * len(vals)
+            packed = struct.pack(f"{fmt}{len(vals)}{ch[typ]}", *vals)
+            if total <= 4:
+                val_field = packed + b"\x00" * (4 - total)
+            else:
+                val_field = struct.pack(fmt + "I",
+                                        over_at + len(overflow))
+                overflow += packed
+            entries += struct.pack(fmt + "HHI", tag, typ, len(vals)) \
+                + val_field
+        ifd = struct.pack(fmt + "H", n) + entries \
+            + struct.pack(fmt + "I", 0)
+        return header + struct.pack(fmt + "I", ifd_at) + bytes(body) \
+            + ifd + bytes(overflow)
+
+    def test_uncompressed_rgb_both_orders(self):
+        import numpy as np
+
+        from docling_spark.multimodal import decode_tiff_pixels
+        img = np.zeros((4, 5, 3), np.uint8)
+        img[:, :, 0] = np.arange(5)[None, :] * 50
+        img[:, :, 1] = np.arange(4)[:, None] * 60
+        for le in (True, False):
+            raw = self._tiff(5, 4, [img.tobytes()],
+                             {258: (3, [8, 8, 8]), 259: (3, [1]),
+                              262: (3, [2]), 277: (3, [3]),
+                              278: (3, [4])}, le=le)
+            out = decode_tiff_pixels(raw)
+            assert out is not None and (out == img).all(), le
+
+    def test_gray_white_is_zero_and_bilevel(self):
+        import numpy as np
+
+        from docling_spark.multimodal import decode_tiff_pixels
+        g = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+        raw = self._tiff(4, 4, [g.tobytes()],
+                         {258: (3, [8]), 259: (3, [1]), 262: (3, [0]),
+                          277: (3, [1]), 278: (3, [4])})
+        out = decode_tiff_pixels(raw)
+        assert (out[:, :, 0] == 255 - g).all()
+        bits = np.packbits(np.eye(8, dtype=np.uint8), axis=1)
+        raw = self._tiff(8, 8, [bits.tobytes()],
+                         {258: (3, [1]), 259: (3, [1]), 262: (3, [1]),
+                          277: (3, [1]), 278: (3, [8])})
+        out = decode_tiff_pixels(raw)
+        assert (out[:, :, 0] == np.eye(8, dtype=np.uint8) * 255).all()
+
+    def test_packbits_strips(self):
+        import numpy as np
+
+        from docling_spark.multimodal import decode_tiff_pixels
+        # two strips of 2 rows each, width 8 gray: strip = literal run
+        # of 8 + repeat run of 8
+        strip = bytes([7]) + bytes(range(0, 128, 16)) \
+            + bytes([256 - 7]) + bytes([200])
+        want = np.vstack([np.arange(0, 128, 16, dtype=np.uint8),
+                          np.full(8, 200, np.uint8)])
+        raw = self._tiff(8, 4, [strip, strip],
+                         {258: (3, [8]), 259: (3, [32773]),
+                          262: (3, [1]), 277: (3, [1]), 278: (3, [2])})
+        out = decode_tiff_pixels(raw)
+        assert (out[:, :, 0] == np.vstack([want, want])).all()
+
+    @staticmethod
+    def _lzw_encode(data: bytes) -> bytes:
+        """Minimal valid TIFF LZW: clear before every literal (9-bit
+        codes, MSB-first, table never grows)."""
+        bits = []
+        def put(code):
+            bits.extend((code >> (8 - i)) & 1 for i in range(9))
+        put(256)
+        for b in data:
+            put(b)
+            put(256)
+        put(257)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for j, bit in enumerate(bits[i:i + 8]):
+                byte |= bit << (7 - j)
+            out.append(byte)
+        return bytes(out)
+
+    def test_lzw_with_horizontal_predictor(self):
+        import numpy as np
+
+        from docling_spark.multimodal import decode_tiff_pixels
+        img = np.cumsum(np.ones((3, 6), np.uint8) * 3,
+                        axis=1).astype(np.uint8) + 10
+        # predictor 2: encode per-row differences
+        diff = img.astype(np.int16)
+        diff[:, 1:] -= img[:, :-1].astype(np.int16)
+        payload = (diff & 0xFF).astype(np.uint8).tobytes()
+        raw = self._tiff(6, 3, [self._lzw_encode(payload)],
+                         {258: (3, [8]), 259: (3, [5]), 262: (3, [1]),
+                          277: (3, [1]), 278: (3, [3]),
+                          317: (3, [2])})
+        out = decode_tiff_pixels(raw)
+        assert out is not None and (out[:, :, 0] == img).all()
+
+    def test_palette(self):
+        import numpy as np
+
+        from docling_spark.multimodal import decode_tiff_pixels
+        idx = np.array([[0, 1], [2, 3]], np.uint8)
+        # ColorMap: 16-bit, all reds then greens then blues
+        reds, greens, blues = [10, 90, 170, 250], [5, 55, 105, 155], \
+            [0, 64, 128, 192]
+        cmap = [v * 257 for v in reds + greens + blues]
+        raw = self._tiff(2, 2, [idx.tobytes()],
+                         {258: (3, [8]), 259: (3, [1]), 262: (3, [3]),
+                          277: (3, [1]), 278: (3, [2]),
+                          320: (3, cmap)})
+        out = decode_tiff_pixels(raw)
+        want = np.stack([np.array(reds, np.uint8)[idx],
+                         np.array(greens, np.uint8)[idx],
+                         np.array(blues, np.uint8)[idx]], axis=2)
+        assert (out == want).all()
+
+    def test_total_on_garbage(self):
+        import random
+
+        import numpy as np
+
+        from docling_spark.multimodal import decode_tiff_pixels
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        raw = self._tiff(8, 8, [img.tobytes()],
+                         {258: (3, [8]), 259: (3, [1]), 262: (3, [1]),
+                          277: (3, [1]), 278: (3, [8])})
+        assert (decode_tiff_pixels(raw)[:, :, 0] == img).all()
+        rng = random.Random(6)
+        for _ in range(48):
+            fl = bytearray(raw)
+            i = rng.randrange(len(fl))
+            fl[i] ^= 1 << rng.randrange(8)
+            out = decode_tiff_pixels(bytes(fl))
+            assert out is None or out.dtype == np.uint8
