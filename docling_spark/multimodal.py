@@ -580,30 +580,40 @@ def _jpeg_reconstruct(frame, scan, qt, huff_dc, huff_ac, dri):
         segs = [data]
     n_mcu = (mcux * mcuy if interleaved else n_blocks[sel[0][0]])
     mcu = 0
-    for seg in segs:
-        rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
-        preds = {c[0]: 0 for c in comps}
-        limit = min(n_mcu, mcu + dri) if dri else n_mcu
-        while mcu < limit:
-            if interleaved:
-                my, mx = divmod(mcu, mcux)
-                for c, tdc, tac, _q in order:
-                    cid, ch, cv, _ = c
-                    out = store[cid]
-                    for v in range(cv):
-                        for hh in range(ch):
-                            bi = ((my * cv + v) * (mcux * ch)
-                                  + mx * ch + hh)
-                            preds[cid] = _decode_block(
-                                rd, out, bi * 64, tdc, tac,
-                                preds[cid])
-            else:
-                c, tdc, tac, _q = order[0]
-                preds[c[0]] = _decode_block(
-                    rd, store[c[0]], mcu * 64, tdc, tac, preds[c[0]])
-            mcu += 1
-        if mcu >= n_mcu:
-            break
+    decoded_any = False
+    # a damaged/truncated entropy stream renders the MCUs decoded so
+    # far (libjpeg-style partial decode) - crawl payloads are often
+    # cut mid-transfer and the intact top of the image is still signal
+    try:
+        for seg in segs:
+            rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+            preds = {c[0]: 0 for c in comps}
+            limit = min(n_mcu, mcu + dri) if dri else n_mcu
+            while mcu < limit:
+                if interleaved:
+                    my, mx = divmod(mcu, mcux)
+                    for c, tdc, tac, _q in order:
+                        cid, ch, cv, _ = c
+                        out = store[cid]
+                        for v in range(cv):
+                            for hh in range(ch):
+                                bi = ((my * cv + v) * (mcux * ch)
+                                      + mx * ch + hh)
+                                preds[cid] = _decode_block(
+                                    rd, out, bi * 64, tdc, tac,
+                                    preds[cid])
+                else:
+                    c, tdc, tac, _q = order[0]
+                    preds[c[0]] = _decode_block(
+                        rd, store[c[0]], mcu * 64, tdc, tac,
+                        preds[c[0]])
+                mcu += 1
+                decoded_any = True
+            if mcu >= n_mcu:
+                break
+    except _JpegError:
+        if not decoded_any:
+            return None
     dims = {}
     for c in comps:
         if interleaved:
@@ -696,6 +706,7 @@ def _jpeg_progressive(frame, scans, qt):
                   else (mcux * c[1], mcuy * c[2]))
         dims[c[0]] = (bw, bh)
         store[c[0]] = [0] * (bw * bh * 64)
+    first_scan = True
     for sel, data, ss, se, ah, al, hdc, hac, dri in scans:
         if not sel:
             return None
@@ -705,80 +716,105 @@ def _jpeg_progressive(frame, scans, qt):
         if not is_dc and len(sel) != 1:
             return None  # spec: AC scans are single-component
         segs = _split_restarts(data, dri)
-        if is_dc and len(sel) > 1:
-            # interleaved DC scan over MCUs
-            order = []
-            for cs, td, _ta in sel:
-                c = by_id.get(cs)
-                if c is None or (ah == 0 and td not in hdc):
-                    return None
-                order.append((c, hdc.get(td)))
-            n_mcu = mcux * mcuy
-            mcu = 0
-            for seg in segs:
-                rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
-                preds = {c[0]: 0 for c in comps}
-                limit = min(n_mcu, mcu + dri) if dri else n_mcu
-                while mcu < limit:
-                    my, mx = divmod(mcu, mcux)
-                    for c, tdc in order:
-                        cid, ch, cv, _ = c
-                        out = store[cid]
-                        stride = dims[cid][0]
-                        for v in range(cv):
-                            for hh in range(ch):
-                                bi = ((my * cv + v) * stride
-                                      + mx * ch + hh)
-                                preds[cid] = _dc_scan_block(
-                                    rd, out, bi * 64, tdc, ah, al,
-                                    preds[cid])
-                    mcu += 1
-                if mcu >= n_mcu:
-                    break
-            continue
-        # single-component scan (DC or AC), component raster order
-        cs, td, ta = sel[0]
-        c = by_id.get(cs)
-        if c is None:
+        try:
+            _jpeg_progressive_scan(
+                frame, store, dims, by_id, one, mcux, mcuy, hmax, vmax,
+                sel, segs, ss, se, ah, al, hdc, hac, dri)
+        except _JpegError:
+            # a damaged/truncated scan renders what earlier scans
+            # deposited (progressive streams degrade gracefully);
+            # nothing decoded at all -> undecodable
+            if first_scan:
+                return None
+            break
+        except _JpegBadScan:
             return None
-        cid, ch, cv, _ = c
-        stride = dims[cid][0]
-        cw = -(-fw * ch // hmax)   # component samples
-        chh = -(-fh * cv // vmax)
-        cbw, cbh = -(-cw // 8), -(-chh // 8)  # non-interleaved blocks
-        if one:
-            cbw, cbh = dims[cid]
-        n_units = cbw * cbh
-        tdc = hdc.get(td)
-        tac = hac.get(ta)
-        if is_dc and ah == 0 and tdc is None:
-            return None
-        if not is_dc and tac is None:
-            return None
-        out = store[cid]
-        unit = 0
-        eobrun = 0
+        first_scan = False
+    return _jpeg_finish(frame, store, dims, qt, hmax, vmax)
+
+
+class _JpegBadScan(Exception):
+    pass
+
+
+def _jpeg_progressive_scan(frame, store, dims, by_id, one, mcux, mcuy,
+                           hmax, vmax, sel, segs, ss, se, ah, al,
+                           hdc, hac, dri):
+    fw, fh, comps = frame
+    is_dc = ss == 0
+    if is_dc and len(sel) > 1:
+        # interleaved DC scan over MCUs
+        order = []
+        for cs, td, _ta in sel:
+            c = by_id.get(cs)
+            if c is None or (ah == 0 and td not in hdc):
+                raise _JpegBadScan()
+            order.append((c, hdc.get(td)))
+        n_mcu = mcux * mcuy
+        mcu = 0
         for seg in segs:
             rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
-            pred = 0
-            eobrun = 0
-            limit = min(n_units, unit + dri) if dri else n_units
-            while unit < limit:
-                by, bx = divmod(unit, cbw)
-                base = (by * stride + bx) * 64
-                if is_dc:
-                    pred = _dc_scan_block(rd, out, base, tdc, ah, al,
-                                          pred)
-                elif ah == 0:
-                    eobrun = _ac_first_block(rd, out, base, tac, ss,
-                                             se, al, eobrun)
-                else:
-                    eobrun = _ac_refine_block(rd, out, base, tac, ss,
-                                              se, al, eobrun)
-                unit += 1
-            if unit >= n_units:
+            preds = {c[0]: 0 for c in comps}
+            limit = min(n_mcu, mcu + dri) if dri else n_mcu
+            while mcu < limit:
+                my, mx = divmod(mcu, mcux)
+                for c, tdc in order:
+                    cid, ch, cv, _ = c
+                    out = store[cid]
+                    stride = dims[cid][0]
+                    for v in range(cv):
+                        for hh in range(ch):
+                            bi = ((my * cv + v) * stride
+                                  + mx * ch + hh)
+                            preds[cid] = _dc_scan_block(
+                                rd, out, bi * 64, tdc, ah, al,
+                                preds[cid])
+                mcu += 1
+            if mcu >= n_mcu:
                 break
-    return _jpeg_finish(frame, store, dims, qt, hmax, vmax)
+        return
+    # single-component scan (DC or AC), component raster order
+    cs, td, ta = sel[0]
+    c = by_id.get(cs)
+    if c is None:
+        raise _JpegBadScan()
+    cid, ch, cv, _ = c
+    stride = dims[cid][0]
+    cw = -(-fw * ch // hmax)   # component samples
+    chh = -(-fh * cv // vmax)
+    cbw, cbh = -(-cw // 8), -(-chh // 8)  # non-interleaved blocks
+    if one:
+        cbw, cbh = dims[cid]
+    n_units = cbw * cbh
+    tdc = hdc.get(td)
+    tac = hac.get(ta)
+    if is_dc and ah == 0 and tdc is None:
+        raise _JpegBadScan()
+    if not is_dc and tac is None:
+        raise _JpegBadScan()
+    out = store[cid]
+    unit = 0
+    eobrun = 0
+    for seg in segs:
+        rd = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+        pred = 0
+        eobrun = 0
+        limit = min(n_units, unit + dri) if dri else n_units
+        while unit < limit:
+            by, bx = divmod(unit, cbw)
+            base = (by * stride + bx) * 64
+            if is_dc:
+                pred = _dc_scan_block(rd, out, base, tdc, ah, al,
+                                      pred)
+            elif ah == 0:
+                eobrun = _ac_first_block(rd, out, base, tac, ss,
+                                         se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(rd, out, base, tac, ss,
+                                          se, al, eobrun)
+            unit += 1
+        if unit >= n_units:
+            break
 
 
 def _dc_scan_block(rd, out, base, tdc, ah, al, pred):

@@ -971,3 +971,28 @@ class TestTiffDecode:
             fl[i] ^= 1 << rng.randrange(8)
             out = decode_tiff_pixels(bytes(fl))
             assert out is None or out.dtype == np.uint8
+
+
+def test_jpeg_truncated_streams_render_partially():
+    """Crawl payloads are often cut mid-transfer: a truncated entropy
+    stream must render the MCUs/scans decoded so far (libjpeg-style),
+    not discard the whole image."""
+    import pathlib
+
+    import numpy as np
+
+    from docling_spark.multimodal import (decode_jpeg_pixels,
+                                          encode_jpeg_baseline)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[:, :, 0] = np.arange(64)[None, :] * 4
+    raw = encode_jpeg_baseline(img)
+    px = decode_jpeg_pixels(raw[:len(raw) * 2 // 3])
+    assert px is not None and px.shape == (64, 64, 3)
+    # the intact top third still matches the original closely
+    assert np.abs(px[:16].astype(int) - img[:16].astype(int)).max() <= 3
+    # progressive: dropping the tail scans degrades quality, not size
+    prog = pathlib.Path(
+        "/root/reference/tests/data/latex/sources/2310.06825/"
+        "images/header.jpeg").read_bytes()
+    px = decode_jpeg_pixels(prog[:len(prog) // 2])
+    assert px is not None and px.shape == (500, 1500, 3)
