@@ -913,6 +913,21 @@ def _image_near_dups_oracle_sql() -> str:
         """
 
 
+def _q_bigram_surprisal(spark, sf_dir):
+    """Per-doc bigram-LM surprisal (textfns.bigram_surprisal): add-k
+    smoothed -ln p(w2|w1), the deterministic CCNet-perplexity analog
+    one order above unigram_surprisal."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.bigram_surprisal(docs, k=0.5)
+
+
+def _q_readability(spark, sf_dir):
+    """Flesch ease + FK grade (textfns.readability): vowel-group
+    syllable heuristic, all scan-side regexp algebra."""
+    docs = _load(spark, sf_dir, "documents")
+    return textfns.readability(docs)
+
+
 def _q_bigram_entropy(spark, sf_dir):
     """Per-source bigram conditional entropy (textfns.bigram_entropy):
     template-heavy sources score low, organic prose high."""
@@ -1580,6 +1595,8 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": _q_hash_embed,
         "text_knn": _q_text_knn,
         "bigram_entropy": _q_bigram_entropy,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "readability": _q_readability,
         "bm25_topk": _q_bm25,
         "pmi_pairs": _q_pmi_pairs,
         "robots_rules": _q_robots_rules,
@@ -3466,6 +3483,76 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_oracle_sql(),
         "gram_novelty": _gram_novelty_oracle_sql(),
         "cdc_chunks": _cdc_chunks_oracle_sql(),
+        # bigram-LM surprisal twin (_q_bigram_surprisal): same split,
+        # same add-k smoothing, same round(4)
+        "bigram_surprisal": r"""
+            WITH words AS (
+                SELECT doc_id, regexp_split_to_array(lower(text),
+                                                     '[^0-9a-z_]+') AS ws
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       unnest([{'w1': ws[x], 'w2': ws[x + 1]}
+                               for x in generate_series(1, len(ws) - 1)],
+                              recursive := true)
+                FROM words
+            ), bgf AS (
+                SELECT doc_id, w1, w2 FROM bg
+                WHERE w1 <> '' AND w2 <> ''
+            ), tf AS (
+                SELECT doc_id, w1, w2, count(*) AS tf
+                FROM bgf GROUP BY 1, 2, 3
+            ), c12 AS (
+                SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY 1, 2
+            ), c1 AS (
+                SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1
+            ), v AS (
+                SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+                    SELECT unnest(regexp_split_to_array(lower(text),
+                                  '[^0-9a-z_]+')) AS w FROM documents)
+                WHERE w <> ''
+            )
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+                   round(sum(tf * -ln((c12 + 0.5) / (c1 + 0.5 * v)))
+                         / sum(tf), 4) AS avg_bigram_surprisal
+            FROM tf JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+            GROUP BY doc_id
+        """,
+        # readability twin (_q_readability): identical regexp algebra;
+        # \x01 is the vowel-group marker in both engines
+        "readability": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(
+                           lower(text), '[^0-9a-z_]+'),
+                           w -> w <> '')) AS n_words,
+                       CAST(length(regexp_replace(regexp_replace(
+                           lower(text), '[aeiouy]+', chr(1), 'g'),
+                           '[^\x01]', '', 'g')) AS BIGINT) AS n_groups,
+                       len(list_filter(regexp_split_to_array(
+                           lower(text), '[^0-9a-z_]+'),
+                           w -> w <> ''
+                           AND NOT regexp_matches(w, '[aeiouy]')))
+                           AS n_vowelless,
+                       len(list_filter(regexp_split_to_array(
+                           text, '[.!?]+'),
+                           s -> trim(s) <> '')) AS n_sentences
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sentences AS BIGINT) AS n_sentences,
+                   n_groups + n_vowelless AS n_syllables,
+                   round(206.835
+                         - 1.015 * (n_words / greatest(n_sentences, 1))
+                         - 84.6 * ((n_groups + n_vowelless)
+                                   / greatest(n_words, 1)), 4)
+                       AS flesch_ease,
+                   round(0.39 * (n_words / greatest(n_sentences, 1))
+                         + 11.8 * ((n_groups + n_vowelless)
+                                   / greatest(n_words, 1))
+                         - 15.59, 4) AS fk_grade
+            FROM m
+        """,
         # Okapi BM25 twin (_q_bm25): same word split, same Lucene-variant
         # idf, same k1/b, score rounded to 6 before ranking
         "bm25_topk": r"""

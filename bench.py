@@ -272,7 +272,7 @@ def main() -> None:
         "sequence_pack", "perplexity_buckets", "incremental_novelty",
         "source_vocab_overlap", "retention_cohorts", "host_cap",
         "dup_spans", "split_leakage", "bm25_topk", "pmi_pairs",
-        "crawl_frontier", "train_split",
+        "crawl_frontier", "train_split", "bigram_surprisal", "readability",
     ]
 
     def make_query_leg(fn):

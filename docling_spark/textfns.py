@@ -1248,3 +1248,88 @@ def train_split(documents: DataFrame, val_frac: float = 0.05,
         F.when(bucket < t_test, "test")
          .when(bucket < t_val, "val")
          .otherwise("train").alias("split"))
+
+
+def bigram_surprisal(documents: DataFrame, k: float = 0.5,
+                     col: str = "text") -> DataFrame:
+    """Per-document average bigram surprisal -ln p(w2|w1) under the
+    corpus bigram distribution with add-k smoothing - the deterministic
+    analog of CCNet's n-gram-LM perplexity scoring, one order above
+    :func:`unigram_surprisal` (repetitive template prose scores low,
+    incoherent word soup scores high even when its unigrams are
+    common).
+
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), V = unigram vocabulary.
+
+    Plan shape: one explode -> per-doc bigram TF hash agg (map-side
+    combinable), corpus bigram and unigram dimensions off the same
+    stream, the V scalar broadcast; the corpus shuffles only (doc,
+    bigram) partial rows. Rounding to 4 decimals absorbs summation
+    order (Spark ln == DuckDB ln well under that).
+    """
+    words = documents.select(
+        "doc_id", _word_tokens(col).alias("ws"))
+    bigrams = (words
+               .select("doc_id", F.explode(F.expr(
+                   "filter(zip_with(ws, slice(ws, 2, size(ws)), "
+                   "(a, b) -> named_struct('w1', a, 'w2', b)), "
+                   "p -> p.w1 <> '' AND p.w2 <> '')")).alias("bg"))
+               .select("doc_id", "bg.w1", "bg.w2"))
+    tf = bigrams.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf"))
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (documents
+             .select(F.explode(_word_tokens(col)).alias("w"))
+             .where(F.col("w") != "")
+             .agg(F.countDistinct("w").cast("double").alias("v")))
+    return (tf.join(c12, ["w1", "w2"])
+            .join(c1, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                 F.round(
+                     F.sum(F.col("tf")
+                           * -F.log((F.col("c12") + k)
+                                    / (F.col("c1") + k * F.col("v"))))
+                     / F.sum("tf"), 4).alias("avg_bigram_surprisal")))
+
+
+_VOWEL_GROUP_RE = r"[aeiouy]+"
+
+
+def readability(documents: DataFrame, col: str = "text") -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document, with
+    a deterministic vowel-group syllable heuristic (each maximal
+    [aeiouy]+ run in a lowercased word = one syllable, minimum one per
+    word; silent-e refinements are tokenizer lore, not needed for a
+    corpus-level quality feature). Sentences = runs split on [.!?]+
+    with non-empty content.
+
+    One scan-side projection + nothing else: every count is regexp
+    algebra inside whole-stage codegen, so at 100 TB the score is free
+    with the scan (like gopher_quality / pii_scrub).
+    """
+    words = _word_tokens(col)
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    # syllables: total vowel-group count + one per vowel-less word
+    lowered = F.lower(F.col(col))
+    n_vowel_groups = F.length(F.regexp_replace(F.regexp_replace(
+        lowered, _VOWEL_GROUP_RE, "\x01"), r"[^\x01]", "")).cast("long")
+    vowelless = F.size(F.filter(
+        words, lambda w: (w != "") & ~w.rlike("[aeiouy]")))
+    n_syllables = n_vowel_groups + vowelless
+    n_sentences = F.size(F.filter(
+        F.split(F.col(col), r"[.!?]+"),
+        lambda s: F.trim(s) != ""))
+    wps = n_words / F.greatest(n_sentences, F.lit(1))
+    spw = n_syllables / F.greatest(n_words, F.lit(1))
+    ease = F.lit(206.835) - 1.015 * wps - 84.6 * spw
+    grade = 0.39 * wps + 11.8 * spw - F.lit(15.59)
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.round(ease, 4).alias("flesch_ease"),
+        F.round(grade, 4).alias("fk_grade"))

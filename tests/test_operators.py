@@ -1115,3 +1115,40 @@ def test_train_split_deterministic_and_stable_under_growth(spark, docs):
     other = {r.doc_id: r.split
              for r in textfns.train_split(docs, seed=7).collect()}
     assert other != m_full
+
+
+def test_readability_hand_vectors(spark):
+    """Known sentence shapes: short plain prose scores easier (higher
+    Flesch ease, lower grade) than long polysyllabic prose; counts are
+    hand-checkable."""
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran. It was fun."),
+         (2, "Extraordinarily sophisticated considerations "
+             "notwithstanding, interdisciplinary collaboration "
+             "methodologies necessitate comprehensive organizational "
+             "transformations.")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in textfns.readability(docs).collect()}
+    simple, dense = out[1], out[2]
+    assert simple.n_sentences == 3 and simple.n_words == 9
+    # "the cat sat" etc: every word one vowel group
+    assert simple.n_syllables == 9
+    assert simple.flesch_ease > 90 and simple.fk_grade < 2
+    assert dense.flesch_ease < 0 and dense.fk_grade > 20
+    assert dense.n_sentences == 1
+
+
+def test_bigram_surprisal_orders_coherence(spark):
+    """A document built from the corpus' dominant bigram chains scores
+    LOWER surprisal than one with the same unigrams scrambled into
+    never-seen pairs."""
+    from docling_spark import textfns
+    rows = [(i, "the quick brown fox jumps over the lazy dog")
+            for i in range(20)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog"))
+    rows.append((101, "dog the lazy brown over quick jumps fox the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_bigram_surprisal
+           for r in textfns.bigram_surprisal(docs).collect()}
+    assert out[100] < out[101]

@@ -409,3 +409,21 @@ def test_crawl_frontier_broadcast_rank_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_readability_single_projection(spark):
+    """Readability is pure scan-side regexp algebra: no Exchange, no
+    Python stages - free with the scan at 100 TB."""
+    plan = _plan(spark, "readability")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_surprisal_no_cartesian_no_udf(spark):
+    """Bigram LM: hash aggs + bigram/unigram equi-joins + broadcast V
+    scalar - no all-pairs product, no Python."""
+    plan = _plan(spark, "bigram_surprisal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or \
+        plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row V scalar
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
