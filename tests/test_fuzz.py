@@ -187,3 +187,72 @@ def test_legacy_parsers_enveloped_by_engine_dispatch():
     assert sum(len(o) for o in outs) == len(urls)
     for o in outs:
         assert set(o["status"]) <= {"success", "failure"}
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(2, 24), st.integers(2, 24),
+       st.sampled_from([1, 3]))
+@settings(max_examples=40, deadline=None)
+def test_png_gif_bmp_roundtrip_property(seed, h, w, nch):
+    """Property: any small uint8 image round-trips EXACTLY through the
+    from-scratch PNG and BMP codecs, and through GIF when it has <=256
+    distinct colors (seeded palette guarantees it)."""
+    import numpy as np
+
+    from docling_spark.multimodal import (decode_bmp_pixels,
+                                          decode_gif_pixels,
+                                          decode_png_pixels, encode_gif)
+    from docling_spark.pngio import encode_png_like_pil
+    rng = np.random.RandomState(seed % 2**32)
+    palette = rng.randint(0, 256, (16, nch), dtype=np.uint8)
+    img = palette[rng.randint(0, 16, (h, w))]
+    if nch == 1:
+        png_in = img
+    else:
+        png_in = img
+    out = decode_png_pixels(encode_png_like_pil(png_in))
+    assert (out == png_in).all()
+    gif_in = img[:, :, 0] if nch == 1 else img
+    out = decode_gif_pixels(encode_gif(gif_in))
+    want = img if nch == 3 else np.repeat(img, 3, axis=2)
+    assert (out == want).all()
+    if nch == 3:
+        # BMP writer from the unit tests' recipe, 24-bit bottom-up
+        import struct
+        stride = (w * 24 + 31) // 32 * 4
+        data = b"".join(
+            img[y][:, ::-1].tobytes() + b"\x00" * (stride - w * 3)
+            for y in range(h - 1, -1, -1))
+        hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(data), 2835, 2835, 0, 0)
+        raw = (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+               + hdr + data)
+        out = decode_bmp_pixels(raw)
+        assert (out == img).all()
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(8, 32), st.integers(9, 32))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_and_dhash_stability_property(seed, h, w):
+    """Property: all-ones-quant baseline JPEG round-trips within the
+    DCT rounding envelope, and the dHash of the decoded image differs
+    from the original's by at most a few gradient bits (the near-dup
+    property the image pipeline relies on)."""
+    import numpy as np
+
+    from docling_spark.multimodal import (decode_jpeg_pixels,
+                                          dhash_pixels,
+                                          encode_jpeg_baseline)
+    rng = np.random.RandomState(seed % 2**32)
+    # smooth content (JPEG's operating regime): low-freq sinusoids
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 60 * np.sin(xx / (3 + seed % 5))
+            + 50 * np.cos(yy / (2 + seed % 7)))
+    img = np.clip(base, 0, 255).astype(np.uint8)[:, :, None]
+    img = np.repeat(img, 3, axis=2)
+    px = decode_jpeg_pixels(encode_jpeg_baseline(img))
+    assert px.shape == img.shape
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 4
+    ha = dhash_pixels(img)
+    hb = dhash_pixels(px)
+    ham = bin((ha % (1 << 64)) ^ (hb % (1 << 64))).count("1")
+    assert ham <= 6, ham
