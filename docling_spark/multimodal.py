@@ -1474,8 +1474,15 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                  "duration_s": None,
                                  "feature_v0": (w * h) / 2**24}
             elif kind == "audio":
+                af = audio_features(raw)
                 wav = decode_wav_header(raw)
-                if wav is not None:
+                if af is not None:
+                    # REAL sample-level feature: RMS level (the audio
+                    # analog of the image mean-luminance feature)
+                    feats = {"width": None, "height": None,
+                             "duration_s": af["duration_s"],
+                             "feature_v0": af["rms"]}
+                elif wav is not None:
                     feats = {"width": None, "height": None,
                              "duration_s": round(wav[0], 6),
                              "feature_v0": wav[1] / 96000.0}
@@ -2064,3 +2071,79 @@ def _packbits(data: bytes):
             i += 1
         # c == 128: no-op
     return bytes(out)
+
+
+def decode_wav_samples(payload: bytes):
+    """RIFF/WAVE PCM samples -> (samples float64 in [-1, 1] shaped
+    (n, channels), sample_rate), or None. Integer PCM 8/16/24/32-bit
+    and IEEE float32 - pure stdlib + numpy, no audio libs."""
+    import struct
+
+    import numpy as np
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = channels = bits = audio_fmt = None
+    data = None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        if cid == b"fmt " and length >= 16:
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8:pos + 24])
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)
+    if not (rate and channels and bits and data is not None):
+        return None
+    if len(data) * 8 > 512_000_000:
+        return None  # bomb guard
+    if audio_fmt == 3 and bits == 32:       # IEEE float
+        x = np.frombuffer(data[:len(data) // 4 * 4], dtype="<f4") \
+            .astype(np.float64)
+    elif audio_fmt == 1 and bits == 8:      # unsigned 8-bit
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(data[:len(data) // 2 * 2], dtype="<i2") \
+            .astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and bits == 24:
+        b = np.frombuffer(data[:len(data) // 3 * 3], dtype=np.uint8) \
+            .reshape(-1, 3).astype(np.uint32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = v.astype(np.int32)
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64) \
+            / float(1 << 23)
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(data[:len(data) // 4 * 4], dtype="<i4") \
+            .astype(np.float64) / float(1 << 31)
+    else:
+        return None
+    frames = len(x) // channels
+    if frames == 0:
+        return None
+    return x[:frames * channels].reshape(frames, channels), rate
+
+
+def audio_features(payload: bytes):
+    """REAL audio features from a PCM WAV: duration, RMS level, peak,
+    zero-crossing rate (per second, channel-averaged), clipping ratio.
+    None for non-PCM/undecodable payloads (caller falls back)."""
+    import numpy as np
+    dec = decode_wav_samples(payload)
+    if dec is None:
+        return None
+    x, rate = dec
+    mono = x.mean(axis=1)
+    rms = float(np.sqrt((x * x).mean()))
+    peak = float(np.abs(x).max())
+    zc = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).sum())
+    dur = x.shape[0] / rate
+    return {
+        "duration_s": round(dur, 6),
+        "rms": round(rms, 6),
+        "peak": round(peak, 6),
+        "zcr_per_s": round(zc / dur, 4) if dur > 0 else 0.0,
+        "clip_ratio": round(float((np.abs(x) >= 0.999).mean()), 6),
+    }

@@ -996,3 +996,74 @@ def test_jpeg_truncated_streams_render_partially():
         "images/header.jpeg").read_bytes()
     px = decode_jpeg_pixels(prog[:len(prog) // 2])
     assert px is not None and px.shape == (500, 1500, 3)
+
+
+class TestWavSamples:
+    @staticmethod
+    def _wav(samples, rate=8000, bits=16, channels=1, fmt=1):
+        import struct
+
+        import numpy as np
+        if fmt == 3:
+            data = samples.astype("<f4").tobytes()
+        elif bits == 16:
+            data = (np.clip(samples, -1, 1) * 32767).astype("<i2") \
+                .tobytes()
+        elif bits == 8:
+            data = ((np.clip(samples, -1, 1) * 127) + 128) \
+                .astype(np.uint8).tobytes()
+        elif bits == 24:
+            v = (np.clip(samples, -1, 1) * ((1 << 23) - 1)).astype(
+                np.int64) & 0xFFFFFF
+            data = b"".join(int(x).to_bytes(3, "little") for x in v)
+        elif bits == 32:
+            data = (np.clip(samples, -1, 1) * ((1 << 31) - 1)) \
+                .astype("<i4").tobytes()
+        ba = channels * bits // 8
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+                + struct.pack("<I", 16)
+                + struct.pack("<HHIIHH", fmt, channels, rate,
+                              rate * ba, ba, bits)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def test_sine_features_all_depths(self):
+        import numpy as np
+
+        from docling_spark.multimodal import audio_features
+        t = np.arange(8000) / 8000
+        sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+        for bits, fmt in ((16, 1), (8, 1), (24, 1), (32, 1), (32, 3)):
+            f = audio_features(self._wav(sine, bits=bits, fmt=fmt))
+            assert f is not None, (bits, fmt)
+            # RMS of a 0.5-amp sine = 0.5/sqrt(2); 8-bit is coarse
+            tol = 0.01 if bits == 8 else 0.001
+            assert abs(f["rms"] - 0.5 / 2 ** 0.5) < tol, (bits, f)
+            assert abs(f["zcr_per_s"] - 880) < 4
+            assert f["clip_ratio"] == 0.0
+            assert abs(f["duration_s"] - 1.0) < 1e-9
+
+    def test_media_features_real_rms(self, spark):
+        import numpy as np
+
+        from docling_spark import multimodal
+        t = np.arange(4000) / 8000
+        raw = self._wav(0.25 * np.sin(2 * np.pi * 100 * t))
+        df = spark.createDataFrame(
+            [(1, "audio", raw, "audio/wav")],
+            "media_id long, kind string, payload binary, mime string")
+        row = multimodal.extract_media_features(df).collect()[0]
+        assert abs(row.duration_s - 0.5) < 1e-9
+        assert abs(row.feature_v0 - 0.25 / 2 ** 0.5) < 0.001
+
+    def test_total_on_garbage(self):
+        import random
+
+        from docling_spark.multimodal import audio_features
+        raw = self._wav(__import__("numpy").zeros(100))
+        rng = random.Random(12)
+        for _ in range(48):
+            fl = bytearray(raw)
+            i = rng.randrange(len(fl))
+            fl[i] ^= 1 << rng.randrange(8)
+            out = audio_features(bytes(fl))
+            assert out is None or isinstance(out, dict)
