@@ -536,6 +536,21 @@ def _q_policy_filter(spark, sf_dir):
     return webgraph.policy_filter(pages, rules)
 
 
+def _q_url_features(spark, sf_dir):
+    """Scan-side URL shape features (webgraph.url_features) over the
+    fixture urls expanded with deterministic deep/parameterized/media
+    variants so every feature fires."""
+    pages = _fixture_pages(spark, 64)
+    base = F.regexp_replace("url", r"#.*$", "")  # fragments would absorb
+    variants = pages.select(F.explode(F.array(
+        F.col("url"),
+        F.concat(base, F.lit("/a/b/c/page?x=1&utm_source=f&y=2")),
+        F.concat(base, F.lit("/img/logo.png")),
+        F.concat(base, F.lit("/docs/")),
+    )).alias("url"))
+    return webgraph.url_features(variants)
+
+
 def _q_crawl_frontier(spark, sf_dir):
     """The composed crawl-prioritization pipeline
     (webgraph.crawl_frontier): link_graph -> md5-60bit host ids ->
@@ -647,6 +662,52 @@ def _crawl_frontier_oracle_sql(k: int = 3, n_iter: int = 3) -> str:
             FROM allowed a LEFT JOIN hr ON a.host = hr.host
         )
         SELECT url, host, host_rank, slot FROM ranked WHERE slot <= {k}
+    """
+
+
+def _url_features_oracle_sql() -> str:
+    """DuckDB twin of ``_q_url_features``: the same variant expansion
+    and the same RE2 regexp algebra per feature."""
+    path = pages_mod.ensure_pages(64)
+    return rf"""
+        WITH p AS (
+            SELECT url, regexp_replace(url, '#.*$', '') AS base
+            FROM read_parquet('{path}/*.parquet')
+        ), v AS (
+            SELECT url FROM p
+            UNION ALL
+            SELECT base || '/a/b/c/page?x=1&utm_source=f&y=2' FROM p
+            UNION ALL SELECT base || '/img/logo.png' FROM p
+            UNION ALL SELECT base || '/docs/' FROM p
+        ), f AS (
+            SELECT url,
+                   lower(regexp_replace(
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                       ':\d+$', '')) AS host,
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS pth,
+                   regexp_extract(url, '\?([^#]*)', 1) AS query
+            FROM v
+        )
+        SELECT url, host,
+               regexp_extract(host, '\.([a-z0-9-]+)$', 1) AS tld,
+               CAST(len(list_filter(string_split(pth, '/'),
+                                    s -> s <> '')) AS INT) AS path_depth,
+               CAST(length(pth) AS INT) AS path_len,
+               CAST(CASE WHEN query = '' THEN 0
+                    ELSE len(string_split(query, '&')) END AS INT)
+                   AS n_params,
+               regexp_matches(query,
+                   '(^|&)(utm_[a-z]+|fbclid|gclid)=') AS has_tracking,
+               (regexp_matches(pth, '(/|/index\.html?)$') OR pth = '')
+                   AS is_index,
+               regexp_matches(pth,
+                   '\.(jpe?g|png|gif|webp|bmp|tiff?|svg|ico|css|js|'
+                   || 'woff2?|ttf|mp[34]|avi|mov|webm|pdf|zip|gz)$')
+                   AS is_media
+        FROM f
     """
 
 
@@ -1605,6 +1666,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": _q_sitemap_entries,
         "train_split": _q_train_split,
         "crawl_frontier": _q_crawl_frontier,
+        "url_features": _q_url_features,
         # rows-only: zlib not SQL-expressible
         "compression_quality": _q_compression_quality,
         "length_quantiles": _q_length_quantiles,
@@ -3661,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _image_dhash_oracle_sql(),
         "image_near_dups": _image_near_dups_oracle_sql(),
         "crawl_frontier": _crawl_frontier_oracle_sql(),
+        "url_features": _url_features_oracle_sql(),
         # hand-derived sitemap expectation (_q_sitemap_entries)
         "sitemap_entries": """
             SELECT host, kind, loc, lastmod,

@@ -474,3 +474,40 @@ def crawl_frontier(pages: DataFrame, rules: DataFrame,
             .where(F.col("slot") <= k_per_host)
             .select(url_col, "host",
                     F.round("host_rank", 6).alias("host_rank"), "slot"))
+
+
+def url_features(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Scan-side URL shape features - the zero-content signals crawl
+    classifiers lean on (spam URLs are deep, parameter-heavy, and
+    tracking-laden; canonical content lives shallow):
+
+    host, tld, path_depth (non-empty segments), path_len, n_params,
+    has_tracking (utm_*/fbclid/gclid), is_index (ends in / or
+    /index.html), is_media (common static-asset extensions).
+
+    One projection of pure regexp algebra - free with the scan at
+    100 TB, and every expression has an exact RE2 twin.
+    """
+    u = F.col(url_col)
+    host = url_host(url_col)
+    tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
+    path = F.regexp_extract(u, _ABS_RE + r"[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    seg_split = F.filter(F.split(path, "/"), lambda s: s != "")
+    n_params = F.when(query == "", 0).otherwise(
+        F.size(F.split(query, "&")))
+    has_tracking = query.rlike(r"(^|&)(utm_[a-z]+|fbclid|gclid)=")
+    is_index = path.rlike(r"(/|/index\.html?)$") | (path == "")
+    is_media = path.rlike(
+        r"\.(jpe?g|png|gif|webp|bmp|tiff?|svg|ico|css|js|woff2?|ttf|"
+        r"mp[34]|avi|mov|webm|pdf|zip|gz)$")
+    return pages.select(
+        u,
+        host.alias("host"),
+        tld.alias("tld"),
+        F.size(seg_split).cast("int").alias("path_depth"),
+        F.length(path).cast("int").alias("path_len"),
+        n_params.cast("int").alias("n_params"),
+        has_tracking.alias("has_tracking"),
+        is_index.alias("is_index"),
+        is_media.alias("is_media"))

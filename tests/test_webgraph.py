@@ -389,3 +389,41 @@ class TestParseSitemaps:
             [("c.test", "<urlset></urlset>"), ("d.test", "not xml at all")],
             "host string, body string")
         assert webgraph.parse_sitemaps(df).count() == 0
+
+
+class TestUrlFeatures:
+    def test_hand_cases(self, spark):
+        cases = [
+            ("https://a.example.co.uk:8080/x/y/z.html?a=1&b=2#f",
+             dict(host="a.example.co.uk", tld="uk", path_depth=3,
+                  n_params=2, has_tracking=False, is_index=False,
+                  is_media=False)),
+            ("https://b.test/img/pic.JPG".lower(),
+             dict(tld="test", path_depth=2, n_params=0,
+                  is_media=True)),
+            ("https://c.test/",
+             dict(path_depth=0, is_index=True)),
+            ("https://d.test",
+             dict(path_depth=0, path_len=0, is_index=True)),
+            ("https://e.test/p?utm_source=x",
+             dict(has_tracking=True, n_params=1)),
+            ("https://f.test/p?xutm_source=x",
+             dict(has_tracking=False)),
+            ("https://g.test/docs/index.htm",
+             dict(is_index=True)),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases],
+                                   "url string")
+        got = {r.url: r.asDict()
+               for r in webgraph.url_features(df).collect()}
+        for url, want in cases:
+            row = got[url]
+            for k, v in want.items():
+                assert row[k] == v, (url, k, row[k], v)
+
+    def test_plan_is_single_projection(self, spark):
+        df = spark.createDataFrame([("https://a.test/x",)], "url string")
+        plan = (webgraph.url_features(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
