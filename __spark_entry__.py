@@ -536,6 +536,76 @@ def _q_policy_filter(spark, sf_dir):
     return webgraph.policy_filter(pages, rules)
 
 
+def _q_kmeans(spark, sf_dir):
+    """Deterministic Lloyd k-means cluster assignments
+    (similarity.kmeans_assign): strided seeds, squared-Euclidean
+    argmin with first-occurrence tie-break, 3 unrolled iterations."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, k=4, n_iter=3)
+
+
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
+    """DuckDB twin of ``_q_kmeans``: the same strided seeding, the same
+    squared-Euclidean argmin (row_number ties to the smaller cluster),
+    and the iteration chain unrolled like the PageRank twin."""
+    dist = ("list_sum([(CAST(e.embedding[x] AS DOUBLE) - c.v[x]) ** 2 "
+            "for x in generate_series(1, len(e.embedding))])")
+    ctes = [f"""
+        bounds AS (
+            SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings
+        ), seeds AS (
+            SELECT floor((vec_id - mn) * {k}
+                         / greatest(mx - mn + 1, 1)) AS b,
+                   min(vec_id) AS sid,
+                   arg_min(embedding, vec_id) AS emb
+            FROM embeddings, bounds GROUP BY 1
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY sid) - 1 AS INT)
+                       AS cluster,
+                   list_transform(emb, x -> CAST(x AS DOUBLE)) AS v
+            FROM seeds
+        )"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes.append(f"""
+        a{i} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {dist}, c.cluster) AS rn
+                FROM embeddings e, c{p} c
+            ) WHERE rn = 1
+        ), m{i} AS (
+            SELECT a.cluster, u.pos,
+                   avg(CAST(u.val AS DOUBLE)) AS m
+            FROM a{i} a
+            JOIN embeddings e USING (vec_id), LATERAL (
+                SELECT unnest([{{'pos': x, 'val': e.embedding[x]}}
+                               for x in generate_series(
+                                   1, len(e.embedding))],
+                              recursive := true)
+            ) u
+            GROUP BY a.cluster, u.pos
+        ), n{i} AS (
+            SELECT cluster, list(m ORDER BY pos) AS v
+            FROM m{i} GROUP BY cluster
+        ), c{i} AS (
+            SELECT o.cluster, coalesce(n.v, o.v) AS v
+            FROM c{p} o LEFT JOIN n{i} n USING (cluster)
+        )""")
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cluster) AS rn
+            FROM embeddings e, c{n_iter} c
+        ) WHERE rn = 1
+    """
+
+
 def _q_url_features(spark, sf_dir):
     """Scan-side URL shape features (webgraph.url_features) over the
     fixture urls expanded with deterministic deep/parameterized/media
@@ -1667,6 +1737,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "crawl_frontier": _q_crawl_frontier,
         "url_features": _q_url_features,
+        "kmeans_clusters": _q_kmeans,
         # rows-only: zlib not SQL-expressible
         "compression_quality": _q_compression_quality,
         "length_quantiles": _q_length_quantiles,
@@ -3724,6 +3795,7 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dups": _image_near_dups_oracle_sql(),
         "crawl_frontier": _crawl_frontier_oracle_sql(),
         "url_features": _url_features_oracle_sql(),
+        "kmeans_clusters": _kmeans_oracle_sql(),
         # hand-derived sitemap expectation (_q_sitemap_entries)
         "sitemap_entries": """
             SELECT host, kind, loc, lastmod,

@@ -396,3 +396,65 @@ def embedding_profile(embeddings: DataFrame, col: str = "embedding",
                  F.min("norm").alias("min_norm"),
                  F.max("norm").alias("max_norm"),
                  F.round(F.avg("norm"), 4).alias("avg_norm")))
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
+                  col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd k-means assignments over an embedding
+    column - the cluster-balanced sampling / corpus-map primitive
+    (SemDeDup-style curation buckets documents by embedding cluster
+    before per-cluster dedup/sampling).
+
+    Determinism contract: seeds = the smallest-id vector of each
+    strided ``vec_id`` bucket (the IVF seeding rule - reproducible and
+    SQL-replicable); distance = squared Euclidean; ties break to the
+    smaller cluster id (argmin = first occurrence); update = per-dim
+    arithmetic mean; an emptied cluster keeps its previous centroid.
+
+    Plan shape (100-TB lens): per iteration the corpus is scanned once
+    - assignment is a pure JVM array expression against BROADCAST
+    centroid literals (k*dim doubles), and the centroid update is one
+    (cluster, dim) hash aggregation whose k*dim result rows are the
+    ONLY driver state (the sanctioned codebook pattern from IVF). No
+    iteration shuffles the corpus on anything but the k-sized key.
+    """
+    bounds = embeddings.agg(F.min("vec_id").alias("mn"),
+                            F.max("vec_id").alias("mx"))
+    bucket = F.floor(
+        (F.col("vec_id") - F.col("mn")) * k
+        / F.greatest(F.col("mx") - F.col("mn") + 1, F.lit(1)))
+    rows = (embeddings.crossJoin(F.broadcast(bounds))
+            .groupBy(bucket.alias("b"))
+            .agg(F.min("vec_id").alias("sid"),
+                 F.min_by(col, "vec_id").alias("emb"))
+            .orderBy("sid").collect())
+    cents = [[float(x) for x in r["emb"]] for r in rows]
+
+    def assign_col():
+        lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                        for c in cents])
+        dists = F.transform(lit, lambda c: F.aggregate(
+            F.zip_with(F.col(col), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v))
+        # array_position returns the FIRST occurrence -> ties break to
+        # the smaller cluster id
+        return (F.array_position(dists, F.array_min(dists)) - 1) \
+            .cast("int")
+
+    dim = len(cents[0])
+    for _ in range(n_iter):
+        sums = (embeddings
+                .select(assign_col().alias("c"),
+                        F.posexplode(F.col(col)).alias("pos", "v"))
+                .groupBy("c", "pos")
+                .agg(F.avg("v").alias("m"))
+                .collect())
+        new = {ci: list(c) for ci, c in enumerate(cents)}
+        by_c: dict = {}
+        for r in sums:
+            by_c.setdefault(r["c"], {})[r["pos"]] = float(r["m"])
+        for ci, dims in by_c.items():
+            if len(dims) == dim:
+                new[ci] = [dims[p] for p in range(dim)]
+        cents = [new[ci] for ci in range(len(cents))]
+    return embeddings.select("vec_id", assign_col().alias("cluster"))

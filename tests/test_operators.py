@@ -1152,3 +1152,36 @@ def test_bigram_surprisal_orders_coherence(spark):
     out = {r.doc_id: r.avg_bigram_surprisal
            for r in textfns.bigram_surprisal(docs).collect()}
     assert out[100] < out[101]
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Four well-separated planted blobs: after 3 Lloyd iterations the
+    assignment must be exactly the plant (modulo cluster-id naming,
+    which the strided seeding makes deterministic), and re-running
+    gives identical labels."""
+    import math
+    import random
+
+    from docling_spark import similarity
+    rng = random.Random(13)
+    rows = []
+    centers = [[10.0, 0, 0, 0], [0, 10.0, 0, 0],
+               [0, 0, 10.0, 0], [0, 0, 0, 10.0]]
+    vid = 0
+    for ci, ctr in enumerate(centers):
+        for _ in range(25):
+            rows.append((vid, [c + rng.gauss(0, 0.3) for c in ctr]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cluster
+           for r in similarity.kmeans_assign(emb, k=4, n_iter=3).collect()}
+    # ids 0-24 planted together, 25-49 together, ...
+    for ci in range(4):
+        labels = {out[v] for v in range(ci * 25, ci * 25 + 25)}
+        assert len(labels) == 1, (ci, labels)
+    # the four plants get four distinct labels
+    assert len({out[v * 25] for v in range(4)}) == 4
+    again = {r.vec_id: r.cluster
+             for r in similarity.kmeans_assign(emb, k=4,
+                                               n_iter=3).collect()}
+    assert again == out
