@@ -544,21 +544,39 @@ def _q_kmeans(spark, sf_dir):
     return similarity.kmeans_assign(emb, k=4, n_iter=3)
 
 
-def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
+def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3,
+                       src: str = "embeddings") -> str:
     """DuckDB twin of ``_q_kmeans``: the same strided seeding, the same
     squared-Euclidean argmin (row_number ties to the smaller cluster),
-    and the iteration chain unrolled like the PageRank twin."""
+    and the iteration chain unrolled like the PageRank twin. The
+    final SELECT consumes the chain; :func:`_kmeans_oracle_ctes`
+    exposes the chain for composed twins (semantic_dedup)."""
+    ctes, dist = _kmeans_oracle_ctes(k, n_iter, src)
+    return f"""
+        WITH {','.join(ctes)}
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {dist}, c.cluster) AS rn
+            FROM {src} e, c{n_iter} c
+        ) WHERE rn = 1
+    """
+
+
+def _kmeans_oracle_ctes(k: int = 4, n_iter: int = 3,
+                        src: str = "embeddings"):
     dist = ("list_sum([(CAST(e.embedding[x] AS DOUBLE) - c.v[x]) ** 2 "
             "for x in generate_series(1, len(e.embedding))])")
     ctes = [f"""
         bounds AS (
-            SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM embeddings
+            SELECT min(vec_id) AS mn, max(vec_id) AS mx FROM {src}
         ), seeds AS (
             SELECT floor((vec_id - mn) * {k}
                          / greatest(mx - mn + 1, 1)) AS b,
                    min(vec_id) AS sid,
                    arg_min(embedding, vec_id) AS emb
-            FROM embeddings, bounds GROUP BY 1
+            FROM {src}, bounds GROUP BY 1
         ), c0 AS (
             SELECT CAST(row_number() OVER (ORDER BY sid) - 1 AS INT)
                        AS cluster,
@@ -574,13 +592,13 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
                        row_number() OVER (
                            PARTITION BY e.vec_id
                            ORDER BY {dist}, c.cluster) AS rn
-                FROM embeddings e, c{p} c
+                FROM {src} e, c{p} c
             ) WHERE rn = 1
         ), m{i} AS (
             SELECT a.cluster, u.pos,
                    avg(CAST(u.val AS DOUBLE)) AS m
             FROM a{i} a
-            JOIN embeddings e USING (vec_id), LATERAL (
+            JOIN {src} e USING (vec_id), LATERAL (
                 SELECT unnest([{{'pos': x, 'val': e.embedding[x]}}
                                for x in generate_series(
                                    1, len(e.embedding))],
@@ -594,15 +612,72 @@ def _kmeans_oracle_sql(k: int = 4, n_iter: int = 3) -> str:
             SELECT o.cluster, coalesce(n.v, o.v) AS v
             FROM c{p} o LEFT JOIN n{i} n USING (cluster)
         )""")
+    return ctes, dist
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup): embeddings + planted
+    clones (vec_id + 10000 for vec_id < 30) so every clone pairs with
+    its original at cosine 1.0 inside the same k-means cluster; the
+    keep decision folds via connected components."""
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = (emb.where(F.col("vec_id") < 30)
+              .select((F.col("vec_id") + 10000).alias("vec_id"),
+                      "embedding"))
+    return similarity.semantic_dedup(emb.unionByName(clones),
+                                     k=4, n_iter=3, threshold=0.95)
+
+
+def _semantic_dedup_oracle_sql(k: int = 4, n_iter: int = 3,
+                               threshold: float = 0.95) -> str:
+    """DuckDB twin of ``_q_semantic_dedup``: the unrolled k-means chain
+    over the cloned source, within-cluster cosine pairs (round(6)
+    before thresholding, exactly like the Spark side), and the
+    recursive-CTE component fold from the near_dup_groups twin."""
+    ctes, dist = _kmeans_oracle_ctes(k, n_iter, src="src")
+    chain = ",".join(ctes)
     return f"""
-        WITH {','.join(ctes)}
-        SELECT vec_id, cluster FROM (
-            SELECT e.vec_id, c.cluster,
-                   row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {dist}, c.cluster) AS rn
-            FROM embeddings e, c{n_iter} c
-        ) WHERE rn = 1
+        WITH RECURSIVE
+        src AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000, embedding FROM embeddings
+            WHERE vec_id < 30
+        ),{chain},
+        assign AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {dist}, c.cluster) AS rn
+                FROM src e, c{n_iter} c
+            ) WHERE rn = 1
+        ),
+        pairs AS (
+            SELECT a.vec_id AS pa, b.vec_id AS pb
+            FROM assign a
+            JOIN assign b ON a.cluster = b.cluster
+                         AND a.vec_id < b.vec_id
+            JOIN src ea ON ea.vec_id = a.vec_id
+            JOIN src eb ON eb.vec_id = b.vec_id
+            WHERE round(list_cosine_similarity(ea.embedding,
+                                               eb.embedding), 6)
+                  >= {threshold}
+        ),
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION SELECT pb, pa FROM pairs),
+        cnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, lbl) AS (
+            SELECT node, node FROM cnodes
+            UNION
+            SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS group_id
+                 FROM reach GROUP BY node)
+        SELECT s.vec_id, s.cluster,
+               coalesce(c.group_id, s.vec_id) AS group_id,
+               (s.vec_id = coalesce(c.group_id, s.vec_id)) AS keep
+        FROM assign s LEFT JOIN comp c ON c.node = s.vec_id
     """
 
 
@@ -1738,6 +1813,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": _q_crawl_frontier,
         "url_features": _q_url_features,
         "kmeans_clusters": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         # rows-only: zlib not SQL-expressible
         "compression_quality": _q_compression_quality,
         "length_quantiles": _q_length_quantiles,
@@ -3796,6 +3872,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_frontier": _crawl_frontier_oracle_sql(),
         "url_features": _url_features_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         # hand-derived sitemap expectation (_q_sitemap_entries)
         "sitemap_entries": """
             SELECT host, kind, loc, lastmod,

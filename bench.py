@@ -273,7 +273,7 @@ def main() -> None:
         "source_vocab_overlap", "retention_cohorts", "host_cap",
         "dup_spans", "split_leakage", "bm25_topk", "pmi_pairs",
         "crawl_frontier", "train_split", "bigram_surprisal", "readability",
-        "url_features", "kmeans_clusters",
+        "url_features", "kmeans_clusters", "semantic_dedup",
     ]
 
     def make_query_leg(fn):

@@ -458,3 +458,47 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
                 new[ci] = [dims[p] for p in range(dim)]
         cents = [new[ci] for ci in range(len(cents))]
     return embeddings.select("vec_id", assign_col().alias("cluster"))
+
+
+def semantic_dedup(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
+                   threshold: float = 0.95,
+                   col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embeddings with :func:`kmeans_assign`, compare pairs ONLY within a
+    cluster, fold pairs with cosine >= threshold into components, keep
+    the smallest ``vec_id`` per component.
+
+    Output: (vec_id, cluster, group_id, keep) - every input row
+    appears; singletons are their own group with keep = true.
+
+    Scale shape: the quadratic pair join is bounded per cluster (the
+    whole point of the clustering stage - SemDeDup runs k ~ sqrt(N) so
+    expected cluster size stays manageable); the join is an equi-join
+    on the cluster key, never a global cartesian, and the cosine is
+    computed on candidates only. Component folding is
+    ``dedup.connected_components`` (pointer-jumping min-label,
+    O(log diameter) rounds). Cosines are rounded to 6 decimals BEFORE
+    thresholding so the keep decision is engine-portable.
+    """
+    from .dedup import connected_components
+
+    clusters = kmeans_assign(embeddings, k=k, n_iter=n_iter, col=col)
+    base = (with_normalized(embeddings, col)
+            .join(clusters, "vec_id")
+            .select("vec_id", "cluster", "norm_emb"))
+    a = base.alias("a")
+    b = base.alias("b")
+    cos = F.round(_dot(F.col("a.norm_emb"), F.col("b.norm_emb")), 6)
+    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .where(cos >= threshold)
+             .select(F.col("a.vec_id").alias("doc_a"),
+                     F.col("b.vec_id").alias("doc_b")))
+    comps = connected_components(pairs).withColumnRenamed(
+        "node", "vec_id")
+    out = (clusters.join(comps, "vec_id", "left")
+           .select("vec_id", "cluster",
+                   F.coalesce("group_id", F.col("vec_id"))
+                   .alias("group_id")))
+    return out.withColumn("keep", F.col("vec_id") == F.col("group_id"))

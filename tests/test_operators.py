@@ -1185,3 +1185,36 @@ def test_kmeans_recovers_planted_clusters(spark):
              for r in similarity.kmeans_assign(emb, k=4,
                                                n_iter=3).collect()}
     assert again == out
+
+
+def test_semantic_dedup_drops_clones_keeps_singletons(spark):
+    """Planted exact clones (and a transitive chain) within clusters:
+    the keeper is the smallest vec_id per component, singletons keep
+    themselves, and every input row appears exactly once."""
+    import random
+
+    from docling_spark import similarity
+    rng = random.Random(17)
+    rows = []
+    vid = 0
+    for ci in range(4):
+        base = [10.0 if d == ci else 0.0 for d in range(8)]
+        for _ in range(10):
+            rows.append((vid, [b + rng.gauss(0, 0.2) for b in base]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # clone vec 3 twice (chain 3~1003~2003 via identical vectors);
+    # threshold 1.0 on the 6-decimal-rounded cosine isolates exact
+    # clones (same-cluster neighbors at noise 0.2 sit near 0.9996)
+    v3 = rows[3][1]
+    emb = emb.unionByName(spark.createDataFrame(
+        [(1003, v3), (2003, v3)], "vec_id long, embedding array<double>"))
+    out = {r.vec_id: r for r in similarity.semantic_dedup(
+        emb, k=4, n_iter=2, threshold=1.0).collect()}
+    assert len(out) == 42
+    assert out[3].keep and out[3].group_id == 3
+    assert not out[1003].keep and out[1003].group_id == 3
+    assert not out[2003].keep and out[2003].group_id == 3
+    # non-cloned rows keep themselves
+    others = [r for v, r in out.items() if v not in (3, 1003, 2003)]
+    assert all(r.keep and r.group_id == r.vec_id for r in others)
