@@ -615,6 +615,54 @@ def _kmeans_oracle_ctes(k: int = 4, n_iter: int = 3,
     return ctes, dist
 
 
+def _q_bpe_real_tokens(spark, sf_dir):
+    """Learned-BPE token counts (textfns.bpe_train + bpe_token_counts):
+    the trainer aggregates the word-frequency dict in one Spark pass
+    and runs the merge loop driver-side; scoring is a broadcast join
+    against the vocabulary dimension."""
+    docs = _load(spark, sf_dir, "documents")
+    _, word_tokens = textfns.bpe_train(docs, n_merges=40)
+    return textfns.bpe_token_counts(docs, word_tokens)
+
+
+def _bpe_oracle_sql(sf_dir: str = "/root/testdata/sf0.01",
+                    n_merges: int = 40) -> str:
+    """DuckDB twin of ``_q_bpe_real_tokens``: the word-frequency dict
+    is derived INDEPENDENTLY via DuckDB, run through the same
+    (hand-vector-tested) merge loop, and the resulting vocabulary
+    dimension is embedded as VALUES - the SQL then recomputes the word
+    explode + join + per-doc sum honestly."""
+    import duckdb
+
+    from docling_spark.textfns import _bpe_merge_loop
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(regexp_split_to_array(lower(text),
+                          '[^0-9a-z_]+')) AS w
+            FROM read_parquet('{sf_dir}/documents.parquet'))
+        WHERE w <> '' GROUP BY w
+    """).fetchall()
+    con.close()
+    _, word_tokens = _bpe_merge_loop(dict(rows), n_merges)
+    vals = ", ".join(f"('{w}', {n})"
+                     for w, n in sorted(word_tokens.items()))
+    return f"""
+        WITH dim(w, n_tok) AS (VALUES {vals}),
+        words AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                                  '[^0-9a-z_]+')) AS w
+            FROM documents
+        )
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(coalesce(n_tok, length(w) + 1)) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM words LEFT JOIN dim USING (w)
+        WHERE w <> ''
+        GROUP BY doc_id
+    """
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup (similarity.semantic_dedup): embeddings + planted
     clones (vec_id + 10000 for vec_id < 30) so every clone pairs with
@@ -1814,6 +1862,7 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": _q_url_features,
         "kmeans_clusters": _q_kmeans,
         "semantic_dedup": _q_semantic_dedup,
+        "bpe_real_tokens": _q_bpe_real_tokens,
         # rows-only: zlib not SQL-expressible
         "compression_quality": _q_compression_quality,
         "length_quantiles": _q_length_quantiles,
@@ -3873,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         "url_features": _url_features_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "bpe_real_tokens": _bpe_oracle_sql(),
         # hand-derived sitemap expectation (_q_sitemap_entries)
         "sitemap_entries": """
             SELECT host, kind, loc, lastmod,

@@ -274,6 +274,7 @@ def main() -> None:
         "dup_spans", "split_leakage", "bm25_topk", "pmi_pairs",
         "crawl_frontier", "train_split", "bigram_surprisal", "readability",
         "url_features", "kmeans_clusters", "semantic_dedup",
+        "bpe_real_tokens",
     ]
 
     def make_query_leg(fn):

@@ -1333,3 +1333,99 @@ def readability(documents: DataFrame, col: str = "text") -> DataFrame:
         n_syllables.alias("n_syllables"),
         F.round(ease, 4).alias("flesch_ease"),
         F.round(grade, 4).alias("fk_grade"))
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 50,
+              min_count: int = 1, top_v: int = 100_000,
+              col: str = "text"):
+    """Learn byte-pair-encoding merges from the corpus (Sennrich et
+    al. 2016) - the REAL learned tokenizer behind token budgeting, not
+    a regex proxy.
+
+    Architecture is the standard trainer shape: Spark aggregates the
+    WORD-FREQUENCY dictionary in one pass (vocabulary grows
+    sublinearly - Heaps' law - and is capped by ``min_count`` /
+    ``top_v``, so it is driver state by construction, like the IVF
+    codebook); the merge loop then runs driver-side over that dict -
+    each merge is O(vocab), never a corpus pass. Deterministic: ties
+    on pair count break lexicographically.
+
+    Returns (merges, word_tokens): the ordered merge list and a
+    word -> token-count dict covering the training vocabulary (the
+    broadcast dimension :func:`bpe_token_counts` joins against).
+    """
+    freq_rows = (documents
+                 .select(F.explode(_word_tokens(col)).alias("w"))
+                 .where(F.col("w") != "")
+                 .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+                 .where(F.col("c") >= min_count)
+                 .orderBy(F.desc("c"), "w")
+                 .limit(top_v)
+                 .collect())
+    vocab = {r["w"]: r["c"] for r in freq_rows}
+    return _bpe_merge_loop(vocab, n_merges)
+
+
+def _bpe_merge_loop(vocab: dict, n_merges: int):
+    """The driver-side merge loop over a word-frequency dict - shared
+    by the Spark trainer and the oracle builder (which derives the
+    identical dict via DuckDB, keeping the gate independent of the
+    Spark aggregation path). Deterministic: highest pair count, ties
+    -> lexicographically smallest pair."""
+    words = {w: tuple(w) + ("</w>",) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pair_counts: dict = {}
+        for w, syms in words.items():
+            c = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        top = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == top)
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        new_words = {}
+        for w, syms in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[w] = tuple(out)
+        words = new_words
+    word_tokens = {w: len(syms) for w, syms in words.items()}
+    return merges, word_tokens
+
+
+def bpe_token_counts(documents: DataFrame, word_tokens: dict,
+                     col: str = "text") -> DataFrame:
+    """Per-document BPE token counts under a trained vocabulary:
+    explode words, broadcast-join the word -> token-count dimension
+    (vocabulary-sized, never corpus-sized), sum per doc. A word
+    outside the training vocabulary falls back to its character count
+    + 1 (every symbol unmerged - the exact worst case).
+
+    Output: (doc_id, n_words, n_bpe_tokens).
+    """
+    spark = documents.sparkSession
+    dim = spark.createDataFrame(
+        [(w, int(n)) for w, n in sorted(word_tokens.items())],
+        "w string, n_tok int")
+    words = (documents
+             .select("doc_id", F.explode(_word_tokens(col)).alias("w"))
+             .where(F.col("w") != ""))
+    return (words.join(F.broadcast(dim), "w", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.coalesce(F.col("n_tok"),
+                                  F.length("w") + 1))
+                 .cast("long").alias("n_bpe_tokens")))

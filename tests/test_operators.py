@@ -1218,3 +1218,26 @@ def test_semantic_dedup_drops_clones_keeps_singletons(spark):
     # non-cloned rows keep themselves
     others = [r for v, r in out.items() if v not in (3, 1003, 2003)]
     assert all(r.keep and r.group_id == r.vec_id for r in others)
+
+
+def test_bpe_trainer_hand_vector(spark):
+    """The classic Sennrich-style example: 'low/lower/lowest/newest'
+    drives the expected merge order (lo, low, es, est, est</w>,
+    low</w>) and the expected per-word token counts."""
+    from docling_spark import textfns
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "low lowest newest newest")],
+        "doc_id long, text string")
+    merges, wt = textfns.bpe_train(docs, n_merges=6)
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"),
+                      ("est", "</w>"), ("low", "</w>")]
+    assert wt == {"low": 1, "lowest": 2, "newest": 4, "lower": 4}
+    out = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in textfns.bpe_token_counts(docs, wt).collect()}
+    # doc1: 3*low(1) + lower(4) + lowest(2) = 9
+    # doc2: low(1) + lowest(2) + 2*newest(4) = 11
+    assert out == {1: (5, 9), 2: (4, 11)}
+    # out-of-vocabulary fallback: chars + 1
+    oov = spark.createDataFrame([(9, "zzz low")], "doc_id long, text string")
+    row = textfns.bpe_token_counts(oov, wt).collect()[0]
+    assert (row.n_words, row.n_bpe_tokens) == (2, 4 + 1)
