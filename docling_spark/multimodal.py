@@ -1459,7 +1459,6 @@ def _feature_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     px = None
                 if px is not None:
                     # REAL pixel feature: mean luminance, normalized
-                    import numpy as _np
                     lum = px[:, :, :3].mean() if px.shape[2] >= 3 \
                         else px.mean()
                     feats = {"width": int(px.shape[1]),

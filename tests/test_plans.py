@@ -427,3 +427,14 @@ def test_bigram_surprisal_no_cartesian_no_udf(spark):
     assert "BroadcastNestedLoopJoin" not in plan or \
         plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row V scalar
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_pair_join_is_equi_join(spark):
+    """semantic_dedup's quadratic stage must be bounded by the cluster
+    equi-key - no global cartesian."""
+    from docling_spark import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.semantic_dedup(emb, k=4, n_iter=1, threshold=0.99)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
