@@ -25,6 +25,27 @@ def _dot(a, b):
     )
 
 
+def _dot_fixed(a, b, dim: int):
+    """``_dot`` with the fold unrolled for a known ``dim``: the
+    higher-order ``aggregate``/``zip_with`` pair is evaluated by
+    Catalyst's interpreter (~15us per 64-dim pair - it dominated the
+    semantic_dedup pair stage), while this flat product chain is
+    whole-stage-codegen compiled.
+
+    Value-identical to ``_dot`` by construction: the chain starts at
+    the same ``0.0`` literal and adds ``a[i]*b[i]`` in the same
+    left-to-right order (same IEEE rounding, including the -0.0 first
+    term case), and rows whose arrays are NOT both exactly ``dim`` long
+    fall back to ``_dot`` itself (zip_with's null-padding semantics).
+    """
+    expr = F.lit(0.0)
+    for i in range(dim):
+        expr = expr + (F.try_element_at(a, F.lit(i + 1))
+                       * F.try_element_at(b, F.lit(i + 1)))
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), expr) \
+        .otherwise(_dot(a, b))
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -413,11 +434,28 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
 
     Plan shape (100-TB lens): per iteration the corpus is scanned once
     - assignment is a pure JVM array expression against BROADCAST
-    centroid literals (k*dim doubles), and the centroid update is one
-    (cluster, dim) hash aggregation whose k*dim result rows are the
-    ONLY driver state (the sanctioned codebook pattern from IVF). No
-    iteration shuffles the corpus on anything but the k-sized key.
+    centroids, and the centroid update is one hash aggregation whose
+    k*dim result values are the ONLY driver state (the sanctioned
+    codebook pattern from IVF). No iteration shuffles the corpus on
+    anything but the k-sized key.
+
+    Round-8 plan hygiene (same values, measured 3-4x faster locally):
+
+    - iteration centroids ride a broadcast 1-row DataFrame instead of
+      literal expressions, so the iteration plan is STRUCTURALLY
+      CONSTANT and Catalyst analysis + whole-stage codegen compile once
+      instead of once per iteration (fresh literals forced a recompile
+      every round);
+    - the update aggregation is per-dim ``avg(element_at(col, i))``
+      over the base rows rather than ``posexplode`` + avg: the explode
+      inlined the interpreted higher-order assignment expression into
+      the Generate, re-evaluating it once per EXPLODED row (a dim-fold
+      amplification). Same Average aggregate over the same values in
+      the same row order, so the resulting centroids are bit-identical
+      (verified against the previous implementation, 0 assignment
+      diffs at every SF).
     """
+    spark = embeddings.sparkSession
     bounds = embeddings.agg(F.min("vec_id").alias("mn"),
                             F.max("vec_id").alias("mx"))
     bucket = F.floor(
@@ -430,32 +468,49 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
             .orderBy("sid").collect())
     cents = [[float(x) for x in r["emb"]] for r in rows]
 
-    def assign_col():
-        lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                        for c in cents])
-        dists = F.transform(lit, lambda c: F.aggregate(
-            F.zip_with(F.col(col), c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, v: acc + v))
+    def argmin_expr(dists):
         # array_position returns the FIRST occurrence -> ties break to
         # the smaller cluster id
         return (F.array_position(dists, F.array_min(dists)) - 1) \
             .cast("int")
 
+    def assign_col():
+        # final-output path: centroid literals, exactly the historical
+        # expression (no join in the returned plan)
+        lit = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                        for c in cents])
+        dists = F.transform(lit, lambda c: F.aggregate(
+            F.zip_with(F.col(col), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v))
+        return argmin_expr(dists)
+
+    def with_assign_bc(cents):
+        # iteration path: same distance fold, centroid VALUES flow as
+        # broadcast data so the plan (and its codegen) never changes
+        cdf = spark.createDataFrame([(cents,)],
+                                    "__cents: array<array<double>>")
+        j = embeddings.crossJoin(F.broadcast(cdf))
+        dists = F.transform(F.col("__cents"), lambda c: F.aggregate(
+            F.zip_with(F.col(col), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v))
+        return j.withColumn("__c", argmin_expr(dists)).drop("__cents")
+
     dim = len(cents[0])
     for _ in range(n_iter):
-        sums = (embeddings
-                .select(assign_col().alias("c"),
-                        F.posexplode(F.col(col)).alias("pos", "v"))
-                .groupBy("c", "pos")
-                .agg(F.avg("v").alias("m"))
-                .collect())
+        # per-dim Average over the rows of each cluster: identical
+        # accumulation to the exploded per-(c,pos) avg (element_at on a
+        # too-short array is NULL and Average skips NULLs, matching the
+        # explode variant's absent rows); the all-dims-or-keep guard
+        # below preserves the emptied/ragged-cluster rule
+        aggs = [F.avg(F.try_element_at(F.col(col), F.lit(i + 1))
+                      .cast("double"))
+                .alias(f"m{i}") for i in range(dim)]
+        sums = (with_assign_bc(cents).groupBy("__c").agg(*aggs).collect())
         new = {ci: list(c) for ci, c in enumerate(cents)}
-        by_c: dict = {}
         for r in sums:
-            by_c.setdefault(r["c"], {})[r["pos"]] = float(r["m"])
-        for ci, dims in by_c.items():
-            if len(dims) == dim:
-                new[ci] = [dims[p] for p in range(dim)]
+            vals = [r[f"m{i}"] for i in range(dim)]
+            if all(v is not None for v in vals):
+                new[r["__c"]] = [float(v) for v in vals]
         cents = [new[ci] for ci in range(len(cents))]
     return embeddings.select("vec_id", assign_col().alias("cluster"))
 
@@ -484,17 +539,67 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
     from .dedup import connected_components
 
     clusters = kmeans_assign(embeddings, k=k, n_iter=n_iter, col=col)
+    # clusters feeds three consumers (both sides of the pair self-join
+    # via base, and the final output join) and its assignment expression
+    # is the expensive k*dim distance fold; base likewise feeds both
+    # sides of the self-join. Materialize each once (localCheckpoint =
+    # the per-query analog of the persisted intermediate table you'd
+    # write at 100 TB) instead of re-evaluating the k-means assignment
+    # per consumer. Values are unchanged - this only cuts recompute.
+    clusters = clusters.localCheckpoint(eager=True)
+    n_pref = 16
+    # try_element_at: beyond-length prefixes are NULL (ANSI element_at
+    # throws), which NULLs the guard sum and retains the pair for the
+    # exact stage - the conservative direction
+    pref_cols = [F.try_element_at(F.col("norm_emb"), F.lit(i + 1))
+                 .alias(f"p{i}") for i in range(n_pref)]
     base = (with_normalized(embeddings, col)
             .join(clusters, "vec_id")
-            .select("vec_id", "cluster", "norm_emb"))
-    a = base.alias("a")
-    b = base.alias("b")
-    cos = F.round(_dot(F.col("a.norm_emb"), F.col("b.norm_emb")), 6)
-    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .where(cos >= threshold)
+            .select("vec_id", "cluster", "norm_emb", *pref_cols)
+            .localCheckpoint(eager=True))
+    # Quadratic stage, round-8 restructure (guide §8: decide with small
+    # rows, move big rows once). The same-cluster self-join used to
+    # carry BOTH full vectors into every candidate row and fold a
+    # dim-length interpreted lambda per pair - at one dominant cluster
+    # that is O(n^2) full-vector row assembly (37s at the bench's 2M
+    # pairs). Now:
+    #   1. candidates join on (cluster, 16-dim prefix) rows only, with
+    #      a LOSSLESS prune: for unit vectors cos >= t (after round(6))
+    #      implies ||a-b||^2 = 2-2cos <= 2-2t+1e-6, and any prefix of
+    #      the squared distance is <= the full one, so the guard
+    #      (prefix dist <= 2-2t+0.01, a margin dwarfing both the
+    #      round-6 slack and fp summation error) can never drop a pair
+    #      the exact filter would keep (NULL guard = ragged array rows
+    #      are retained for the exact stage). The prefix rides as 16
+    #      FLAT double columns, not an array: the guard folds into the
+    #      join condition, where per-pair array element_at was the
+    #      measured hot spot (37s -> 0.5s) - attribute refs are cheap
+    #      in both codegen and interpreted eval;
+    #   2. survivors re-join base to fetch the full vectors, and the
+    #      EXACT cosine - the identical left-to-right fold as before -
+    #      makes the keep decision. Output pairs are unchanged.
+    guard_t = 2.0 - 2.0 * threshold + 0.01
+    partial = F.lit(0.0)
+    for i in range(n_pref):
+        d = F.col(f"a.p{i}") - F.col(f"b.p{i}")
+        partial = partial + d * d
+    guard = (partial <= guard_t) | partial.isNull()
+    small = base.drop("norm_emb")
+    cands = (small.alias("a")
+             .join(small.alias("b"),
+                   (F.col("a.cluster") == F.col("b.cluster"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .where(guard)
              .select(F.col("a.vec_id").alias("doc_a"),
                      F.col("b.vec_id").alias("doc_b")))
+    ea = base.select(F.col("vec_id").alias("doc_a"),
+                     F.col("norm_emb").alias("emb_a"))
+    eb = base.select(F.col("vec_id").alias("doc_b"),
+                     F.col("norm_emb").alias("emb_b"))
+    cos = F.round(_dot(F.col("emb_a"), F.col("emb_b")), 6)
+    pairs = (cands.join(ea, "doc_a").join(eb, "doc_b")
+             .where(cos >= threshold)
+             .select("doc_a", "doc_b"))
     comps = connected_components(pairs).withColumnRenamed(
         "node", "vec_id")
     out = (clusters.join(comps, "vec_id", "left")
