@@ -52,10 +52,19 @@ def _norm(a):
 
 def with_normalized(embeddings: DataFrame, col="embedding") -> DataFrame:
     n = _norm(F.col(col))
+    # divide via zip_with against array_repeat(n, size): the norm
+    # subtree is evaluated ONCE per row. The direct transform(col, v/n)
+    # duplicated the whole aggregate-fold norm into the lambda body,
+    # where it was re-evaluated per ELEMENT (a dim^2 interpreted-op
+    # blowup per row that dominated every normalized corpus scan).
+    # Division operands and order are unchanged, so values are
+    # bit-identical.
+    scaled = F.zip_with(F.col(col),
+                        F.array_repeat(n, F.size(F.col(col))),
+                        lambda v, nn: v / nn)
     return embeddings.withColumn(
         "norm_emb",
-        F.when(n > 0, F.transform(F.col(col), lambda v: v / n))
-        .otherwise(F.col(col)),
+        F.when(n > 0, scaled).otherwise(F.col(col)),
     )
 
 
@@ -151,7 +160,8 @@ def _sketch_keys_udf(dim, n_planes: int, seeds: list, masks=None):
     return keys
 
 
-def _md5_bucket(col: str, n_planes: int, seed: int, table: int):
+def _md5_bucket(col: str, n_planes: int, seed: int, table: int,
+                w_col: str | None = None):
     """Sign-bit sketch bucket for ONE table of the md5-derived INTEGER
     hyperplane family, as pure column algebra.
 
@@ -165,23 +175,64 @@ def _md5_bucket(col: str, n_planes: int, seed: int, table: int):
     isotropic (uniform angular coverage) while the integer family is
     slightly lattice-quantized - fine for an oracle-twinned fixture,
     not what you'd pick for recall at scale.
+
+    Round 8: the plane entry depends only on (seed, table, i, d), so
+    the md5/conv/substring chain - previously re-evaluated PER ROW per
+    plane per dimension inside the fold - is precomputed driver-side
+    with hashlib (bit-identical: both are md5 of the same ASCII string,
+    first 15 hex digits as a 60-bit non-negative integer, % 17 - 8).
+    When ``w_col`` is given it names a column holding this table's
+    precomputed planes (array<array<long>>, shipped as BROADCAST DATA
+    by the caller - literals at this width made Catalyst analysis of
+    the key expressions the bottleneck); ``slice`` trims each plane to
+    the row's dimensionality so the zip_with pairing is unchanged, and
+    rows wider than the precomputed planes fall back to the original
+    per-row md5 expression (same values, just slower).
     """
     emb_int = F.transform(
         F.col(col), lambda x: F.floor(x.cast("double") * 1000000.0)
         .cast("long"))
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
+
+    def dot_slow(i: int):
         prefix = f"lsh:{seed}:{table}:{i}:"
         w = lambda d: (F.conv(F.substring(F.md5(F.concat(
             F.lit(prefix), d.cast("string"))), 1, 15), 16, 10)
             .cast("long") % 17 - 8)
-        dot = F.aggregate(
+        return F.aggregate(
             F.zip_with(emb_int,
                        F.sequence(F.lit(0), F.size(F.col(col)) - 1),
                        lambda x, d: x * w(d)),
             F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        if w_col is not None:
+            plane = F.element_at(F.col(w_col), i + 1)
+            dot_fast = F.aggregate(
+                F.zip_with(emb_int,
+                           F.slice(plane, 1, F.size(F.col(col))),
+                           lambda x, w: x * w),
+                F.lit(0).cast("long"), lambda acc, v: acc + v)
+            dot = F.when(F.size(F.col(col)) <= F.size(plane), dot_fast) \
+                .otherwise(dot_slow(i))
+        else:
+            dot = dot_slow(i)
         bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def _md5_plane_weights(n_planes: int, seed: int, table: int,
+                       max_dim: int = 128) -> list:
+    """Driver-side twin of ``_md5_bucket``'s per-element weight
+    expression: md5 of the same ASCII string, first 15 hex digits as a
+    60-bit integer, % 17 - 8 (non-negative dividend, so Python's % and
+    Spark's % agree)."""
+    import hashlib
+
+    return [[int(hashlib.md5(f"lsh:{seed}:{table}:{i}:{d}".encode())
+                 .hexdigest()[:15], 16) % 17 - 8
+             for d in range(max_dim)]
+            for i in range(n_planes)]
 
 
 def _probe_masks(n_planes: int, radius: int) -> list:
@@ -234,12 +285,29 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
         F.col("vec_id").alias("query_id"), F.col("norm_emb").alias("q_emb"),
         F.col("embedding").alias("raw_emb"))
     if plane_family == "md5":
+        # the integer plane weights are a pure function of
+        # (seed, table, plane, dim): precompute them driver-side and
+        # ship them as ONE broadcast row (round 8 - the per-row
+        # md5/conv/substring chain dominated this query's executor
+        # time, and weight literals at full width made Catalyst
+        # analysis of the 2*tables*(1+probes) key expressions the
+        # bottleneck instead; data-shaped weights keep both cheap)
+        wdf = None
+
         def keyed(df, id_col, probe_masks):
-            b = df
+            nonlocal wdf
+            if wdf is None:
+                wdf = df.sparkSession.createDataFrame(
+                    [([_md5_plane_weights(n_planes, seed + 7919 * t, t)
+                       for t in range(n_tables)],)],
+                    "__w: array<array<array<long>>>")
+            b = df.crossJoin(F.broadcast(wdf))
             for t in range(n_tables):
                 b = b.withColumn(
+                    "__wt", F.element_at(F.col("__w"), t + 1)).withColumn(
                     f"_b{t}", _md5_bucket("raw_emb", n_planes,
-                                          seed + 7919 * t, t))
+                                          seed + 7919 * t, t,
+                                          w_col="__wt")).drop("__wt")
             keys = [F.lit(t << n_planes).cast("long")
                     + F.col(f"_b{t}").bitwiseXOR(F.lit(m))
                     for t in range(n_tables)
