@@ -514,10 +514,14 @@ def embedding_cosine_pairs(embeddings: DataFrame, top_m: int = 4,
         lambda l, r: F.when(l["a"] > r["a"], F.lit(-1))
                       .when(l["a"] < r["a"], F.lit(1))
                       .otherwise(l["i"] - r["i"]))
+    # keys feeds three consumers (the df cap + both join sides); the
+    # interpreted array_sort comparator makes it worth materializing
+    # once (lazy localCheckpoint, same pattern as ngram_jaccard_pairs)
     keys = (embeddings
             .select("vec_id",
                     F.explode(F.slice(ordered, 1, top_m)).alias("k"))
-            .select("vec_id", F.col("k.i").alias("dim")))
+            .select("vec_id", F.col("k.i").alias("dim"))
+            .localCheckpoint(eager=False))
     hot = (keys.groupBy("dim")
            .agg(F.count(F.lit(1)).alias("df"))
            .where(F.col("df") > max_df)
@@ -530,19 +534,24 @@ def embedding_cosine_pairs(embeddings: DataFrame, top_m: int = 4,
                     F.col("b.vec_id").alias("vec_b"))
             .distinct())
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vecs = embeddings.select("vec_id", dbl.alias("emb"))
     fold = lambda arr: F.aggregate(  # noqa: E731 - sequential double sum
         arr, F.lit(0.0), lambda acc, x: acc + x)
+    # round 8: each vector's norm is computed ONCE here (same fold over
+    # the same cast array, so the value per vector is unchanged) instead
+    # of once per CANDIDATE side - at bench scale that was ~930k norm
+    # folds for 465k candidates over 2000 vectors
+    nrm = F.sqrt(fold(F.transform(dbl, lambda x: x * x)))
+    vecs = embeddings.select("vec_id", dbl.alias("emb"), nrm.alias("nrm"))
     dot = fold(F.zip_with(F.col("ea"), F.col("eb"),
                           lambda x, y: x * y))
-    na = F.sqrt(fold(F.transform(F.col("ea"), lambda x: x * x)))
-    nb = F.sqrt(fold(F.transform(F.col("eb"), lambda x: x * x)))
-    cos = dot / (na * nb)
+    cos = dot / (F.col("na") * F.col("nb"))
     return (cand
             .join(vecs.select(F.col("vec_id").alias("vec_a"),
-                              F.col("emb").alias("ea")), "vec_a")
+                              F.col("emb").alias("ea"),
+                              F.col("nrm").alias("na")), "vec_a")
             .join(vecs.select(F.col("vec_id").alias("vec_b"),
-                              F.col("emb").alias("eb")), "vec_b")
+                              F.col("emb").alias("eb"),
+                              F.col("nrm").alias("nb")), "vec_b")
             .where(cos >= threshold)
             .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine")))
 

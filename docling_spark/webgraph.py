@@ -272,11 +272,18 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
     edges removed, rank rounded to 6 decimals at the output (absorbs
     float summation order across partitionings).
     """
+    # e/nodes feed every iteration (contrib join, the final select, the
+    # seed ranks): materialize each once instead of re-running the
+    # upstream edge extraction per consumer per iteration (lazy - the
+    # first action fills the cache; the 100-TB analog is the persisted
+    # pre-partitioned edge table the docstring promises)
     e = (edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-         .where(F.col("src") != F.col("dst")).distinct())
+         .where(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct())
+             .distinct()
+             .localCheckpoint(eager=False))
     n_row = nodes.select(F.count(F.lit(1)).cast("double").alias("n"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = (nodes.crossJoin(F.broadcast(n_row))
@@ -291,10 +298,16 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
             for df in cached:  # checkpoint materialized - caches done
                 df.unpersist(False)
             cached = []
-        elif checkpoint_every:
+        else:
             # each iteration reads ranks TWICE (dangling mass +
             # contribution join): persist so the second read and the
-            # next checkpoint hit one materialization, not a recompute
+            # next checkpoint hit one materialization, not a recompute.
+            # Round 8: persist also when checkpoint_every=0 - without
+            # it every iteration re-evaluated its predecessor TWICE,
+            # i.e. a 2^n_iter recompute of the edge extraction feeding
+            # the loop (crawl_frontier ran this path). persist() is
+            # lazy, so plans/values are unchanged; the caches are
+            # released below once the final ranks materialize.
             ranks = ranks.persist()
             cached.append(ranks)
         with_deg = ranks.join(outdeg, ranks.node == outdeg.src, "left")
@@ -316,6 +329,13 @@ def pagerank(edges: DataFrame, n_iter: int = 5,
                       + damping * (F.coalesce(F.col("in_mass"), F.lit(0.0))
                                    + F.col("dm") / F.col("n")))
                      .alias("rank")))
+    if cached:
+        # materialize the final vector, then release every persisted
+        # intermediate - previously the caches outlived the call and
+        # leaked executor storage for the driver's lifetime
+        ranks = ranks.localCheckpoint(eager=True)
+        for df in cached:
+            df.unpersist(False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
