@@ -89,13 +89,21 @@ def dedup_keep_first(documents: DataFrame) -> DataFrame:
 
 def shingles(documents: DataFrame, k: int = 5) -> DataFrame:
     """Word k-shingles per doc (distinct), via sequence+transform -
-    JVM-side array algebra, no Python."""
-    toks = F.split(normalized_text(), r"\s+")
+    JVM-side array algebra, no Python.
+
+    The token array is materialized as a column first: referencing the
+    normalize+split expression inside the transform lambda duplicates
+    it into the lambda body, re-evaluating it once per shingle (an
+    O(n_words * text_len) blowup per document). Same shingles.
+    """
+    tdf = documents.select(
+        "doc_id", F.split(normalized_text(), r"\s+").alias("__t"))
+    toks = F.col("__t")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return documents.select(
+    return tdf.select(
         "doc_id",
         F.explode(F.array_distinct(sh)).alias("shingle"),
     ).where(F.length("shingle") > 0)
@@ -272,8 +280,12 @@ def simhash(documents: DataFrame, bits: int = 64,
     toks = documents.select(
         "doc_id", F.explode(F.split(normalized_text(), r"\s+")).alias("tok"))
     toks = toks.where(F.col("tok") != "")
-    h = (_hash64(F.col("tok"), "", "md5") if hash_mode == "md5"
-         else F.xxhash64("tok"))
+    # hash materialized once per token: referencing the md5 chain in
+    # every per-bit vote re-evaluated it ``bits`` times per token
+    h_expr = (_hash64(F.col("tok"), "", "md5") if hash_mode == "md5"
+              else F.xxhash64("tok"))
+    toks = toks.select("doc_id", h_expr.alias("__h"))
+    h = F.col("__h")
     votes = [
         F.sum(F.when(
             F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) != 0, 1)
@@ -446,14 +458,18 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     # would coalesce a count-less repartition right back - pin the count
     par = documents.sparkSession.sparkContext.defaultParallelism
     documents = documents.repartition(par, F.col("doc_id"))
-    w = F.split(normalized_text(), " ")
+    # token array materialized as a column - a direct reference inside
+    # the transform lambda re-evaluates normalize+split once per gram
+    tdf = documents.select(
+        "doc_id", F.split(normalized_text(), " ").alias("__t"))
+    w = F.col("__t")
     idx = F.when(
         F.size(w) >= n,
         F.sequence(F.lit(1), F.size(w) - (n - 1))
     ).otherwise(F.expr("array()").cast("array<int>"))
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
-    exploded = documents.select(
+    exploded = tdf.select(
         "doc_id", F.explode(grams).alias("gram"))
     hot = (exploded.groupBy("gram")
            .agg(F.count(F.lit(1)).alias("df"))
@@ -560,15 +576,19 @@ def word_ngrams(documents: DataFrame, n: int,
                 id_col: str = "doc_id") -> DataFrame:
     """(id, gram) - each document's DISTINCT word n-grams over the
     whitespace-normalized lowercased text (the tokenization every
-    dedup/decontamination operator here shares)."""
-    w = F.split(normalized_text(), " ")
+    dedup/decontamination operator here shares).
+
+    Token array materialized first - see :func:`shingles`."""
+    tdf = documents.select(
+        id_col, F.split(normalized_text(), " ").alias("__t"))
+    w = F.col("__t")
     idx = F.when(
         F.size(w) >= n,
         F.sequence(F.lit(1), F.size(w) - (n - 1))
     ).otherwise(F.expr("array()").cast("array<int>"))
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
-    return documents.select(id_col, F.explode(grams).alias("gram"))
+    return tdf.select(id_col, F.explode(grams).alias("gram"))
 
 
 def benchmark_decontaminate(documents: DataFrame,

@@ -192,14 +192,17 @@ def passage_blocks(documents: DataFrame, block_words: int = 20) -> DataFrame:
     (doc_id, block_i, block). The passage is the dedup unit for
     cross-document repeated-span removal (CCNet/RefinedWeb-style
     paragraph dedup, adapted to newline-free corpora)."""
-    words = _word_list("text")
+    # words as a materialized column: a direct reference inside the
+    # transform lambda would re-evaluate the split once per block
+    wdf = documents.select("doc_id", _word_list("text").alias("__w"))
+    words = F.col("__w")
     nblocks = F.ceil(F.size(words) / F.lit(block_words)).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(nblocks, F.lit(1)) - 1)
     blocks = F.transform(
         idx,
         lambda i: F.array_join(
             F.slice(words, i * block_words + 1, block_words), " "))
-    return documents.select(
+    return wdf.select(
         "doc_id", F.posexplode(blocks).alias("block_i", "block"))
 
 
@@ -236,16 +239,24 @@ def duplicated_passage_stats(documents: DataFrame,
 
 def _gram_hashes(documents: DataFrame, k: int) -> DataFrame:
     """(doc_id, pos, h): md5 of every k-word gram, built as pure array
-    algebra in codegen (transform over a slice sequence, no window)."""
-    words = _word_list("text")
+    algebra in codegen (transform over a slice sequence, no window).
+
+    The word array is materialized as a column FIRST: referencing the
+    split expression directly inside the transform lambda duplicates
+    it into the lambda body, where it is re-evaluated once per gram
+    (an O(n_words * text_len) blowup per document - measured 4.5x on
+    the sf0.1 corpus). Same grams, same hashes.
+    """
+    wdf = documents.select("doc_id", _word_list("text").alias("__w"))
+    words = F.col("__w")
     grams = F.when(
         F.size(words) >= k,
         F.transform(
             F.sequence(F.lit(0), F.size(words) - k),
             lambda i: F.array_join(F.slice(words, i + 1, k), " "))
     ).otherwise(F.array().cast("array<string>"))
-    return (documents.select("doc_id", F.posexplode(grams)
-                             .alias("pos", "gram"))
+    return (wdf.select("doc_id", F.posexplode(grams)
+                       .alias("pos", "gram"))
             .select("doc_id", "pos", F.md5("gram").alias("h")))
 
 
@@ -333,7 +344,10 @@ def bigram_entropy(documents: DataFrame) -> DataFrame:
     source agg - all map-side combinable; bigram construction is array
     algebra in codegen, no window, no UDF.
     """
-    words = _word_list("text")
+    # words as a materialized column: a direct reference inside the
+    # transform lambda re-evaluates the split once per bigram
+    wdf = documents.select("source", _word_list("text").alias("__w"))
+    words = F.col("__w")
     pairs = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -342,7 +356,7 @@ def bigram_entropy(documents: DataFrame) -> DataFrame:
                 F.element_at(words, i.cast("int") + 1).alias("w1"),
                 F.element_at(words, i.cast("int") + 2).alias("w2")))
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = (documents.select("source", F.explode(pairs).alias("p"))
+    bg = (wdf.select("source", F.explode(pairs).alias("p"))
           .select("source", F.col("p.w1"), F.col("p.w2")))
     c2 = bg.groupBy("source", "w1", "w2").agg(
         F.count(F.lit(1)).alias("c"))
