@@ -857,8 +857,10 @@ def tfidf_keywords(documents: DataFrame, k: int = 5,
     words = (documents
              .select("doc_id", F.explode(_word_tokens(col)).alias("word"))
              .where(F.col("word") != ""))
+    # tf feeds two consumers (df dimension + the scored join):
+    # materialize once (lazy) instead of re-running the explode+agg
     tf = words.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).alias("tf"))
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -895,8 +897,10 @@ def unigram_surprisal(documents: DataFrame, col: str = "text") -> DataFrame:
     words = (documents
              .select("doc_id", F.explode(_word_tokens(col)).alias("word"))
              .where(F.col("word") != ""))
+    # tf feeds the vocabulary dimension AND the final join -
+    # materialize once (lazy)
     tf = words.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).alias("tf"))
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     counts = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
     total = counts.select(F.sum("cnt").cast("double").alias("total"))
     return (tf.join(counts, "word")
@@ -960,7 +964,8 @@ def dsir_weights(documents: DataFrame, target_filter: Column,
          .cast("long") % F.lit(buckets))
     tf = (words.select("doc_id", "is_target", b.alias("bucket"))
           .groupBy("doc_id", "is_target", "bucket")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint(eager=False))  # feeds dims + final join
     bucket_counts = (tf.groupBy("bucket")
                      .agg(F.sum("tf").alias("raw_cnt"),
                           F.sum(F.when(F.col("is_target"), F.col("tf"))
@@ -997,7 +1002,8 @@ def vocab_zipf_profile(documents: DataFrame, k: int = 50,
     words = (documents
              .select(F.explode(_word_tokens(col)).alias("word"))
              .where(F.col("word") != ""))
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = (words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint(eager=False))  # feeds total + top-k
     total = counts.agg(F.sum("cnt").cast("double").alias("total"))
     top = (counts.orderBy(F.col("cnt").desc(), F.col("word").asc())
            .limit(k))
@@ -1065,7 +1071,9 @@ def perplexity_buckets(documents: DataFrame, col: str = "text",
     state for 100-TB corpora, same single-agg plan shape).
     """
     pct = "percentile_approx" if approx else "percentile"
-    scored = unigram_surprisal(documents, col)
+    # scored feeds the threshold agg AND the final select - materialize
+    # the unigram_surprisal result once (lazy)
+    scored = unigram_surprisal(documents, col).localCheckpoint(eager=False)
     thr = scored.agg(
         F.round(F.expr(f"{pct}(avg_surprisal, 1.0D/3.0D)"), 4)
          .alias("t1"),
@@ -1107,7 +1115,8 @@ def source_vocab_overlap(documents: DataFrame, min_count: int = 2,
     vocab = (words.groupBy("src", "word")
              .agg(F.count(F.lit(1)).alias("cnt"))
              .where(F.col("cnt") >= min_count)
-             .select("src", "word"))
+             .select("src", "word")
+             .localCheckpoint(eager=False))  # sizes + both join sides
     sizes = vocab.groupBy("src").agg(F.count(F.lit(1)).alias("vocab"))
     inter = (vocab.alias("a")
              .join(vocab.alias("b"), "word")
@@ -1159,8 +1168,11 @@ def bm25_topk(documents: DataFrame, queries: DataFrame, k: int = 10,
     words = (documents
              .select("doc_id", F.explode(_word_tokens(col)).alias("word"))
              .where(F.col("word") != ""))
+    # tf feeds dl, qtf, and through them stats/df/scored -
+    # materialize once (lazy; the 100-TB analog is the persisted TF
+    # intermediate table between retrieval stages)
     tf = words.groupBy("doc_id", "word").agg(
-        F.count(F.lit(1)).alias("tf"))
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
@@ -1289,8 +1301,10 @@ def bigram_surprisal(documents: DataFrame, k: float = 0.5,
                    "(a, b) -> named_struct('w1', a, 'w2', b)), "
                    "p -> p.w1 <> '' AND p.w2 <> '')")).alias("bg"))
                .select("doc_id", "bg.w1", "bg.w2"))
+    # tf feeds the bigram dimension chain AND the final join -
+    # materialize once (lazy)
     tf = bigrams.groupBy("doc_id", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("tf"))
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (documents
