@@ -488,7 +488,8 @@ def embedding_profile(embeddings: DataFrame, col: str = "embedding",
 
 
 def kmeans_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
-                  col: str = "embedding") -> DataFrame:
+                  col: str = "embedding",
+                  large_k_threshold: int = 4096) -> DataFrame:
     """Deterministic Lloyd k-means assignments over an embedding
     column - the cluster-balanced sampling / corpus-map primitive
     (SemDeDup-style curation buckets documents by embedding cluster
@@ -522,6 +523,20 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
       the same row order, so the resulting centroids are bit-identical
       (verified against the previous implementation, 0 assignment
       diffs at every SF).
+
+    Large-k path: SemDeDup at 100 TB wants k ~ sqrt(N) (10^4-10^5),
+    where a k*dim expression - literal or broadcast-data - blows up the
+    Catalyst tree and the interpreted per-row fold costs k*dim lambda
+    invocations per row. When ``k * dim > large_k_threshold`` the
+    assignment runs as an Arrow-batched pandas UDF against a BROADCAST
+    VARIABLE centroid matrix (one numpy matmul per batch via the
+    |x|^2 - 2xC' + |c|^2 expansion, argmin = first occurrence, same
+    tie rule). Distances are computed in float64 either way; numpy's
+    pairwise summation can differ from the JVM fold by an ULP, so the
+    small-k default (which the DuckDB oracle twins) keeps the exact
+    fold, and the large-k path is for the regime where the oracle
+    cannot enumerate k anyway. Unit-tested equal to the fold path at
+    k=256 on separated data.
     """
     spark = embeddings.sparkSession
     bounds = embeddings.agg(F.min("vec_id").alias("mn"),
@@ -552,7 +567,12 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
             F.lit(0.0), lambda acc, v: acc + v))
         return argmin_expr(dists)
 
+    dim = len(cents[0]) if cents else 0
+    use_pandas = k * dim > large_k_threshold
+
     def with_assign_bc(cents):
+        if use_pandas:
+            return _with_assign_pandas(embeddings, cents, col)
         # iteration path: same distance fold, centroid VALUES flow as
         # broadcast data so the plan (and its codegen) never changes
         cdf = spark.createDataFrame([(cents,)],
@@ -562,8 +582,6 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
             F.zip_with(F.col(col), c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, v: acc + v))
         return j.withColumn("__c", argmin_expr(dists)).drop("__cents")
-
-    dim = len(cents[0])
     for _ in range(n_iter):
         # per-dim Average over the rows of each cluster: identical
         # accumulation to the exploded per-(c,pos) avg (element_at on a
@@ -580,7 +598,48 @@ def kmeans_assign(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
             if all(v is not None for v in vals):
                 new[r["__c"]] = [float(v) for v in vals]
         cents = [new[ci] for ci in range(len(cents))]
+    if use_pandas:
+        return (_with_assign_pandas(embeddings, cents, col)
+                .select("vec_id", F.col("__c").alias("cluster")))
     return embeddings.select("vec_id", assign_col().alias("cluster"))
+
+
+def _with_assign_pandas(embeddings: DataFrame, cents: list,
+                        col: str) -> DataFrame:
+    """Large-k cluster assignment: centroids as a Spark broadcast
+    variable into an Arrow-batched pandas UDF (one matmul per record
+    batch). Adds a ``__c`` int column; see kmeans_assign's docstring
+    for when this path runs and how it relates to the exact-fold
+    default."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    sc = embeddings.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(cents, dtype=np.float64))
+
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        c = bc.value                              # (k, dim)
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        vals = emb.tolist()
+        try:
+            x = np.array(vals, dtype=np.float64)       # (n, dim)
+        except ValueError:
+            # ragged batch: pad/truncate to the centroid width (the
+            # fold path treats missing dims as null -> this path maps
+            # them to 0; ragged inputs are out of the determinism
+            # contract either way)
+            x = np.zeros((len(vals), c.shape[1]))
+            for j, v in enumerate(vals):
+                w = min(len(v), c.shape[1])
+                x[j, :w] = v[:w]
+        # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 ; the |x|^2 term is constant
+        # per row and cannot change the argmin
+        d = (-2.0 * (x @ c.T)) + (c * c).sum(axis=1)[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return embeddings.withColumn("__c", assign(F.col(col)))
 
 
 def semantic_dedup(embeddings: DataFrame, k: int = 4, n_iter: int = 3,

@@ -1187,6 +1187,41 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert again == out
 
 
+def test_kmeans_large_k_pandas_path_matches_fold_path(spark):
+    """The large-k broadcast-variable pandas assignment (the SemDeDup
+    k~sqrt(N) scale path) must agree with the exact JVM fold path on
+    separated data at k=256: same seeds, same argmin tie rule, and the
+    iteration updates feed back the same way."""
+    import random
+
+    from docling_spark import similarity
+    rng = random.Random(99)
+    dim = 8
+    rows = []
+    vid = 0
+    # 256 well-separated plants (one per strided seed bucket), 4 points
+    # each - cluster structure is unambiguous so a <=1-ulp distance
+    # difference between numpy matmul and the JVM fold cannot flip any
+    # assignment
+    for ci in range(256):
+        ctr = [float((ci >> b) & 1) * 50.0 + 3.0 * b for b in range(dim)]
+        for _ in range(4):
+            rows.append((vid, [c + rng.gauss(0, 0.05) for c in ctr]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fold = {r.vec_id: r.cluster for r in similarity.kmeans_assign(
+        emb, k=256, n_iter=2, large_k_threshold=1 << 30).collect()}
+    fast = {r.vec_id: r.cluster for r in similarity.kmeans_assign(
+        emb, k=256, n_iter=2, large_k_threshold=0).collect()}
+    assert fold == fast
+    # and the pandas path actually ran as a pandas path: its plan
+    # carries an ArrowEvalPython node
+    plan = (similarity.kmeans_assign(emb, k=256, n_iter=0,
+                                     large_k_threshold=0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "ArrowEvalPython" in plan
+
+
 def test_semantic_dedup_drops_clones_keeps_singletons(spark):
     """Planted exact clones (and a transitive chain) within clusters:
     the keeper is the smallest vec_id per component, singletons keep
