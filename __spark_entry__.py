@@ -1751,22 +1751,97 @@ def _q_media_inventory(spark, sf_dir):
     return feats.select("media_id", "kind", "byte_len", "sha256")
 
 
+# Static mirror of oracle_sql()'s key set, pinned by
+# tests/test_operators.py::test_twinned_name_set_matches_oracle_sql.
+# queries() used to call oracle_sql() for the twinned-first ordering,
+# which materializes every oracle SQL string on each registry
+# enumeration - including DuckDB parquet I/O, the BPE merge loop and
+# fixture encoding - and raised whenever sf0.01 was absent. A name set
+# costs nothing and cannot fail.
+_TWINNED_QUERIES = frozenset({
+    "tpch_q1_pricing_summary", "tpch_q3_top_orders", "region_revenue",
+    "part_type_stats", "rollup_revenue", "cube_event_hour",
+    "asof_purchase_view", "events_hourly", "event_sessions",
+    "top_users_per_event_type", "doc_stats", "doc_exact_dups",
+    "ngram_jaccard_dups", "emb_cosine_dups", "doc_fingerprints",
+    "doc_lang_agg", "doc_lang_quality", "media_inventory",
+    "media_features", "stratified_sample", "decontaminate",
+    "doc_confidence", "doc_chunks", "near_dup_groups", "emb_knn_lsh",
+    "emb_knn_bruteforce", "gopher_quality", "pii_scrub",
+    "repetition_stats", "dup_passages", "emb_knn_ivf",
+    "minhash_near_dups", "simhash_near_dups", "bpe_token_stats",
+    "tfidf_keywords", "unigram_surprisal", "quality_gate",
+    "event_funnel", "embedding_profile", "dsir_weights",
+    "incremental_novelty", "source_vocab_overlap", "retention_cohorts",
+    "sequence_pack", "perplexity_buckets", "vocab_zipf",
+    "source_profile", "page_boilerplate", "domain_profile",
+    "link_graph", "url_dedup", "pagerank", "anchor_stats", "host_cap",
+    "dup_spans", "policy_filter", "warc_ingest", "warc_cdx",
+    "warc_metrics", "split_leakage", "gram_novelty", "cdc_chunks",
+    "bigram_surprisal", "readability", "bm25_topk", "pmi_pairs",
+    "robots_rules", "image_dhash", "image_near_dups", "crawl_frontier",
+    "url_features", "kmeans_clusters", "semantic_dedup",
+    "bpe_real_tokens", "sitemap_entries", "train_split",
+    "bigram_entropy", "text_knn", "hash_embed", "source_mix",
+    "length_quantiles",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order contract: every oracle-twinned query (a key that
-    also appears in :func:`oracle_sql`) comes BEFORE every rows-only
-    query, so a harness that samples a bounded prefix of the registry
-    always lands on hash-checkable rows first. The reorder is enforced
-    programmatically at the end - insertion order below is grouping by
-    theme only."""
+    """Registry order contract: every oracle-twinned query (a key of
+    :func:`oracle_sql`, mirrored statically in ``_TWINNED_QUERIES``)
+    comes BEFORE every rows-only query, so a harness that samples a
+    bounded prefix of the registry always lands on hash-checkable rows
+    first. The reorder is enforced programmatically at the end -
+    insertion order below is grouping by theme only."""
     reg = _query_registry()
-    twinned = oracle_sql()
-    ordered = {k: v for k, v in reg.items() if k in twinned}
-    ordered.update((k, v) for k, v in reg.items() if k not in twinned)
+    ordered = {k: v for k, v in reg.items() if k in _TWINNED_QUERIES}
+    ordered.update((k, v) for k, v in reg.items()
+                   if k not in _TWINNED_QUERIES)
     return ordered
 
 
 def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- round-8 rotation: oracle-twinned queries that had never
+        # received a driver correctness row through round 7 come first,
+        # so a harness sampling a bounded prefix finally hash-checks
+        # them (the 50 rows it checked in r07 were all green 3 rounds
+        # running; they follow immediately after). bpe_real_tokens
+        # stays behind the historical 50: its oracle twin derives the
+        # vocabulary from the sf0.01 fixture dir specifically, so it is
+        # the one twin whose check is only meaningful at that SF.
+        "host_cap": _q_host_cap,
+        "dup_spans": _q_dup_spans,
+        "policy_filter": _q_policy_filter,
+        "warc_ingest": _q_warc_ingest,
+        "warc_cdx": _q_warc_cdx,
+        "warc_metrics": _q_warc_metrics,
+        "split_leakage": _q_split_leakage,
+        "gram_novelty": _q_gram_novelty,
+        "cdc_chunks": _q_cdc_chunks,
+        "bigram_surprisal": _q_bigram_surprisal,
+        "readability": _q_readability,
+        "bm25_topk": _q_bm25,
+        "pmi_pairs": _q_pmi_pairs,
+        "robots_rules": _q_robots_rules,
+        "image_dhash": _q_image_dhash,
+        "image_near_dups": _q_image_near_dups,
+        "crawl_frontier": _q_crawl_frontier,
+        "url_features": _q_url_features,
+        "kmeans_clusters": _q_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
+        "sitemap_entries": _q_sitemap_entries,
+        "train_split": _q_train_split,
+        "bigram_entropy": _q_bigram_entropy,
+        "text_knn": _q_text_knn,
+        "hash_embed": _q_hash_embed,
+        "source_mix": _q_source_mix,
+        "length_quantiles": _q_length_quantiles,
+        "page_boilerplate": _q_page_boilerplate,
+        "link_graph": _q_link_graph,
+        "anchor_stats": _q_anchor_stats,
+        # --- driver-checked green in r07 (and earlier), old order:
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "tpch_q3_top_orders": _q_top_orders,
         "region_revenue": _q_region_revenue,
@@ -1835,42 +1910,12 @@ def _query_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "url_dedup": _q_url_dedup,
         "pagerank": _q_pagerank,
-        "host_cap": _q_host_cap,
-        "dup_spans": _q_dup_spans,
-        "policy_filter": _q_policy_filter,
-        "warc_ingest": _q_warc_ingest,
-        "warc_cdx": _q_warc_cdx,
         "crawl_pipeline": _q_crawl_pipeline,
-        "warc_metrics": _q_warc_metrics,
-        "split_leakage": _q_split_leakage,
-        "gram_novelty": _q_gram_novelty,
-        "cdc_chunks": _q_cdc_chunks,
-        "source_mix": _q_source_mix,
-        "hash_embed": _q_hash_embed,
-        "text_knn": _q_text_knn,
-        "bigram_entropy": _q_bigram_entropy,
-        "bigram_surprisal": _q_bigram_surprisal,
-        "readability": _q_readability,
-        "bm25_topk": _q_bm25,
-        "pmi_pairs": _q_pmi_pairs,
-        "robots_rules": _q_robots_rules,
-        "image_dhash": _q_image_dhash,
-        "image_near_dups": _q_image_near_dups,
-        "sitemap_entries": _q_sitemap_entries,
-        "train_split": _q_train_split,
-        "crawl_frontier": _q_crawl_frontier,
-        "url_features": _q_url_features,
-        "kmeans_clusters": _q_kmeans,
-        "semantic_dedup": _q_semantic_dedup,
         "bpe_real_tokens": _q_bpe_real_tokens,
         # rows-only: zlib not SQL-expressible
         "compression_quality": _q_compression_quality,
-        "length_quantiles": _q_length_quantiles,
         # oracle reads the same deterministic pages parquet via
         # read_parquet (the fixture path is stable + idempotent):
-        "page_boilerplate": _q_page_boilerplate,
-        "link_graph": _q_link_graph,
-        "anchor_stats": _q_anchor_stats,
     }
 
 

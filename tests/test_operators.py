@@ -1039,6 +1039,14 @@ def test_compression_quality_separates_tails(spark):
     assert rows[1].compression_ratio < 0.1 < rows[2].compression_ratio
 
 
+def test_twinned_name_set_matches_oracle_sql():
+    """_TWINNED_QUERIES is the static mirror that lets queries() order
+    twinned-first without materializing every oracle SQL string (DuckDB
+    I/O, BPE merge loop); it must track oracle_sql() exactly."""
+    import __spark_entry__ as e
+    assert e._TWINNED_QUERIES == frozenset(e.oracle_sql())
+
+
 def test_registry_orders_oracle_twinned_first():
     """Driver-visibility contract: a harness that samples a bounded
     prefix of queries() must land on hash-checkable (oracle-twinned)
