@@ -161,7 +161,7 @@ def _sketch_keys_udf(dim, n_planes: int, seeds: list, masks=None):
 
 
 def _md5_bucket(col: str, n_planes: int, seed: int, table: int,
-                w_col: str | None = None):
+                w_col=None, int_col: str | None = None):
     """Sign-bit sketch bucket for ONE table of the md5-derived INTEGER
     hyperplane family, as pure column algebra.
 
@@ -187,11 +187,14 @@ def _md5_bucket(col: str, n_planes: int, seed: int, table: int,
     the key expressions the bottleneck); ``slice`` trims each plane to
     the row's dimensionality so the zip_with pairing is unchanged, and
     rows wider than the precomputed planes fall back to the original
-    per-row md5 expression (same values, just slower).
+    per-row md5 expression (same values, just slower). ``int_col``
+    optionally names an already-projected integer-scaled embedding
+    column, letting the caller evaluate the floor-scale ONCE per row
+    instead of once per (table, plane) dot.
     """
-    emb_int = F.transform(
+    emb_int = (F.col(int_col) if int_col is not None else F.transform(
         F.col(col), lambda x: F.floor(x.cast("double") * 1000000.0)
-        .cast("long"))
+        .cast("long")))
 
     def dot_slow(i: int):
         prefix = f"lsh:{seed}:{table}:{i}:"
@@ -207,7 +210,8 @@ def _md5_bucket(col: str, n_planes: int, seed: int, table: int,
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
         if w_col is not None:
-            plane = F.element_at(F.col(w_col), i + 1)
+            w_ref = F.col(w_col) if isinstance(w_col, str) else w_col
+            plane = F.element_at(w_ref, i + 1)
             dot_fast = F.aggregate(
                 F.zip_with(emb_int,
                            F.slice(plane, 1, F.size(F.col(col))),
@@ -301,13 +305,22 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
                     [([_md5_plane_weights(n_planes, seed + 7919 * t, t)
                        for t in range(n_tables)],)],
                     "__w: array<array<array<long>>>")
-            b = df.crossJoin(F.broadcast(wdf))
-            for t in range(n_tables):
-                b = b.withColumn(
-                    "__wt", F.element_at(F.col("__w"), t + 1)).withColumn(
-                    f"_b{t}", _md5_bucket("raw_emb", n_planes,
-                                          seed + 7919 * t, t,
-                                          w_col="__wt")).drop("__wt")
+            # two analysis passes, not 3 per table: the integer-scaled
+            # embedding and the per-table weight slice are projected
+            # once, and all table buckets land in ONE select (each
+            # withColumn used to re-analyze the growing plan, which
+            # dominated this query's driver time)
+            b = (df.crossJoin(F.broadcast(wdf))
+                 .withColumn("__emb_int", F.transform(
+                     F.col("raw_emb"),
+                     lambda x: F.floor(x.cast("double") * 1000000.0)
+                     .cast("long"))))
+            bcols = [
+                _md5_bucket("raw_emb", n_planes, seed + 7919 * t, t,
+                            w_col=F.element_at(F.col("__w"), t + 1),
+                            int_col="__emb_int").alias(f"_b{t}")
+                for t in range(n_tables)]
+            b = b.select(id_col, *bcols)
             keys = [F.lit(t << n_planes).cast("long")
                     + F.col(f"_b{t}").bitwiseXOR(F.lit(m))
                     for t in range(n_tables)
