@@ -213,6 +213,10 @@ def lsh_candidate_pairs(documents: DataFrame, k: int = 5,
     """
     banded = minhash_banded(documents, k, num_hashes, bands, hash_mode)
     banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_size)
+    # both self-join sides read the banded table: materialize once
+    # (lazy) instead of recomputing the num_hashes-fold signatures per
+    # side
+    banded = banded.localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -231,7 +235,9 @@ def ngram_jaccard(documents: DataFrame, pairs: DataFrame,
                   k: int = 5) -> DataFrame:
     """Exact Jaccard over word k-shingles for candidate pairs (verification
     stage after LSH; the join fans out only over candidates)."""
-    sh = shingles(documents, k)
+    # the shingle table feeds both pair sides and the size aggregate:
+    # materialize once (lazy)
+    sh = shingles(documents, k).localCheckpoint(eager=False)
     a = sh.withColumnRenamed("doc_id", "doc_a").alias("a")
     b = sh.withColumnRenamed("doc_id", "doc_b").alias("b")
     inter = (
@@ -329,6 +335,9 @@ def simhash_near_duplicates(documents: DataFrame,
     :func:`_cap_hot_buckets`), then verify with bit_count."""
     banded = simhash_banded(documents, hash_mode)
     banded = _cap_hot_buckets(banded, ["band", "band_val"], max_bucket_size)
+    # both self-join sides read the banded table: materialize once
+    # (lazy) instead of recomputing the 64-bit-vote signatures per side
+    banded = banded.localCheckpoint(eager=False)
     l = banded.alias("l")
     r = banded.alias("r")
     pairs = (
