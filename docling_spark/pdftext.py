@@ -24,6 +24,36 @@ from .ttink import CffInk, TrueTypeInk
 
 __all__ = ["TextCell", "extract_page_cells", "PdfTextExtractor"]
 
+# Parsed font-program memo (guide 4.5: heavyweight init once per task /
+# reused worker). Real corpora repeat the same embedded font programs
+# across thousands of documents; parsing tables + computing ink boxes
+# is a per-font cost, not a per-document one. Keyed by the font bytes
+# (plus the CIDToGIDMap bytes for CID fonts, which mutate the object),
+# bounded FIFO so worker memory stays flat. Parsing the same bytes
+# yields identical state, so sharing the object cannot change output.
+_INK_CACHE: dict = {}
+_INK_CACHE_MAX = 32
+
+
+def _cached_font_ink(kind: str, prog: bytes, extra: bytes | None = None):
+    import hashlib
+    key = (kind, hashlib.md5(prog).digest(),
+           hashlib.md5(extra).digest() if extra is not None else None)
+    obj = _INK_CACHE.get(key)
+    if obj is None:
+        if kind == "tt":
+            obj = TrueTypeInk(prog)
+        elif kind == "tt_gid":
+            obj = TrueTypeInk(prog, by_gid=True)
+            if extra is not None:
+                obj.gid_map = extra
+        else:
+            obj = CffInk(prog)
+        if len(_INK_CACHE) >= _INK_CACHE_MAX:
+            _INK_CACHE.pop(next(iter(_INK_CACHE)))
+        _INK_CACHE[key] = obj
+    return obj
+
 
 # ------------------------------------------------------------------ fonts
 
@@ -465,10 +495,10 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
                 if isinstance(dd, dict) and dd.get("FontFile2") is not None:
                     try:
                         prog = decode_stream(r(dd.get("FontFile2")), r)
-                        ink = TrueTypeInk(prog, by_gid=True)
                         c2g = r(d0.get("CIDToGIDMap"))
-                        if isinstance(c2g, Stream):
-                            ink.gid_map = decode_stream(c2g, r)
+                        gm = (decode_stream(c2g, r)
+                              if isinstance(c2g, Stream) else None)
+                        ink = _cached_font_ink("tt_gid", prog, gm)
                         if ink.ok:
                             f.ink = ink
                     except (PdfError, OSError, ValueError):
@@ -489,7 +519,7 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
     if isinstance(descr, dict) and descr.get("FontFile2") is not None:
         try:
             prog = decode_stream(r(descr.get("FontFile2")), r)
-            ink = TrueTypeInk(prog)
+            ink = _cached_font_ink("tt", prog)
             if ink.ok:
                 f.ink = ink
         except (PdfError, OSError, ValueError):
@@ -497,7 +527,7 @@ def load_font(doc: PdfDocument, font_dict: dict) -> Font:
     elif isinstance(descr, dict) and descr.get("FontFile3") is not None:
         try:
             prog = decode_stream(r(descr.get("FontFile3")), r)
-            cff = CffInk(prog)
+            cff = _cached_font_ink("cff", prog)
             if cff.ok:
                 f.cff = cff
         except (PdfError, OSError, ValueError):
