@@ -149,8 +149,34 @@ class Element:
         recursive: bool = True,
         pred: Optional[Callable[["Element"], bool]] = None,
     ) -> Optional["Element"]:
-        found = self.find_all(names, recursive=recursive, pred=pred)
-        return found[0] if found else None
+        # early-exit pre-order DFS: same first match as
+        # find_all(...)[0] without materializing every later match
+        if isinstance(names, str):
+            names = {names}
+        elif names is not None:
+            names = set(names)
+        if recursive:
+            stack = self.children[::-1]
+            pop = stack.pop
+            while stack:
+                node = pop()
+                if node.__class__ is TextNode:
+                    continue
+                if ((names is None or node.name in names)
+                        and (pred is None or pred(node))):
+                    return node
+                if node.children:
+                    stack.extend(node.children[::-1])
+            return None
+        for node in self.children:
+            if node.__class__ is TextNode:
+                continue
+            if names is not None and node.name not in names:
+                continue
+            if pred is not None and not pred(node):
+                continue
+            return node
+        return None
 
     def find_parent(self, name: str) -> Optional["Element"]:
         cur = self.parent

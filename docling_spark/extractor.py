@@ -91,6 +91,12 @@ _WS_RE = re.compile(r"\s+|\n+")
 _NL_SPACE_RE = re.compile(r" *\n *")
 
 _URL_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(\?[^#]*)?(#.*)?$")
+# hot-loop patterns precompiled (identical regexes; skips the per-call
+# re-module cache lookup on the extraction hot path)
+_WS_ANY_RE = re.compile(r"\s+")
+_OPACITY0_RE = re.compile(r"opacity:0(?:[;]|$)")
+_DISPLAY_RE = re.compile(r"display\s*:\s*([^;]+)", re.I)
+_DIGITS_RE = re.compile(r"\d+")
 
 FORM_CONTAINER_CLASS = "form_region"
 _FORM_KEY_ID_RE = re.compile(r"^key(?P<key_id>[A-Za-z0-9]+)$")
@@ -336,12 +342,12 @@ class HtmlExtractor:
         style = tag.get("style")
         if not isinstance(style, str) or not style.strip():
             return False
-        normalized = re.sub(r"\s+", "", style.lower())
+        normalized = _WS_ANY_RE.sub("", style.lower())
         if "display:none" in normalized:
             return True
         if "visibility:hidden" in normalized or "visibility:collapse" in normalized:
             return True
-        if re.search(r"opacity:0(?:[;]|$)", normalized):
+        if _OPACITY0_RE.search(normalized):
             return True
         return False
 
@@ -362,7 +368,7 @@ class HtmlExtractor:
         style = tag.get("style")
         if not isinstance(style, str):
             return False
-        m = re.search(r"display\s*:\s*([^;]+)", style, flags=re.I)
+        m = _DISPLAY_RE.search(style)
         if m is None:
             return False
         v = m.group(1).strip().lower()
@@ -411,7 +417,7 @@ class HtmlExtractor:
 
     @staticmethod
     def _normalize_checkbox_text(text: str) -> str:
-        compact = re.sub(r"\s+", " ", text).strip()
+        compact = _WS_ANY_RE.sub(" ", text).strip()
         if not compact:
             return ""
         if compact.lower() in CHECKBOX_MARK_TEXTS:
@@ -432,7 +438,7 @@ class HtmlExtractor:
             return True
         if str(tag.get("data-checked", "")).strip().lower() in {"true", "1", "yes", "on"}:
             return True
-        text = re.sub(r"\s+", "", self.get_text(tag))
+        text = _WS_ANY_RE.sub("", self.get_text(tag))
         return text.lower() in CHECKBOX_MARK_TEXTS
 
     def _checkbox_label_for_tag(self, tag: Element) -> Optional[str]:
@@ -543,7 +549,7 @@ class HtmlExtractor:
     def _get_cell_spans(cell: Element) -> tuple[int, int]:
         def _num(s: str) -> int:
             if s and s[0].isnumeric():
-                m = re.search(r"\d+", s)
+                m = _DIGITS_RE.search(s)
                 if m:
                     return int(m.group())
             return 1
@@ -869,7 +875,7 @@ class HtmlExtractor:
 
     @staticmethod
     def _normalize_form_text(text: str) -> tuple:
-        raw = re.sub(r"\s+", " ", text).strip()
+        raw = _WS_ANY_RE.sub(" ", text).strip()
         return raw, clean_unicode(raw)
 
     def _extract_form_value_text(self, value_tag: Element) -> str:

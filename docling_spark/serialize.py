@@ -29,12 +29,15 @@ from .model import (
 # ---------------------------------------------------------------- markdown
 
 
+_ESC_UNDERSCORE_RE = re.compile(r"(?<!\\)_")
+
+
 def _escape_md(text: str) -> str:
     text = (text.replace("&", "&amp;").replace("<", "&lt;")
             .replace(">", "&gt;"))
     # escape underscores, but never double-escape one that already rides
     # behind a backslash (math "\_" in LaTeX-sourced text)
-    return re.sub(r"(?<!\\)_", r"\\_", text)
+    return _ESC_UNDERSCORE_RE.sub(r"\\_", text)
 
 
 def _fmt_inline(item: TextItem) -> str:
