@@ -25,27 +25,6 @@ def _dot(a, b):
     )
 
 
-def _dot_fixed(a, b, dim: int):
-    """``_dot`` with the fold unrolled for a known ``dim``: the
-    higher-order ``aggregate``/``zip_with`` pair is evaluated by
-    Catalyst's interpreter (~15us per 64-dim pair - it dominated the
-    semantic_dedup pair stage), while this flat product chain is
-    whole-stage-codegen compiled.
-
-    Value-identical to ``_dot`` by construction: the chain starts at
-    the same ``0.0`` literal and adds ``a[i]*b[i]`` in the same
-    left-to-right order (same IEEE rounding, including the -0.0 first
-    term case), and rows whose arrays are NOT both exactly ``dim`` long
-    fall back to ``_dot`` itself (zip_with's null-padding semantics).
-    """
-    expr = F.lit(0.0)
-    for i in range(dim):
-        expr = expr + (F.try_element_at(a, F.lit(i + 1))
-                       * F.try_element_at(b, F.lit(i + 1)))
-    return F.when((F.size(a) == dim) & (F.size(b) == dim), expr) \
-        .otherwise(_dot(a, b))
-
-
 def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
