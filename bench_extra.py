@@ -59,6 +59,8 @@ def main() -> None:
     plans_dir = None
     if "--plans" in args:
         i = args.index("--plans")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            sys.exit("usage: bench_extra.py --plans OUT_DIR query ...")
         plans_dir = pathlib.Path(args[i + 1])
         plans_dir.mkdir(parents=True, exist_ok=True)
         del args[i:i + 2]

@@ -36,9 +36,10 @@ _INK_CACHE_MAX = 32
 
 
 def _cached_font_ink(kind: str, prog: bytes, extra: bytes | None = None):
-    import hashlib
-    key = (kind, hashlib.md5(prog).digest(),
-           hashlib.md5(extra).digest() if extra is not None else None)
+    # raw-bytes key: the parsed object retains the full program anyway,
+    # so hashing would save no memory while exposing the cache to
+    # crafted digest collisions on untrusted corpora
+    key = (kind, prog, extra)
     obj = _INK_CACHE.get(key)
     if obj is None:
         if kind == "tt":

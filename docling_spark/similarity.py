@@ -615,21 +615,30 @@ def _with_assign_pandas(embeddings: DataFrame, cents: list,
         if len(emb) == 0:
             return pd.Series([], dtype="int32")
         vals = emb.tolist()
+        # NULL rows assign to NULL cluster, matching the fold path
+        # (a NULL array folds to NULL distances -> NULL argmin)
+        null_mask = [v is None for v in vals]
+        dense = [v for v in vals if v is not None]
+        if not dense:
+            return pd.Series([None] * len(vals), dtype="object")
         try:
-            x = np.array(vals, dtype=np.float64)       # (n, dim)
+            x = np.array(dense, dtype=np.float64)      # (n, dim)
         except ValueError:
             # ragged batch: pad/truncate to the centroid width (the
             # fold path treats missing dims as null -> this path maps
             # them to 0; ragged inputs are out of the determinism
             # contract either way)
-            x = np.zeros((len(vals), c.shape[1]))
-            for j, v in enumerate(vals):
+            x = np.zeros((len(dense), c.shape[1]))
+            for j, v in enumerate(dense):
                 w = min(len(v), c.shape[1])
                 x[j, :w] = v[:w]
         # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 ; the |x|^2 term is constant
         # per row and cannot change the argmin
         d = (-2.0 * (x @ c.T)) + (c * c).sum(axis=1)[None, :]
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+        am = iter(np.argmin(d, axis=1))
+        return pd.Series(
+            [None if isnull else int(next(am))
+             for isnull in null_mask], dtype="object")
 
     return embeddings.withColumn("__c", assign(F.col(col)))
 
@@ -702,7 +711,12 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
     for i in range(n_pref):
         d = F.col(f"a.p{i}") - F.col(f"b.p{i}")
         partial = partial + d * d
-    guard = (partial <= guard_t) | partial.isNull()
+    # NaN partials must ALSO survive: Spark orders NaN above every
+    # number, so the exact stage's `round(cos,6) >= t` KEEPS NaN-cosine
+    # pairs - a guard that dropped NaN prefixes would change the output
+    # for NaN-poisoned embeddings
+    guard = ((partial <= guard_t) | partial.isNull()
+             | F.isnan(partial))
     small = base.drop("norm_emb")
     cands = (small.alias("a")
              .join(small.alias("b"),

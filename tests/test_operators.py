@@ -1230,6 +1230,45 @@ def test_kmeans_large_k_pandas_path_matches_fold_path(spark):
     assert "ArrowEvalPython" in plan
 
 
+def test_semantic_dedup_nan_pairs_survive_prefix_guard(spark):
+    """Spark orders NaN above every number, so the exact stage's
+    round(cos,6) >= t KEEPS NaN-cosine pairs; the round-8 prefix guard
+    must not drop them earlier (same-cluster NaN twins must still fold
+    into one group)."""
+    from docling_spark import similarity
+    nanv = [float("nan")] + [0.0] * 31
+    rows = ([(i, [10.0 + 0.01 * i] + [1.0] * 31) for i in range(6)]
+            + [(100, nanv), (101, nanv)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in similarity.semantic_dedup(
+        emb, k=1, n_iter=1, threshold=0.95).collect()}
+    # a NaN cosine compares >= threshold under Spark's NaN ordering, so
+    # the NaN rows pair with EVERY same-cluster row (the historical
+    # behavior) and the whole cluster folds into one group - the guard
+    # must not break that chain
+    assert not out[101].keep and out[101].group_id == 0
+    assert not out[100].keep and out[100].group_id == 0
+    assert out[0].keep and all(out[i].group_id == 0 for i in range(6))
+
+
+def test_kmeans_large_k_pandas_path_handles_null_rows(spark):
+    """A NULL embedding row must map to a NULL cluster on the pandas
+    path, matching the fold path's NULL-distance argmin."""
+    from docling_spark import similarity
+    # the NULL row sits mid-range so every strided seed bucket still
+    # has a non-null smallest-id seed (NULL seeds are out of contract
+    # on both paths)
+    rows = [(i, [float(i % 4) * 50.0 + d for d in range(8)])
+            for i in range(16) if i != 7] + [(7, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.cluster for r in similarity.kmeans_assign(
+        emb, k=4, n_iter=1, large_k_threshold=0).collect()}
+    assert out[7] is None
+    fold = {r.vec_id: r.cluster for r in similarity.kmeans_assign(
+        emb, k=4, n_iter=1, large_k_threshold=1 << 30).collect()}
+    assert fold == out
+
+
 def test_semantic_dedup_drops_clones_keeps_singletons(spark):
     """Planted exact clones (and a transitive chain) within clusters:
     the keeper is the smallest vec_id per component, singletons keep
