@@ -204,6 +204,43 @@ def _md5_bucket(col: str, n_planes: int, seed: int, table: int,
     return bucket
 
 
+def _md5_bucket_sql(col: str, n_planes: int, seed: int, table: int,
+                    w_idx: int, int_col: str) -> str:
+    """SQL-text twin of :func:`_md5_bucket` (w_col + int_col form):
+    the same expression tree rendered as ONE string for ``F.expr``.
+
+    Building the bucket through the Column DSL costs hundreds of py4j
+    round-trips (~0.5 s per table on this box - construction, not
+    execution); parsing one SQL string is a single round-trip with the
+    tree built JVM-side. Every function, operand order, literal type
+    and CASE/NULL behavior mirrors the DSL form - pinned by
+    ``tests/test_operators.py::test_md5_bucket_sql_matches_dsl`` which
+    compares both columns row-for-row (including a NULL and a ragged
+    wide row) - so bucket values are bit-identical.
+
+    ``w_idx`` is the 1-based index of this table's planes inside the
+    broadcast ``__w`` column.
+    """
+    plane = lambda i: f"element_at(element_at(`__w`, {w_idx}), {i + 1})"
+    prefix = f"lsh:{seed}:{table}:"
+    terms = ["CAST(0 AS BIGINT)"]
+    for i in range(n_planes):
+        fast = (f"aggregate(zip_with(`{int_col}`, "
+                f"slice({plane(i)}, 1, size(`{col}`)), "
+                f"(x, w) -> x * w), CAST(0 AS BIGINT), "
+                f"(acc, v) -> acc + v)")
+        slow = (f"aggregate(zip_with(`{int_col}`, "
+                f"sequence(0, size(`{col}`) - 1), "
+                f"(x, d) -> x * ((CAST(conv(substring(md5(concat("
+                f"'{prefix}{i}:', CAST(d AS STRING))), 1, 15), 16, 10) "
+                f"AS BIGINT) % 17) - 8)), CAST(0 AS BIGINT), "
+                f"(acc, v) -> acc + v)")
+        dot = (f"CASE WHEN size(`{col}`) <= size({plane(i)}) "
+               f"THEN {fast} ELSE {slow} END")
+        terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 def _md5_plane_weights(n_planes: int, seed: int, table: int,
                        max_dim: int = 128) -> list:
     """Driver-side twin of ``_md5_bucket``'s per-element weight
@@ -276,6 +313,19 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
         # analysis of the 2*tables*(1+probes) key expressions the
         # bottleneck instead; data-shaped weights keep both cheap)
         wdf = None
+        # the bucket expressions reference only the column NAMES
+        # raw_emb/__emb_int/__w, so they are built ONCE here and reused
+        # verbatim by both keyed() sides - and built as SQL text
+        # (``_md5_bucket_sql``, one py4j round-trip per table) rather
+        # than through the Column DSL (hundreds of round-trips per
+        # table; round 8 second pass measured expression CONSTRUCTION
+        # as the larger half of this query's wall time). Values are
+        # bit-identical - the DSL form stays as the reference and a
+        # parity test compares the two row-for-row.
+        shared_bcols = [
+            F.expr(_md5_bucket_sql("raw_emb", n_planes, seed + 7919 * t,
+                                   t, t + 1, "__emb_int")).alias(f"_b{t}")
+            for t in range(n_tables)]
 
         def keyed(df, id_col, probe_masks):
             nonlocal wdf
@@ -294,17 +344,16 @@ def cosine_topk_lsh(embeddings: DataFrame, queries: DataFrame,
                      F.col("raw_emb"),
                      lambda x: F.floor(x.cast("double") * 1000000.0)
                      .cast("long"))))
-            bcols = [
-                _md5_bucket("raw_emb", n_planes, seed + 7919 * t, t,
-                            w_col=F.element_at(F.col("__w"), t + 1),
-                            int_col="__emb_int").alias(f"_b{t}")
-                for t in range(n_tables)]
-            b = b.select(id_col, *bcols)
-            keys = [F.lit(t << n_planes).cast("long")
-                    + F.col(f"_b{t}").bitwiseXOR(F.lit(m))
-                    for t in range(n_tables)
-                    for m in (probe_masks or [0])]
-            return b.select(id_col, F.explode(F.array(*keys)).alias("key"))
+            b = b.select(id_col, *shared_bcols)
+            # probe keys as ONE parsed expression as well; `^` is
+            # Spark SQL's bitwiseXOR, CAST+`+` match the DSL's
+            # lit().cast("long") + xor term by term
+            keys = ", ".join(
+                f"CAST({t << n_planes} AS BIGINT) + (`_b{t}` ^ {m})"
+                for t in range(n_tables)
+                for m in (probe_masks or [0]))
+            return b.select(id_col,
+                            F.expr(f"explode(array({keys}))").alias("key"))
         cb = keyed(corpus, "nbr_id", None)
         qb = keyed(qs, "query_id", masks)
     else:

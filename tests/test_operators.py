@@ -1323,3 +1323,41 @@ def test_bpe_trainer_hand_vector(spark):
     oov = spark.createDataFrame([(9, "zzz low")], "doc_id long, text string")
     row = textfns.bpe_token_counts(oov, wt).collect()[0]
     assert (row.n_words, row.n_bpe_tokens) == (2, 4 + 1)
+
+
+def test_md5_bucket_sql_matches_dsl(spark):
+    """The SQL-text bucket (_md5_bucket_sql, the production fast-build
+    path in cosine_topk_lsh) must produce bit-identical values to the
+    Column-DSL reference (_md5_bucket) - including NULL embeddings,
+    empty arrays, and a ragged row WIDER than the precomputed planes
+    (which exercises the per-row md5 fallback branch)."""
+    n_planes, seed, table = 6, 42, 1
+    weights = [similarity._md5_plane_weights(n_planes, seed, table,
+                                             max_dim=8)]
+    rows = [
+        (0, [0.25, -1.5, 3.125, 0.0]),
+        (1, [1e-7, -1e-7, 0.999999, 2.5]),
+        (2, None),
+        (3, []),
+        (4, [float(i) / 7.0 for i in range(12)]),  # wider than planes
+    ]
+    df = (spark.createDataFrame(rows, "vec_id int, emb array<double>")
+          .crossJoin(F.broadcast(spark.createDataFrame(
+              [(weights,)], "__w: array<array<array<long>>>")))
+          .withColumn("__emb_int", F.transform(
+              F.col("emb"),
+              lambda x: F.floor(x.cast("double") * 1000000.0)
+              .cast("long"))))
+    dsl = similarity._md5_bucket(
+        "emb", n_planes, seed, table,
+        w_col=F.element_at(F.col("__w"), 1), int_col="__emb_int")
+    sql = F.expr(similarity._md5_bucket_sql(
+        "emb", n_planes, seed, table, 1, "__emb_int"))
+    got = (df.select("vec_id", dsl.alias("b_dsl"), sql.alias("b_sql"))
+           .orderBy("vec_id").collect())
+    assert len(got) == len(rows)
+    for r in got:
+        assert r["b_sql"] == r["b_dsl"], (r["vec_id"], r["b_sql"],
+                                          r["b_dsl"])
+    # the normal rows must produce a real bucket, not degenerate zeros
+    assert any(r["b_dsl"] not in (None, 0) for r in got)
