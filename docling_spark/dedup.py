@@ -374,13 +374,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     so this typically converges in 2-3 rounds.
     """
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # lazy localCheckpoints: materialized by the first round's job
+    # instead of two standalone warm-up jobs (values unchanged - both
+    # forms cut the lineage and compute each table once)
     edges = (edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint(eager=True))
+        .localCheckpoint(eager=False))
     labels = (edges.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     for _ in range(max_iters):
         nbr_min = (edges.join(labels, edges["b"] == labels["node"])
                    .groupBy("a").agg(F.min("label").alias("nbr_label")))
@@ -398,11 +401,19 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                   .select(stepped["node"],
                           F.least(stepped["label"],
                                   F.coalesce("plabel", stepped["label"]))
-                          .alias("label"))
+                          .alias("label")))
+        # fold the convergence comparison into the SAME materialization
+        # job (one action per round, not two): __chg flags nodes whose
+        # label moved vs the previous round; the count then only scans
+        # the already-materialized local rows
+        jumped = (jumped.join(labels.select("node",
+                                            F.col("label").alias("__old")),
+                              "node")
+                  .select("node", "label",
+                          (F.col("label") != F.col("__old")).alias("__chg"))
                   .localCheckpoint(eager=True))
-        changed = (jumped.alias("n").join(labels.alias("o"), "node")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = jumped
+        changed = jumped.where("__chg").count()
+        labels = jumped.drop("__chg")
         if changed == 0:
             break
     else:

@@ -729,14 +729,14 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
     from .dedup import connected_components
 
     clusters = kmeans_assign(embeddings, k=k, n_iter=n_iter, col=col)
-    # clusters feeds three consumers (both sides of the pair self-join
-    # via base, and the final output join) and its assignment expression
-    # is the expensive k*dim distance fold; base likewise feeds both
-    # sides of the self-join. Materialize each once (localCheckpoint =
-    # the per-query analog of the persisted intermediate table you'd
-    # write at 100 TB) instead of re-evaluating the k-means assignment
-    # per consumer. Values are unchanged - this only cuts recompute.
-    clusters = clusters.localCheckpoint(eager=True)
+    # all consumers read `base` below (both sides of the pair
+    # self-join AND the final output join - base carries vec_id and
+    # cluster), so ONE eager localCheckpoint materializes the
+    # expensive k-means assignment exactly once (the per-query analog
+    # of the persisted intermediate table you'd write at 100 TB);
+    # checkpointing `clusters` separately was a second materialization
+    # job for the same expression. Values are unchanged - this only
+    # cuts recompute.
     n_pref = 16
     # try_element_at: beyond-length prefixes are NULL (ANSI element_at
     # throws), which NULLs the guard sum and retains the pair for the
@@ -797,7 +797,7 @@ def semantic_dedup(embeddings: DataFrame, k: int = 4, n_iter: int = 3,
              .select("doc_a", "doc_b"))
     comps = connected_components(pairs).withColumnRenamed(
         "node", "vec_id")
-    out = (clusters.join(comps, "vec_id", "left")
+    out = (base.select("vec_id", "cluster").join(comps, "vec_id", "left")
            .select("vec_id", "cluster",
                    F.coalesce("group_id", F.col("vec_id"))
                    .alias("group_id")))
