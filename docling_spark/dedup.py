@@ -125,6 +125,17 @@ def _hash64(col, seed, hash_mode: str = "xxhash64"):
     return F.xxhash64(col, F.lit(seed))
 
 
+def _hash64_sql(col_sql: str, seed, hash_mode: str = "xxhash64") -> str:
+    """SQL-text twin of :func:`_hash64` for fast expression builds
+    (one parse round-trip instead of ~7 DSL calls); same functions,
+    same values - pinned by
+    tests/test_operators.py::test_hash64_sql_matches_dsl."""
+    if hash_mode == "md5":
+        return (f"CAST(conv(substring(md5(concat('{seed}\x01', "
+                f"{col_sql})), 1, 15), 16, 10) AS BIGINT)")
+    return f"xxhash64({col_sql}, {seed})"
+
+
 def minhash_signatures(documents: DataFrame, k: int = 5,
                        num_hashes: int = 64,
                        hash_mode: str = "xxhash64") -> DataFrame:
@@ -136,12 +147,15 @@ def minhash_signatures(documents: DataFrame, k: int = 5,
     sh = shingles(documents, k)
     seeds = list(range(num_hashes))
     mins = [
-        F.min(_hash64(F.col("shingle"), s, hash_mode)).alias(f"h{s}")
+        F.expr(f"min({_hash64_sql('`shingle`', s, hash_mode)})")
+        .alias(f"h{s}")
         for s in seeds
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
-        "doc_id", F.array(*[F.col(f"h{s}") for s in seeds]).alias("signature"))
+        "doc_id",
+        F.expr("array(" + ", ".join(f"`h{s}`" for s in seeds) + ")")
+        .alias("signature"))
 
 
 def _cap_hot_buckets(banded: DataFrame, keys: list,
@@ -291,17 +305,22 @@ def simhash(documents: DataFrame, bits: int = 64,
     h_expr = (_hash64(F.col("tok"), "", "md5") if hash_mode == "md5"
               else F.xxhash64("tok"))
     toks = toks.select("doc_id", h_expr.alias("__h"))
-    h = F.col("__h")
+    # vote and signature expressions parse from SQL text - one py4j
+    # round-trip each instead of ~6 per bit through the Column DSL
+    # (~0.8 s of pure driver-side construction per query build at
+    # bits=64); CASE WHEN / & / shiftrightunsigned are the exact
+    # functions the DSL form invoked, so the values are unchanged
     votes = [
-        F.sum(F.when(
-            F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) != 0, 1)
-            .otherwise(-1)).alias(f"b{b}")
+        F.expr(f"sum(CASE WHEN (shiftrightunsigned(`__h`, {b}) & 1) != 0 "
+               f"THEN 1 ELSE -1 END)").alias(f"b{b}")
         for b in range(bits)
     ]
     agg = toks.groupBy("doc_id").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(bits - 1):  # top bit excluded to stay in signed-long range
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+    # top bit excluded to stay in signed-long range
+    sig = F.expr(" + ".join(
+        ["CAST(0 AS BIGINT)"]
+        + [f"(CASE WHEN `b{b}` > 0 THEN {1 << b} ELSE 0 END)"
+           for b in range(bits - 1)]))
     return agg.select("doc_id", sig.alias("simhash"))
 
 

@@ -1361,3 +1361,22 @@ def test_md5_bucket_sql_matches_dsl(spark):
                                           r["b_dsl"])
     # the normal rows must produce a real bucket, not degenerate zeros
     assert any(r["b_dsl"] not in (None, 0) for r in got)
+
+
+def test_hash64_sql_matches_dsl(spark):
+    """_hash64_sql (the fast-build SQL text used by
+    minhash_signatures) must produce the exact values of the _hash64
+    Column DSL in both hash families, including the \\x01 seed
+    separator surviving SQL string-literal parsing."""
+    rows = [(0, "alpha beta"), (1, ""), (2, "x'y\\z"), (3, None),
+            (4, "unicode é中")]
+    df = spark.createDataFrame(rows, "doc_id int, s string")
+    for mode in ("md5", "xxhash64"):
+        for seed in (0, 7, 63):
+            got = df.select(
+                "doc_id",
+                dedup._hash64(F.col("s"), seed, mode).alias("a"),
+                F.expr(dedup._hash64_sql("`s`", seed, mode)).alias("b"),
+            ).collect()
+            for r in got:
+                assert r["a"] == r["b"], (mode, seed, r)
